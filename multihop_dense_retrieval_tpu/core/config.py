@@ -1,0 +1,176 @@
+"""Typed configuration for the framework.
+
+The reference uses flat argparse namespaces (mdr/retrieval/config.py:14-112,
+mdr/qa/config.py:16-88).  Here configs are frozen dataclasses so they are
+hashable (usable as jit static args) and self-documenting.  Defaults mirror
+the reference's published HotpotQA settings: q<=70 / q_sp<=350 / c<=300
+tokens, reader seq<=512, grad clip 2.0, Adam + linear warmup.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+
+def _frozen(cls):
+    return dataclasses.dataclass(frozen=True)(cls)
+
+
+@_frozen
+class EncoderConfig:
+    """Architecture config for the BERT-family transformer encoder.
+
+    Covers RoBERTa (retriever backbone, reference
+    mdr/retrieval/models/mhop_retriever.py:20), BERT (single-hop variants,
+    models/retriever.py:14) and ELECTRA (reader backbone, mdr/qa/qa_model.py:37).
+    """
+
+    vocab_size: int = 50265
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 514
+    type_vocab_size: int = 1
+    layer_norm_eps: float = 1e-5
+    pad_token_id: int = 1
+    # RoBERTa computes position ids as pad_id + cumsum(mask); BERT/ELECTRA use
+    # plain arange.  `roberta_positions` selects between the two.
+    roberta_positions: bool = True
+    # ELECTRA-small/base have embedding_size != hidden_size and an extra
+    # projection; None means embedding_size == hidden_size.
+    embedding_size: Optional[int] = None
+    hidden_act: str = "gelu"
+    # Compute dtype.  Params are always fp32; activations run in this dtype
+    # (bf16 feeds the MXU at full rate; the reference needed apex amp for this).
+    dtype: str = "bfloat16"
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @property
+    def compute_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    # ---- presets -------------------------------------------------------
+
+    @classmethod
+    def roberta_base(cls, **kw) -> "EncoderConfig":
+        return cls(**kw)
+
+    @classmethod
+    def bert_base_uncased(cls, **kw) -> "EncoderConfig":
+        d = dict(
+            vocab_size=30522,
+            max_position_embeddings=512,
+            type_vocab_size=2,
+            layer_norm_eps=1e-12,
+            pad_token_id=0,
+            roberta_positions=False,
+        )
+        d.update(kw)
+        return cls(**d)
+
+    @classmethod
+    def electra_large(cls, **kw) -> "EncoderConfig":
+        d = dict(
+            vocab_size=30522,
+            hidden_size=1024,
+            num_layers=24,
+            num_heads=16,
+            intermediate_size=4096,
+            max_position_embeddings=512,
+            type_vocab_size=2,
+            layer_norm_eps=1e-12,
+            pad_token_id=0,
+            roberta_positions=False,
+        )
+        d.update(kw)
+        return cls(**d)
+
+    @classmethod
+    def tiny(cls, **kw) -> "EncoderConfig":
+        """A minuscule config for unit tests (CPU-fast, same code paths)."""
+        d = dict(
+            vocab_size=128,
+            hidden_size=32,
+            num_layers=2,
+            num_heads=4,
+            intermediate_size=64,
+            max_position_embeddings=68,
+            dtype="float32",
+        )
+        d.update(kw)
+        return cls(**d)
+
+
+@_frozen
+class RetrieverTrainConfig:
+    """Hyperparameters for contrastive retriever training.
+
+    Mirrors the reference trainer flags (scripts/train_mhop.py:125-190,
+    mdr/retrieval/config.py).
+    """
+
+    batch_size: int = 150
+    eval_batch_size: int = 256
+    learning_rate: float = 2e-5
+    weight_decay: float = 0.0
+    adam_eps: float = 1e-8
+    warmup_ratio: float = 0.1
+    max_grad_norm: float = 2.0
+    num_epochs: int = 50
+    gradient_accumulation: int = 1
+    seed: int = 3
+    max_q_len: int = 70
+    max_q_sp_len: int = 350
+    max_c_len: int = 300
+    # momentum / memory-bank stage (scripts/train_momentum.py)
+    momentum: bool = False
+    queue_size: int = 76800
+    momentum_m: float = 0.999
+    # unified variable-hop stage
+    unified: bool = False
+    temperature: float = 1.0
+
+
+@_frozen
+class SearchConfig:
+    """2-hop beam search settings (scripts/eval/eval_mhop_retrieval.py:55-70)."""
+
+    beam_size_1: int = 5
+    beam_size_2: int = 5
+    topk: int = 2
+    max_q_len: int = 70
+    max_q_sp_len: int = 350
+    batch_size: int = 100
+    # index layout
+    index_dtype: str = "bfloat16"
+    # chunk rows per MIPS tile step (per shard)
+    chunk_rows: int = 131072
+    use_pallas: bool = True
+
+
+@_frozen
+class ReaderConfig:
+    """QA reader settings (mdr/qa/config.py, scripts/train_qa.py)."""
+
+    max_seq_len: int = 512
+    max_q_len: int = 64
+    max_ans_len: int = 30
+    num_answer_spans: int = 10  # padded answer-occurrence slots for marginal loss
+    max_sents: int = 40  # padded sentence-marker slots
+    sp_weight: float = 0.05
+    sp_pred: bool = True
+    rank_lambda: float = 0.8  # span/rank combination (train_qa.py eval_final)
+    batch_size: int = 8
+    learning_rate: float = 5e-5
+    num_epochs: int = 5
+    warmup_ratio: float = 0.1
+    max_grad_norm: float = 2.0
+    neg_num: int = 5
+    seed: int = 42

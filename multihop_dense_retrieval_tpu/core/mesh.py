@@ -1,0 +1,67 @@
+"""Device mesh construction and sharding helpers.
+
+The reference's only parallelism is torch DataParallel/DDP over NCCL
+(scripts/train_mhop.py:84,144-148).  Here all parallelism is expressed through
+a `jax.sharding.Mesh` with two logical axes:
+
+  * ``data``  — batch/data parallelism (gradients psum over ICI)
+  * ``index`` — row-sharding of the dense corpus index for distributed MIPS
+                (per-shard top-k + all-gather merge), and tensor-parallel
+                sharding of encoder FFN/heads when enabled.
+
+On a v4-8 the natural layout is a (data=2, index=4) or (1, 8) mesh; tests use
+8 virtual CPU devices via --xla_force_host_platform_device_count=8.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+INDEX_AXIS = "index"
+
+
+def local_device_count() -> int:
+    return jax.local_device_count()
+
+
+def make_mesh(
+    data: Optional[int] = None,
+    index: Optional[int] = None,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a 2-D (data, index) mesh over the available devices.
+
+    Defaults: all devices on the ``index`` axis (retrieval-serving layout —
+    the index is the big thing; queries are cheap to replicate).
+    """
+    devs = list(devices if devices is not None else jax.devices())
+    n = len(devs)
+    if data is None and index is None:
+        data, index = 1, n
+    elif data is None:
+        data = n // index
+    elif index is None:
+        index = n // data
+    if data * index != n:
+        raise ValueError(f"mesh {data}x{index} != {n} devices")
+    arr = np.asarray(devs).reshape(data, index)
+    return Mesh(arr, (DATA_AXIS, INDEX_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def data_sharded(mesh: Mesh, rank: int = 1) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (rank - 1))))
+
+
+def index_sharded(mesh: Mesh, rank: int = 2) -> NamedSharding:
+    """Shard the leading (row) dim over the index axis."""
+    return NamedSharding(mesh, P(INDEX_AXIS, *([None] * (rank - 1))))

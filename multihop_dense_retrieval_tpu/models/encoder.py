@@ -1,0 +1,140 @@
+"""BERT-family transformer encoder in Flax, TPU-first.
+
+One module covers all three backbones the reference uses through HF
+`AutoModel.from_pretrained` (mdr/retrieval/models/mhop_retriever.py:20,
+mdr/retrieval/models/retriever.py:20-25, mdr/qa/qa_model.py:37):
+
+  * roberta-base   — retriever backbone (RoBERTa position-id scheme)
+  * bert-base      — single-hop retriever variants
+  * electra-large  — QA reader backbone (no pooler; the reader adds its own)
+
+TPU-first choices:
+  * activations in bf16 (MXU native), params fp32, softmax/layernorm
+    statistics in fp32 — replaces the reference's apex amp O1
+    (scripts/train_mhop.py:135-138) with a principled mixed-precision policy;
+  * static shapes everywhere: inputs are padded to fixed lengths host-side so
+    a single jit trace serves the whole run;
+  * attention as two einsums feeding the MXU; XLA fuses bias+mask+softmax.
+
+Weight layout intentionally mirrors HF naming closely enough that
+`models/convert.py` can map released torch checkpoints 1:1.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..core.config import EncoderConfig
+
+NEG_INF = -1e9  # bf16-safe large negative for masking
+
+
+def _act(name: str):
+    if name == "gelu":
+        # HF BERT/RoBERTa use exact (erf) gelu
+        return lambda x: nn.gelu(x, approximate=False)
+    if name == "gelu_new":
+        return lambda x: nn.gelu(x, approximate=True)
+    if name == "relu":
+        return nn.relu
+    raise ValueError(f"unknown activation {name}")
+
+
+def roberta_position_ids(input_ids: jnp.ndarray, pad_id: int) -> jnp.ndarray:
+    """RoBERTa position ids: pad positions get pad_id, others pad_id+cumsum.
+
+    Matches fairseq/HF `create_position_ids_from_input_ids` semantics that the
+    released roberta-base checkpoint was trained with (hence
+    max_position_embeddings=514 for seq len 512).
+    """
+    mask = (input_ids != pad_id).astype(jnp.int32)
+    return jnp.cumsum(mask, axis=1) * mask + pad_id
+
+
+class Embeddings(nn.Module):
+    config: EncoderConfig
+
+    @nn.compact
+    def __call__(self, input_ids, token_type_ids, position_ids, deterministic=True):
+        c = self.config
+        emb_size = c.embedding_size or c.hidden_size
+        word = nn.Embed(c.vocab_size, emb_size, name="word_embeddings",
+                        dtype=c.compute_dtype)(input_ids)
+        pos = nn.Embed(c.max_position_embeddings, emb_size,
+                       name="position_embeddings", dtype=c.compute_dtype)(position_ids)
+        typ = nn.Embed(c.type_vocab_size, emb_size, name="token_type_embeddings",
+                       dtype=c.compute_dtype)(token_type_ids)
+        x = word + pos + typ
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="layer_norm",
+                         dtype=jnp.float32)(x).astype(c.compute_dtype)
+        if c.embedding_size is not None and c.embedding_size != c.hidden_size:
+            x = nn.Dense(c.hidden_size, name="embeddings_project",
+                         dtype=c.compute_dtype)(x)
+        return x
+
+
+class SelfAttention(nn.Module):
+    config: EncoderConfig
+
+    @nn.compact
+    def __call__(self, x, attn_bias):
+        c = self.config
+        h, d = c.num_heads, c.head_dim
+        dt = c.compute_dtype
+        q = nn.DenseGeneral((h, d), name="query", dtype=dt)(x)
+        k = nn.DenseGeneral((h, d), name="key", dtype=dt)(x)
+        v = nn.DenseGeneral((h, d), name="value", dtype=dt)(x)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(d).astype(dt)
+        scores = scores.astype(jnp.float32) + attn_bias  # bias is (B,1,1,L) fp32
+        probs = jax.nn.softmax(scores, axis=-1).astype(dt)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        out = nn.DenseGeneral(c.hidden_size, axis=(-2, -1), name="out", dtype=dt)(out)
+        return out
+
+
+class EncoderLayer(nn.Module):
+    config: EncoderConfig
+
+    @nn.compact
+    def __call__(self, x, attn_bias):
+        c = self.config
+        dt = c.compute_dtype
+        attn_out = SelfAttention(c, name="attention")(x, attn_bias)
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="attention_layer_norm",
+                         dtype=jnp.float32)(x + attn_out).astype(dt)
+        inter = nn.Dense(c.intermediate_size, name="intermediate", dtype=dt)(x)
+        inter = _act(c.hidden_act)(inter)
+        out = nn.Dense(c.hidden_size, name="output", dtype=dt)(inter)
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="output_layer_norm",
+                         dtype=jnp.float32)(x + out).astype(dt)
+        return x
+
+
+class TransformerEncoder(nn.Module):
+    """Returns the last hidden state (B, L, H) in the compute dtype."""
+
+    config: EncoderConfig
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask, token_type_ids=None):
+        c = self.config
+        B, L = input_ids.shape
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros((B, L), dtype=jnp.int32)
+        if c.roberta_positions:
+            position_ids = roberta_position_ids(input_ids, c.pad_token_id)
+        else:
+            position_ids = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None], (B, L))
+        x = Embeddings(c, name="embeddings")(input_ids, token_type_ids, position_ids)
+        attn_bias = jnp.where(
+            attention_mask[:, None, None, :].astype(bool), 0.0, NEG_INF
+        ).astype(jnp.float32)
+        layer_cls = nn.remat(EncoderLayer) if self.remat else EncoderLayer
+        for i in range(c.num_layers):
+            x = layer_cls(c, name=f"layer_{i}")(x, attn_bias)
+        return x

@@ -1,0 +1,176 @@
+"""Bi-encoder retriever models.
+
+Re-designs of the reference model zoo (mdr/retrieval/models/):
+
+  * `MhopRetriever`   — the production multi-hop shared encoder + projection
+                        head (mhop_retriever.py:12-41)
+  * `SingleRetriever` — single-hop bi-encoder (retriever.py:43-68); with
+                        `shared=False` it keeps separate q/ctx towers
+                        (retriever.py:14-41)
+  * `CtxEncoder`      — corpus encoder view reusing the same weights
+                        (retriever.py:176-190); in JAX this is just
+                        `encode_seq`, no separate module needed — provided
+                        for API parity
+  * `UnifiedRetriever` — variable-hop retriever with a stop head
+                        (unified_retriever.py:10-56)
+
+The momentum/memory-bank variant (mhop_retriever.py:45-129) is functional
+state, not a module — see train/momentum.py: two param trees + a queue array
+in the train state.
+
+All encode paths return fp32 vectors; inner products / losses run in fp32
+while the transformer body runs in bf16.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..core.config import EncoderConfig
+from .encoder import TransformerEncoder
+
+
+class ProjectionHead(nn.Module):
+    """Linear(h,h) + LayerNorm over the CLS token (mhop_retriever.py:21)."""
+
+    config: EncoderConfig
+
+    @nn.compact
+    def __call__(self, cls_rep):
+        c = self.config
+        x = nn.Dense(c.hidden_size, name="dense", dtype=jnp.float32)(
+            cls_rep.astype(jnp.float32)
+        )
+        return nn.LayerNorm(epsilon=c.layer_norm_eps, name="layer_norm",
+                            dtype=jnp.float32)(x)
+
+
+class MhopRetriever(nn.Module):
+    """Shared encoder for queries, query⊕passage reformulations and passages.
+
+    `__call__` encodes the six training views of a batch
+    (mhop_retriever.py:28-38); `encode_seq` is the single entry point used by
+    corpus encoding and search.
+    """
+
+    config: EncoderConfig
+
+    def setup(self):
+        self.encoder = TransformerEncoder(self.config, name="encoder")
+        self.project = ProjectionHead(self.config, name="project")
+
+    def encode_seq(self, input_ids, mask, token_type_ids=None):
+        hidden = self.encoder(input_ids, mask, token_type_ids)
+        return self.project(hidden[:, 0, :])
+
+    def __call__(self, batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        return {
+            "q": self.encode_seq(batch["q_input_ids"], batch["q_mask"],
+                                 batch.get("q_type_ids")),
+            "q_sp1": self.encode_seq(batch["q_sp_input_ids"], batch["q_sp_mask"],
+                                     batch.get("q_sp_type_ids")),
+            "c1": self.encode_seq(batch["c1_input_ids"], batch["c1_mask"],
+                                  batch.get("c1_type_ids")),
+            "c2": self.encode_seq(batch["c2_input_ids"], batch["c2_mask"],
+                                  batch.get("c2_type_ids")),
+            "neg_1": self.encode_seq(batch["neg1_input_ids"], batch["neg1_mask"],
+                                     batch.get("neg1_type_ids")),
+            "neg_2": self.encode_seq(batch["neg2_input_ids"], batch["neg2_mask"],
+                                     batch.get("neg2_type_ids")),
+        }
+
+    # API parity with the reference's encode_q/encode_qsp entry points.
+    def encode_q(self, input_ids, mask, token_type_ids=None):
+        return self.encode_seq(input_ids, mask, token_type_ids)
+
+
+class SingleRetriever(nn.Module):
+    """Single-hop DPR-style bi-encoder (retriever.py:14-68).
+
+    shared=True  → one tower (RobertaRetrieverSingle)
+    shared=False → separate q and ctx towers (BertRetrieverSingle)
+    """
+
+    config: EncoderConfig
+    shared: bool = True
+
+    def setup(self):
+        self.encoder = TransformerEncoder(self.config, name="encoder")
+        self.project = ProjectionHead(self.config, name="project")
+        if not self.shared:
+            self.encoder_q = TransformerEncoder(self.config, name="encoder_q")
+            self.project_q = ProjectionHead(self.config, name="project_q")
+
+    def encode_ctx(self, input_ids, mask, token_type_ids=None):
+        hidden = self.encoder(input_ids, mask, token_type_ids)
+        return self.project(hidden[:, 0, :])
+
+    def encode_q(self, input_ids, mask, token_type_ids=None):
+        if self.shared:
+            return self.encode_ctx(input_ids, mask, token_type_ids)
+        hidden = self.encoder_q(input_ids, mask, token_type_ids)
+        return self.project_q(hidden[:, 0, :])
+
+    def __call__(self, batch):
+        return {
+            "q": self.encode_q(batch["q_input_ids"], batch["q_mask"],
+                               batch.get("q_type_ids")),
+            "c": self.encode_ctx(batch["c_input_ids"], batch["c_mask"],
+                                 batch.get("c_type_ids")),
+            "neg": self.encode_ctx(batch["neg_input_ids"], batch["neg_mask"],
+                                   batch.get("neg_type_ids")),
+        }
+
+
+class UnifiedRetriever(nn.Module):
+    """Variable-hop retriever: MhopRetriever + a stop classifier over the
+    pooled q⊕sp representation deciding whether a second hop is needed
+    (unified_retriever.py:23,34-52).
+    """
+
+    config: EncoderConfig
+
+    def setup(self):
+        self.encoder = TransformerEncoder(self.config, name="encoder")
+        self.project = ProjectionHead(self.config, name="project")
+        self.stop_head = nn.Dense(2, name="stop_head", dtype=jnp.float32)
+
+    def encode_seq(self, input_ids, mask, token_type_ids=None):
+        hidden = self.encoder(input_ids, mask, token_type_ids)
+        return self.project(hidden[:, 0, :])
+
+    def encode_qsp(self, input_ids, mask, token_type_ids=None):
+        """Returns (vector, stop_logits) for a reformulated query."""
+        hidden = self.encoder(input_ids, mask, token_type_ids)
+        cls = hidden[:, 0, :]
+        return self.project(cls), self.stop_head(cls.astype(jnp.float32))
+
+    def __call__(self, batch):
+        q_sp1, stop_logits = self.encode_qsp(
+            batch["q_sp_input_ids"], batch["q_sp_mask"], batch.get("q_sp_type_ids"))
+        return {
+            "q": self.encode_seq(batch["q_input_ids"], batch["q_mask"],
+                                 batch.get("q_type_ids")),
+            "q_sp1": q_sp1,
+            "stop_logits": stop_logits,
+            "c1": self.encode_seq(batch["c1_input_ids"], batch["c1_mask"],
+                                  batch.get("c1_type_ids")),
+            "c2": self.encode_seq(batch["c2_input_ids"], batch["c2_mask"],
+                                  batch.get("c2_type_ids")),
+            "neg_1": self.encode_seq(batch["neg1_input_ids"], batch["neg1_mask"],
+                                     batch.get("neg1_type_ids")),
+            "neg_2": self.encode_seq(batch["neg2_input_ids"], batch["neg2_mask"],
+                                     batch.get("neg2_type_ids")),
+        }
+
+    def encode_q(self, input_ids, mask, token_type_ids=None):
+        return self.encode_seq(input_ids, mask, token_type_ids)
+
+
+# Corpus encoding reuses MhopRetriever.encode_seq with the same checkpoint
+# (reference loads the retriever ckpt into RobertaCtxEncoder with exact=False,
+# scripts/encode_corpus.py:74).  Alias for API parity:
+CtxEncoder = MhopRetriever

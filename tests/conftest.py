@@ -1,0 +1,24 @@
+"""Test harness: force an 8-virtual-device CPU backend.
+
+This is the TPU-world fake backend the reference lacks (SURVEY.md §4): all
+sharding/collective tests run on a virtual 8-device mesh so they validate the
+multi-chip layout without hardware.
+
+NOTE: the environment's sitecustomize pre-imports jax with the `axon` TPU
+platform, so JAX_PLATFORMS env vars are read too late — we must override via
+jax.config before the backend is initialized (it is initialized lazily, so
+this works as long as no test module touches devices at import time).
+"""
+
+import os
+import sys
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

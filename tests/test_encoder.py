@@ -1,0 +1,149 @@
+"""Encoder correctness: shapes, masking invariance, and numeric parity of the
+torch→flax converter against a randomly-initialized HF torch RoBERTa/BERT.
+
+The parity test is the framework's substitute for downloading released
+checkpoints: if a random HF model converts losslessly, the released weights
+will too (same tensor layout).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multihop_dense_retrieval_tpu.core.config import EncoderConfig
+from multihop_dense_retrieval_tpu.models.encoder import (
+    TransformerEncoder,
+    roberta_position_ids,
+)
+from multihop_dense_retrieval_tpu.models import convert
+
+
+def test_roberta_position_ids():
+    ids = jnp.array([[5, 9, 3, 1, 1], [7, 1, 1, 1, 1]], dtype=jnp.int32)  # pad=1
+    pos = roberta_position_ids(ids, pad_id=1)
+    np.testing.assert_array_equal(np.asarray(pos),
+                                  [[2, 3, 4, 1, 1], [2, 1, 1, 1, 1]])
+
+
+def test_encoder_shapes_and_padding_invariance():
+    cfg = EncoderConfig.tiny()
+    model = TransformerEncoder(cfg)
+    rng = jax.random.PRNGKey(0)
+    ids = jnp.array([[5, 9, 3, 1, 1]], dtype=jnp.int32)
+    mask = jnp.array([[1, 1, 1, 0, 0]], dtype=jnp.int32)
+    params = model.init(rng, ids, mask)
+    out = model.apply(params, ids, mask)
+    assert out.shape == (1, 5, cfg.hidden_size)
+    # changing the content of padded positions must not change unpadded outputs
+    ids2 = ids.at[0, 3].set(77)
+    out2 = model.apply(params, ids2, mask)
+    np.testing.assert_allclose(np.asarray(out[:, :3]), np.asarray(out2[:, :3]),
+                               atol=1e-5)
+
+
+@pytest.mark.parametrize("kind", ["roberta", "bert"])
+def test_hf_torch_parity(kind):
+    """Random HF torch model → convert → flax; outputs must match closely."""
+    torch = pytest.importorskip("torch")
+    import transformers
+
+    torch.manual_seed(0)
+    if kind == "roberta":
+        hf_cfg = transformers.RobertaConfig(
+            vocab_size=128, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=4, intermediate_size=64,
+            max_position_embeddings=40, type_vocab_size=1, pad_token_id=1,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+        hf_model = transformers.RobertaModel(hf_cfg, add_pooling_layer=False)
+        cfg = EncoderConfig(vocab_size=128, hidden_size=32, num_layers=2,
+                            num_heads=4, intermediate_size=64,
+                            max_position_embeddings=40, type_vocab_size=1,
+                            pad_token_id=1, roberta_positions=True,
+                            layer_norm_eps=hf_cfg.layer_norm_eps,
+                            dtype="float32")
+    else:
+        hf_cfg = transformers.BertConfig(
+            vocab_size=128, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=4, intermediate_size=64,
+            max_position_embeddings=40, type_vocab_size=2, pad_token_id=0,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+        hf_model = transformers.BertModel(hf_cfg, add_pooling_layer=False)
+        cfg = EncoderConfig(vocab_size=128, hidden_size=32, num_layers=2,
+                            num_heads=4, intermediate_size=64,
+                            max_position_embeddings=40, type_vocab_size=2,
+                            pad_token_id=0, roberta_positions=False,
+                            layer_norm_eps=hf_cfg.layer_norm_eps,
+                            dtype="float32")
+    hf_model.eval()
+
+    params = {"params": convert.hf_model_to_flax(hf_model, cfg)}
+    model = TransformerEncoder(cfg)
+
+    rng = np.random.RandomState(0)
+    B, L = 3, 11
+    pad = cfg.pad_token_id
+    ids = rng.randint(4, 120, size=(B, L)).astype(np.int64)
+    lens = [11, 7, 5]
+    mask = np.zeros((B, L), dtype=np.int64)
+    for i, n in enumerate(lens):
+        mask[i, :n] = 1
+        ids[i, n:] = pad
+
+    with torch.no_grad():
+        hf_out = hf_model(input_ids=torch.tensor(ids),
+                          attention_mask=torch.tensor(mask)).last_hidden_state.numpy()
+    out = np.asarray(model.apply(params, jnp.asarray(ids, jnp.int32),
+                                 jnp.asarray(mask, jnp.int32)))
+    for i, n in enumerate(lens):
+        np.testing.assert_allclose(out[i, :n], hf_out[i, :n], atol=1e-3, rtol=1e-3)
+
+
+def test_retriever_ckpt_roundtrip():
+    """A synthetic RobertaRetriever-style torch state dict loads into
+    MhopRetriever and produces finite vectors."""
+    torch = pytest.importorskip("torch")
+    import transformers
+    from multihop_dense_retrieval_tpu.models import MhopRetriever
+
+    torch.manual_seed(0)
+
+    hf_cfg = transformers.RobertaConfig(
+        vocab_size=128, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=40, type_vocab_size=1, pad_token_id=1,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    hf_model = transformers.RobertaModel(hf_cfg, add_pooling_layer=False)
+    hf_model.eval()
+    sd = {f"module.encoder.{k}": v for k, v in hf_model.state_dict().items()}
+    # projection head: Sequential(Linear, LayerNorm) → project.0 / project.1
+    lin = torch.nn.Linear(32, 32)
+    ln = torch.nn.LayerNorm(32)
+    sd.update({f"module.project.0.{k}": v for k, v in lin.state_dict().items()})
+    sd.update({f"module.project.1.{k}": v for k, v in ln.state_dict().items()})
+
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "ckpt.pt")
+        torch.save(sd, path)
+        npsd = convert.load_torch_state_dict(path)
+    assert not any(k.startswith("module.") for k in npsd)
+
+    cfg = EncoderConfig(vocab_size=128, hidden_size=32, num_layers=2,
+                        num_heads=4, intermediate_size=64,
+                        max_position_embeddings=40, type_vocab_size=1,
+                        pad_token_id=1, dtype="float32")
+    params = {"params": convert.retriever_ckpt_to_flax(npsd, cfg)}
+    model = MhopRetriever(cfg)
+    ids = jnp.ones((2, 8), dtype=jnp.int32) * 5
+    mask = jnp.ones((2, 8), dtype=jnp.int32)
+    vec = model.apply(params, ids, mask, method=model.encode_seq)
+    assert vec.shape == (2, 32)
+    assert bool(jnp.all(jnp.isfinite(vec)))
+
+    # parity of the projection head vs torch
+    with torch.no_grad():
+        h = hf_model(input_ids=torch.ones(2, 8, dtype=torch.long) * 5,
+                     attention_mask=torch.ones(2, 8, dtype=torch.long))
+        expected = ln(lin(h.last_hidden_state[:, 0])).numpy()
+    np.testing.assert_allclose(np.asarray(vec), expected, atol=1e-3, rtol=1e-3)

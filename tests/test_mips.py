@@ -1,0 +1,76 @@
+"""MIPS engine tests: XLA scan vs brute force, pallas (interpret mode) parity,
+and the sharded search on an 8-virtual-device mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multihop_dense_retrieval_tpu.core.mesh import make_mesh
+from multihop_dense_retrieval_tpu.ops.mips import (
+    mips_topk_xla,
+    mips_topk_pallas,
+    sharded_mips_topk,
+)
+
+
+def _brute(index, queries, k):
+    scores = np.asarray(queries, np.float32) @ np.asarray(index, np.float32).T
+    idx = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    vals = np.take_along_axis(scores, idx, axis=1)
+    return vals, idx
+
+
+@pytest.mark.parametrize("n,k,chunk", [(1024, 5, 256), (1000, 7, 256), (512, 64, 128)])
+def test_mips_xla_matches_bruteforce(n, k, chunk):
+    rng = np.random.RandomState(0)
+    index = jnp.asarray(rng.randn(n, 32), jnp.float32)
+    q = jnp.asarray(rng.randn(9, 32), jnp.float32)
+    vals, idxs = mips_topk_xla(index, q, k, chunk_rows=chunk)
+    bv, bi = _brute(index, q, k)
+    np.testing.assert_allclose(np.asarray(vals), bv, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(idxs), bi)
+
+
+def test_mips_pallas_interpret_matches_xla():
+    rng = np.random.RandomState(1)
+    index = jnp.asarray(rng.randn(2048, 64), jnp.float32)
+    q = jnp.asarray(rng.randn(8, 64), jnp.float32)
+    v1, i1 = mips_topk_xla(index, q, 8, chunk_rows=512)
+    v2, i2 = mips_topk_pallas(index, q, 8, chunk_rows=512, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)
+
+
+def test_mips_pallas_k_not_multiple_of_8():
+    rng = np.random.RandomState(2)
+    index = jnp.asarray(rng.randn(1024, 32), jnp.float32)
+    q = jnp.asarray(rng.randn(8, 32), jnp.float32)
+    v, i = mips_topk_pallas(index, q, 5, chunk_rows=256, interpret=True)
+    bv, bi = _brute(index, q, 5)
+    np.testing.assert_array_equal(np.asarray(i), bi)
+
+
+def test_sharded_matches_single_device():
+    mesh = make_mesh()  # (1, 8)
+    rng = np.random.RandomState(3)
+    n, d, b, k = 8 * 512, 64, 16, 5
+    index = jnp.asarray(rng.randn(n, d), jnp.float32)
+    q = jnp.asarray(rng.randn(b, d), jnp.float32)
+    v_ref, i_ref = mips_topk_xla(index, q, k, chunk_rows=512)
+    v_sh, i_sh = sharded_mips_topk(index, q, k, mesh, use_pallas=False,
+                                   chunk_rows=512)
+    np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_sh))
+    np.testing.assert_allclose(np.asarray(v_ref), np.asarray(v_sh), rtol=1e-5)
+
+
+def test_sharded_2d_mesh():
+    mesh = make_mesh(data=2, index=4)
+    rng = np.random.RandomState(4)
+    n, d, b, k = 4 * 256, 32, 8, 3
+    index = jnp.asarray(rng.randn(n, d), jnp.float32)
+    q = jnp.asarray(rng.randn(b, d), jnp.float32)
+    v_sh, i_sh = sharded_mips_topk(index, q, k, mesh, use_pallas=False,
+                                   chunk_rows=256)
+    bv, bi = _brute(index, q, k)
+    np.testing.assert_array_equal(np.asarray(i_sh), bi)

@@ -1,0 +1,80 @@
+"""Device-resident dense index: layout, padding, save/load, sharding.
+
+Replaces the reference's `np.load(wiki_index.npy)` + FAISS `index.add`
+(eval_mhop_retrieval.py:94,121-122) with an HBM-native layout:
+
+  * rows padded to a multiple of (n_index_shards × chunk_rows) so both the
+    Pallas grid and the shard_map split are exact;
+  * bf16 storage (halves HBM vs the reference's fp32 FAISS index — the
+    "equal index memory" budget in BASELINE.md is met with room to spare);
+  * `n_docs` remembered so padded rows are masked inside the search kernels
+    (ops/mips.py n_valid).
+
+On disk: .npz with a uint16 view of the bf16 payload (numpy has no bf16).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.mesh import INDEX_AXIS
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@dataclasses.dataclass
+class DenseIndex:
+    vectors: jnp.ndarray  # (N_pad, D), bf16 (or fp32 on CPU tests)
+    n_docs: int           # true row count
+
+    @classmethod
+    def build(cls, embeddings: np.ndarray, *, chunk_rows: int = 4096,
+              n_shards: int = 1, dtype=jnp.bfloat16,
+              mesh: Optional[Mesh] = None) -> "DenseIndex":
+        n, d = embeddings.shape
+        n_pad = _round_up(n, chunk_rows * n_shards)
+        out = np.zeros((n_pad, d), dtype=np.float32)
+        out[:n] = np.asarray(embeddings, np.float32)
+        arr = jnp.asarray(out, dtype=dtype)
+        if mesh is not None:
+            arr = jax.device_put(arr, NamedSharding(mesh, P(INDEX_AXIS, None)))
+        return cls(vectors=arr, n_docs=n)
+
+    def shard(self, mesh: Mesh) -> "DenseIndex":
+        arr = jax.device_put(self.vectors, NamedSharding(mesh, P(INDEX_AXIS, None)))
+        return DenseIndex(vectors=arr, n_docs=self.n_docs)
+
+    # ---- persistence -----------------------------------------------------
+
+    def save(self, path: str):
+        if self.vectors.dtype == jnp.bfloat16:
+            payload = np.asarray(jax.device_get(
+                jax.lax.bitcast_convert_type(self.vectors, jnp.uint16)))
+            np.savez(path, payload=payload, dtype="bfloat16", n_docs=self.n_docs)
+        else:
+            host = np.asarray(jax.device_get(self.vectors))
+            np.savez(path, payload=host, dtype=str(host.dtype), n_docs=self.n_docs)
+
+    @classmethod
+    def load(cls, path: str, mesh: Optional[Mesh] = None) -> "DenseIndex":
+        z = np.load(path)
+        payload, dtype = z["payload"], str(z["dtype"])
+        if dtype == "bfloat16":
+            arr = jax.lax.bitcast_convert_type(jnp.asarray(payload), jnp.bfloat16)
+        else:
+            arr = jnp.asarray(payload)
+        idx = cls(vectors=arr, n_docs=int(z["n_docs"]))
+        return idx.shard(mesh) if mesh is not None else idx
+
+    @classmethod
+    def from_reference_npy(cls, npy_path: str, **kw) -> "DenseIndex":
+        """Ingest the reference's wiki_index.npy (fp32 (N,768), README.md:41)."""
+        return cls.build(np.load(npy_path, mmap_mode="r"), **kw)

@@ -53,9 +53,10 @@ def _merge_topk(vals_a, idx_a, vals_b, idx_b, k: int):
 # --------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk_rows"))
+@functools.partial(jax.jit, static_argnames=("k", "chunk_rows", "n_valid"))
 def mips_topk_xla(index: jnp.ndarray, queries: jnp.ndarray, k: int,
-                  chunk_rows: int = 131072) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                  chunk_rows: int = 131072,
+                  n_valid: Optional[int] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k inner products of `queries` (B, D) against `index` (N, D).
 
     Returns (scores (B, k) fp32, row ids (B, k) int32).  N must be a multiple
@@ -65,6 +66,7 @@ def mips_topk_xla(index: jnp.ndarray, queries: jnp.ndarray, k: int,
     """
     n, d = index.shape
     b = queries.shape[0]
+    n_valid = n if n_valid is None else n_valid
     chunk_rows = min(chunk_rows, n)
     num_chunks = n // chunk_rows
     rem = n - num_chunks * chunk_rows
@@ -81,6 +83,9 @@ def mips_topk_xla(index: jnp.ndarray, queries: jnp.ndarray, k: int,
         vals, idxs = carry
         chunk = jax.lax.dynamic_slice(index, (i * chunk_rows, 0), (chunk_rows, d))
         s = scores_of(chunk)
+        if n_valid < n:  # mask padding rows (index padded to a chunk multiple)
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, chunk_rows), 1)
+            s = jnp.where(col + i * chunk_rows < n_valid, s, NEG_INF)
         kk = min(k, chunk_rows)
         c_vals, c_idx = jax.lax.top_k(s, kk)
         c_idx = c_idx + i * chunk_rows
@@ -92,6 +97,9 @@ def mips_topk_xla(index: jnp.ndarray, queries: jnp.ndarray, k: int,
     (vals, idxs), _ = jax.lax.scan(step, init, jnp.arange(num_chunks))
     if rem:
         s = scores_of(index[num_chunks * chunk_rows:])
+        if n_valid < n:
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, rem), 1)
+            s = jnp.where(col + num_chunks * chunk_rows < n_valid, s, NEG_INF)
         c_vals, c_idx = jax.lax.top_k(s, min(k, rem))
         vals, idxs = _merge_topk(vals, idxs, c_vals,
                                  c_idx + num_chunks * chunk_rows, k)
@@ -103,7 +111,8 @@ def mips_topk_xla(index: jnp.ndarray, queries: jnp.ndarray, k: int,
 # --------------------------------------------------------------------------
 
 
-def _mips_kernel(q_ref, chunk_ref, vals_ref, idx_ref, k: int, chunk_rows: int):
+def _mips_kernel(q_ref, chunk_ref, vals_ref, idx_ref, k: int, chunk_rows: int,
+                 n_valid: int):
     """One grid step: score a (C, D) chunk against (B, D) queries and merge
     into the running (B, K) top-k carried in the output refs.
 
@@ -125,6 +134,10 @@ def _mips_kernel(q_ref, chunk_ref, vals_ref, idx_ref, k: int, chunk_rows: int):
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (B, C)
+
+    if n_valid is not None:  # mask padding rows in the tail chunk
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(col + step * chunk_rows < n_valid, scores, NEG_INF)
 
     chunk_best = jnp.max(scores, axis=1)          # (B,)
     kth_best = vals_ref[:, k - 1]                 # (B,) running k-th best (sorted desc)
@@ -156,10 +169,10 @@ def _mips_kernel(q_ref, chunk_ref, vals_ref, idx_ref, k: int, chunk_rows: int):
         idx_ref[:] = jnp.stack(new_idx, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk_rows", "interpret"))
+@functools.partial(jax.jit, static_argnames=("k", "chunk_rows", "interpret", "n_valid"))
 def mips_topk_pallas(index: jnp.ndarray, queries: jnp.ndarray, k: int,
-                     chunk_rows: int = 4096,
-                     interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                     chunk_rows: int = 4096, interpret: bool = False,
+                     n_valid: Optional[int] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused matmul + streaming top-k.  Requires N % chunk_rows == 0
     (index/store.py pads the index); k is rounded up to a multiple of 8
     internally for layout friendliness, extra columns are dropped."""
@@ -185,7 +198,9 @@ def mips_topk_pallas(index: jnp.ndarray, queries: jnp.ndarray, k: int,
         ),
     )
     vals, idxs = pl.pallas_call(
-        functools.partial(_mips_kernel, k=k_pad, chunk_rows=chunk_rows),
+        functools.partial(_mips_kernel, k=k_pad, chunk_rows=chunk_rows,
+                          n_valid=None if (n_valid is None or n_valid >= n)
+                          else n_valid),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((b, k_pad), jnp.float32),
@@ -207,18 +222,20 @@ def mips_topk_pallas(index: jnp.ndarray, queries: jnp.ndarray, k: int,
 
 
 def mips_topk(index, queries, k: int, *, use_pallas: bool = True,
-              chunk_rows: int = 4096, interpret: bool = False):
+              chunk_rows: int = 4096, interpret: bool = False,
+              n_valid: Optional[int] = None):
     """Single-shard exact top-k; picks the Pallas kernel on TPU."""
     on_tpu = jax.default_backend() == "tpu"
     if use_pallas and (on_tpu or interpret) and index.shape[0] % chunk_rows == 0:
         return mips_topk_pallas(index, queries, k, chunk_rows=chunk_rows,
-                                interpret=interpret)
-    return mips_topk_xla(index, queries, k, chunk_rows=max(chunk_rows, 16384))
+                                interpret=interpret, n_valid=n_valid)
+    return mips_topk_xla(index, queries, k, chunk_rows=max(chunk_rows, 16384),
+                         n_valid=n_valid)
 
 
 def sharded_mips_topk(index: jnp.ndarray, queries: jnp.ndarray, k: int,
                       mesh: Mesh, *, use_pallas: bool = True,
-                      chunk_rows: int = 4096):
+                      chunk_rows: int = 4096, n_valid: Optional[int] = None):
     """Distributed exact MIPS: the index is row-sharded over the mesh `index`
     axis; each chip searches its shard, converts local row ids to global ids,
     and the (B, k) candidate sets are all-gathered over ICI and merged.
@@ -230,10 +247,15 @@ def sharded_mips_topk(index: jnp.ndarray, queries: jnp.ndarray, k: int,
     shard_rows = index.shape[0] // n_shards
 
     def local_search(idx_shard, q):
+        # per-shard validity: shards before the boundary are fully valid;
+        # n_valid masking is per-shard via a static python-level bound is not
+        # possible here (shard id is traced), so mask after the local search
+        shard_id = jax.lax.axis_index(INDEX_AXIS)
         vals, idxs = mips_topk(idx_shard, q, k, use_pallas=use_pallas,
                                chunk_rows=chunk_rows)
-        shard_id = jax.lax.axis_index(INDEX_AXIS)
         idxs = idxs + shard_id * shard_rows
+        if n_valid is not None and n_valid < index.shape[0]:
+            vals = jnp.where(idxs < n_valid, vals, NEG_INF)
         # gather all shards' candidates: (n_shards*k) per row, then merge
         all_vals = jax.lax.all_gather(vals, INDEX_AXIS, axis=1, tiled=True)
         all_idxs = jax.lax.all_gather(idxs, INDEX_AXIS, axis=1, tiled=True)

@@ -1,0 +1,180 @@
+"""Single-jit 2-hop beam search.
+
+Re-design of the reference's serving loop (scripts/eval/eval_mhop_retrieval.py
+:142-206), which round-trips host↔device four times per batch and re-tokenizes
+full document text on the host for every hop-2 query (:159-168).  Here the
+whole pipeline after question tokenization is ONE jitted program:
+
+  encode q → sharded MIPS top-beam1 → empty-doc patch → on-device hop-2 query
+  assembly (gather pre-tokenized doc ids + id-level pair concat) → encode q⊕p
+  → sharded MIPS top-beam2 → path scores D1[:,:,None]+D2 → top-k chains.
+
+The id-level concat is exactly HF pair encoding (the reference tokenizes q
+and doc independently inside `encode_plus(q, text_pair=doc)`), including
+longest-first truncation — see `truncate_longest_first`.
+
+Chain ranking matches eval_mhop_retrieval.py:190-206: rank beam1×beam2 paths
+by summed inner product, hop-1 score forced to -inf for empty-text docs
+(:162-165).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from ..core.config import SearchConfig
+from ..data.tokenization import TokenizerSpec
+from ..index.store import DenseIndex
+from ..ops.mips import sharded_mips_topk, mips_topk, NEG_INF
+
+
+def truncate_longest_first(len_a: jnp.ndarray, len_b: jnp.ndarray, budget: int):
+    """Final (len_a', len_b') after HF longest-first pair truncation.
+
+    Closed form of "repeatedly drop one token from the longer side":
+    the kept length of a is min(len_a, max(ceil(budget/2), budget - len_b)).
+    """
+    half = -(-budget // 2)
+    a = jnp.minimum(len_a, jnp.maximum(half, budget - len_b))
+    b = jnp.minimum(len_b, budget - a)
+    return a, b
+
+
+def assemble_pair_inputs(a_ids, a_lens, b_ids, b_lens, max_len: int,
+                         spec: TokenizerSpec):
+    """Vectorized on-device pair encoding: rows of raw ids (no specials) →
+    (input_ids, attention_mask[, token_type_ids]) exactly as the host
+    tokenizer's encode_pair would produce.
+
+    a_ids: (B, La) int32, a_lens: (B,) — e.g. question tokens
+    b_ids: (B, Lb) int32, b_lens: (B,) — e.g. gathered passage tokens
+    """
+    bsz = a_ids.shape[0]
+    n_special = 4 if spec.roberta_style else 3
+    budget = max_len - n_special
+    ka, kb = truncate_longest_first(a_lens.astype(jnp.int32),
+                                    b_lens.astype(jnp.int32), budget)
+    ka = ka[:, None]  # (B, 1)
+    kb = kb[:, None]
+    j = jnp.arange(max_len, dtype=jnp.int32)[None, :]  # (1, L)
+
+    n_mid = 2 if spec.roberta_style else 1
+    a_start = 1
+    sep1_pos = a_start + ka                       # first sep after a
+    b_start = sep1_pos + n_mid
+    sep_end = b_start + kb                        # final sep position
+    total = sep_end + 1                           # sequence length
+
+    a_gather = jnp.clip(j - a_start, 0, a_ids.shape[1] - 1)
+    b_gather = jnp.clip(j - b_start, 0, b_ids.shape[1] - 1)
+    a_tok = jnp.take_along_axis(a_ids, a_gather, axis=1)
+    b_tok = jnp.take_along_axis(b_ids, b_gather, axis=1)
+
+    ids = jnp.where(
+        j == 0, spec.cls_id,
+        jnp.where(j < sep1_pos, a_tok,
+        jnp.where(j < b_start, spec.sep_id,
+        jnp.where(j < sep_end, b_tok,
+        jnp.where(j == sep_end, spec.sep_id, spec.pad_id)))))
+    mask = (j < total).astype(jnp.int32)
+    out = {"input_ids": ids.astype(jnp.int32), "attention_mask": mask}
+    if not spec.roberta_style:
+        out["token_type_ids"] = ((j >= b_start) & (j < total)).astype(jnp.int32)
+    return out
+
+
+@dataclasses.dataclass
+class BeamSearcher:
+    """2-hop retrieval engine over a device-resident index.
+
+    encode_fn(params, input_ids, mask) -> (B, D) fp32 query vectors
+    (typically MhopRetriever.encode_seq via functools.partial).
+    """
+
+    encode_fn: callable
+    params: Dict
+    index: DenseIndex
+    text_ids: jnp.ndarray    # (N_pad, Lt) token store (int32/uint16 on device)
+    text_lens: jnp.ndarray   # (N_pad,)
+    empty: jnp.ndarray       # (N_pad,) bool
+    spec: TokenizerSpec
+    config: SearchConfig
+    mesh: Optional[Mesh] = None
+
+    def __post_init__(self):
+        cfg = self.config
+        self._search = functools.partial(
+            self._search_impl,
+            beam1=cfg.beam_size_1, beam2=cfg.beam_size_2, topk=cfg.topk)
+        self._jit = jax.jit(self._search, static_argnames=())
+
+    # ------------------------------------------------------------------
+
+    def _mips(self, queries, k):
+        if self.mesh is not None and self.mesh.shape.get("index", 1) > 1:
+            return sharded_mips_topk(
+                self.index.vectors, queries, k, self.mesh,
+                use_pallas=self.config.use_pallas,
+                chunk_rows=self.config.chunk_rows,
+                n_valid=self.index.n_docs)
+        return mips_topk(
+            self.index.vectors, queries, k,
+            use_pallas=self.config.use_pallas,
+            chunk_rows=self.config.chunk_rows,
+            n_valid=self.index.n_docs)
+
+    def _search_impl(self, params, q_inputs, q_raw_ids, q_raw_lens,
+                     *, beam1: int, beam2: int, topk: int):
+        cfg = self.config
+        bsz = q_raw_ids.shape[0]
+
+        # hop 1 ---------------------------------------------------------
+        q_vec = self.encode_fn(params, q_inputs["input_ids"],
+                               q_inputs["attention_mask"])
+        d1, i1 = self._mips(q_vec.astype(jnp.float32), beam1)   # (B, beam1)
+        # empty-text docs cannot start a chain (eval_mhop_retrieval.py:165)
+        d1 = jnp.where(self.empty[i1], NEG_INF, d1)
+
+        # hop 2: on-device reformulation ---------------------------------
+        doc_ids = self.text_ids[i1.reshape(-1)].astype(jnp.int32)  # (B*beam1, Lt)
+        doc_lens = self.text_lens[i1.reshape(-1)].astype(jnp.int32)
+        a_ids = jnp.repeat(q_raw_ids, beam1, axis=0)
+        a_lens = jnp.repeat(q_raw_lens, beam1, axis=0)
+        qsp = assemble_pair_inputs(a_ids, a_lens, doc_ids, doc_lens,
+                                   cfg.max_q_sp_len, self.spec)
+        qsp_vec = self.encode_fn(params, qsp["input_ids"], qsp["attention_mask"])
+        d2, i2 = self._mips(qsp_vec.astype(jnp.float32), beam2)  # (B*beam1, beam2)
+        d2 = d2.reshape(bsz, beam1, beam2)
+        i2 = i2.reshape(bsz, beam1, beam2)
+
+        # chain scoring (eval_mhop_retrieval.py:185,190-193) -------------
+        path_scores = (d1[:, :, None] + d2).reshape(bsz, beam1 * beam2)
+        top_scores, flat = jax.lax.top_k(path_scores, topk)     # (B, topk)
+        hop1_slot = flat // beam2
+        hop1_ids = jnp.take_along_axis(i1, hop1_slot, axis=1)
+        hop2_ids = jnp.take_along_axis(
+            i2.reshape(bsz, -1), flat, axis=1)
+        return {
+            "path_scores": top_scores,        # (B, topk)
+            "hop1_ids": hop1_ids,             # (B, topk)
+            "hop2_ids": hop2_ids,             # (B, topk)
+            "hop1_cand_ids": i1,              # (B, beam1) for 1-Recall
+            "hop1_cand_scores": d1,
+        }
+
+    # ------------------------------------------------------------------
+
+    def search(self, q_inputs: Dict[str, np.ndarray], q_raw_ids: np.ndarray,
+               q_raw_lens: np.ndarray) -> Dict[str, np.ndarray]:
+        """Host entry: fixed-shape tokenized questions → ranked chains."""
+        out = self._jit(self.params,
+                        {k: jnp.asarray(v) for k, v in q_inputs.items()},
+                        jnp.asarray(q_raw_ids), jnp.asarray(q_raw_lens))
+        return {k: np.asarray(v) for k, v in out.items()}

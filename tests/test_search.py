@@ -1,0 +1,175 @@
+"""Beam search pipeline tests.
+
+The crucial property: the single-jit on-device pipeline must be semantically
+identical to the reference's host-round-trip engine.  We re-implement that
+engine here (host tokenizer + brute-force numpy search, mirroring
+eval_mhop_retrieval.py:142-206) and require exact agreement of retrieved
+chain ids.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multihop_dense_retrieval_tpu.core.config import EncoderConfig, SearchConfig
+from multihop_dense_retrieval_tpu.data import HashTokenizer, Corpus, TokenizedCorpus
+from multihop_dense_retrieval_tpu.index import DenseIndex
+from multihop_dense_retrieval_tpu.models import MhopRetriever
+from multihop_dense_retrieval_tpu.search import (
+    BeamSearcher, assemble_pair_inputs, truncate_longest_first,
+)
+from tests import synth
+
+
+def _iter_longest_first(a, b, budget):
+    # HF slow-tokenizer truncate_sequences semantics (transformers 2.11, the
+    # version the reference pinned): ties remove from the PAIR side (b).
+    while a + b > budget:
+        if a > b:
+            a -= 1
+        else:
+            b -= 1
+    return a, b
+
+
+def test_truncate_longest_first_matches_iterative():
+    rng = np.random.RandomState(0)
+    for _ in range(200):
+        a = int(rng.randint(0, 80))
+        b = int(rng.randint(0, 400))
+        budget = int(rng.randint(1, 350))
+        got = truncate_longest_first(jnp.int32(a), jnp.int32(b), budget)
+        exp = _iter_longest_first(a, b, budget)
+        assert (int(got[0]), int(got[1])) == exp, (a, b, budget)
+
+
+@pytest.mark.parametrize("roberta_style", [True, False])
+def test_assemble_matches_host_tokenizer(roberta_style):
+    tok = HashTokenizer(vocab_size=512, roberta_style=roberta_style)
+    rng = np.random.RandomState(1)
+    max_len = 48
+    qs = [synth.rand_text(rng, 3, 12) for _ in range(5)]
+    texts = [synth.rand_text(rng, 5, 60) for _ in range(5)]
+
+    host = tok.encode_batch_pair(list(zip(qs, texts)), max_len)
+
+    a_ids = np.stack([tok.raw_ids_padded(q, 16)[0] for q in qs])
+    a_lens = np.array([tok.raw_ids_padded(q, 16)[1] for q in qs])
+    b_ids = np.stack([tok.raw_ids_padded(t, 64)[0] for t in texts])
+    b_lens = np.array([tok.raw_ids_padded(t, 64)[1] for t in texts])
+
+    dev = assemble_pair_inputs(jnp.asarray(a_ids), jnp.asarray(a_lens),
+                               jnp.asarray(b_ids), jnp.asarray(b_lens),
+                               max_len, tok.spec)
+    np.testing.assert_array_equal(np.asarray(dev["input_ids"]),
+                                  host["input_ids"])
+    np.testing.assert_array_equal(np.asarray(dev["attention_mask"]),
+                                  host["attention_mask"])
+    if not roberta_style:
+        np.testing.assert_array_equal(np.asarray(dev["token_type_ids"]),
+                                      host["token_type_ids"])
+
+
+def _host_reference_engine(model, params, tok, corpus, emb, questions,
+                           beam, topk, max_q_len, max_q_sp_len):
+    """The reference algorithm: host tokenization + brute-force search."""
+    def encode(batch):
+        return np.asarray(model.apply(
+            params, jnp.asarray(batch["input_ids"]),
+            jnp.asarray(batch["attention_mask"]), method=model.encode_seq),
+            np.float32)
+
+    qs = [q[:-1] if q.endswith("?") else q for q in questions]
+    q_vec = encode(tok.encode_batch_one(qs, max_q_len))
+    scores1 = q_vec @ emb.T
+    i1 = np.argsort(-scores1, axis=1, kind="stable")[:, :beam]
+    d1 = np.take_along_axis(scores1, i1, axis=1)
+    bsz = len(qs)
+    pairs, patched_d1 = [], d1.copy()
+    for bi in range(bsz):
+        for s, doc_id in enumerate(i1[bi]):
+            text = corpus[doc_id]["text"]
+            if text.strip() == "":
+                text = corpus[doc_id]["title"]
+                patched_d1[bi, s] = float("-inf")
+            pairs.append((qs[bi], text))
+    qsp_vec = encode(tok.encode_batch_pair(pairs, max_q_sp_len))
+    scores2 = qsp_vec @ emb.T
+    i2 = np.argsort(-scores2, axis=1, kind="stable")[:, :beam]
+    d2 = np.take_along_axis(scores2, i2, axis=1)
+    i2 = i2.reshape(bsz, beam, beam)
+    d2 = d2.reshape(bsz, beam, beam)
+    path = patched_d1[:, :, None] + d2
+    out = []
+    for bi in range(bsz):
+        flat = np.argsort(-path[bi].ravel(), kind="stable")[:topk]
+        h1, h2 = np.unravel_index(flat, (beam, beam))
+        out.append({
+            "hop1_ids": i1[bi][h1],
+            "hop2_ids": i2[bi][h1, h2],
+            "scores": path[bi].ravel()[flat],
+        })
+    return out
+
+
+def test_beam_search_matches_host_reference():
+    tok = HashTokenizer(vocab_size=512)
+    rng = np.random.RandomState(2)
+    corpus = Corpus(synth.make_corpus(rng, 48, empty_every=7))
+    tc = TokenizedCorpus.build(corpus, tok, max_text_len=40)
+
+    cfg = EncoderConfig.tiny(vocab_size=512, max_position_embeddings=80)
+    model = MhopRetriever(cfg)
+    init_ids = jnp.ones((1, 8), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), init_ids,
+                        jnp.ones((1, 8), jnp.int32), method=model.encode_seq)
+
+    # corpus embeddings via the same encoder (pair-encoded title/text)
+    enc = tok.encode_batch_pair(
+        [(corpus[i]["title"], corpus.encode_text(i)) for i in range(len(corpus))], 48)
+    emb = np.asarray(model.apply(params, jnp.asarray(enc["input_ids"]),
+                                 jnp.asarray(enc["attention_mask"]),
+                                 method=model.encode_seq), np.float32)
+
+    questions = [f"which links {synth.rand_text(rng, 2, 6)}?" for _ in range(4)]
+    beam, topk = 3, 4
+    max_q_len, max_q_sp_len = 24, 72
+
+    # ---- framework pipeline ----
+    index = DenseIndex.build(emb, chunk_rows=16, dtype=jnp.float32)
+    n_pad = index.vectors.shape[0]
+    text_ids = np.full((n_pad, tc.text_ids.shape[1]), tok.spec.pad_id, np.int32)
+    text_ids[:len(corpus)] = tc.text_ids
+    text_lens = np.zeros(n_pad, np.int32)
+    text_lens[:len(corpus)] = tc.text_lens
+    empty = np.zeros(n_pad, bool)
+    empty[:len(corpus)] = tc.empty
+
+    searcher = BeamSearcher(
+        encode_fn=lambda p, ids, mask: model.apply(p, ids, mask,
+                                                   method=model.encode_seq),
+        params=params, index=index,
+        text_ids=jnp.asarray(text_ids), text_lens=jnp.asarray(text_lens),
+        empty=jnp.asarray(empty), spec=tok.spec,
+        config=SearchConfig(beam_size_1=beam, beam_size_2=beam, topk=topk,
+                            max_q_len=max_q_len, max_q_sp_len=max_q_sp_len,
+                            chunk_rows=16, use_pallas=False),
+        mesh=None)
+
+    qs = [q[:-1] if q.endswith("?") else q for q in questions]
+    q_inputs = tok.encode_batch_one(qs, max_q_len)
+    raw = [tok.raw_ids_padded(q, max_q_len - 2) for q in qs]
+    q_raw_ids = np.stack([r[0] for r in raw])
+    q_raw_lens = np.array([r[1] for r in raw])
+    got = searcher.search(q_inputs, q_raw_ids, q_raw_lens)
+
+    # ---- host reference engine ----
+    exp = _host_reference_engine(model, params, tok, corpus, emb, questions,
+                                 beam, topk, max_q_len, max_q_sp_len)
+
+    for bi in range(len(qs)):
+        np.testing.assert_array_equal(got["hop1_ids"][bi], exp[bi]["hop1_ids"])
+        np.testing.assert_array_equal(got["hop2_ids"][bi], exp[bi]["hop2_ids"])
+        np.testing.assert_allclose(got["path_scores"][bi], exp[bi]["scores"],
+                                   rtol=1e-4, atol=1e-4)

@@ -1,0 +1,91 @@
+"""Shared CLI plumbing: tokenizer/model/checkpoint resolution.
+
+The reference spreads this across argparse configs (mdr/retrieval/config.py)
+and load_saved (utils/utils.py:10-22); here every entry point shares one
+resolver so `--model-name roberta-base --checkpoint q_encoder.pt` works the
+same everywhere, and tests/benches can use `--tokenizer hash --model-name
+tiny` for a self-contained run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import EncoderConfig
+from ..data.tokenization import HashTokenizer, HFTokenizer
+from ..models import MhopRetriever, UnifiedRetriever
+from ..models import convert
+
+
+def setup_logging(output_dir: Optional[str] = None) -> logging.Logger:
+    logger = logging.getLogger("mdr_tpu")
+    logger.setLevel(logging.INFO)
+    if not logger.handlers:
+        logger.addHandler(logging.StreamHandler())
+        if output_dir:
+            os.makedirs(output_dir, exist_ok=True)
+            logger.addHandler(logging.FileHandler(
+                os.path.join(output_dir, "log.txt")))
+    return logger
+
+
+MODEL_PRESETS = {
+    "roberta-base": EncoderConfig.roberta_base,
+    "bert-base-uncased": EncoderConfig.bert_base_uncased,
+    "electra-large": EncoderConfig.electra_large,
+    "tiny": lambda **kw: EncoderConfig.tiny(
+        vocab_size=50265, max_position_embeddings=514, **kw),
+}
+
+
+def resolve_encoder_config(name: str, dtype: str = "bfloat16") -> EncoderConfig:
+    if name not in MODEL_PRESETS:
+        raise ValueError(f"unknown model preset {name}; "
+                         f"options: {sorted(MODEL_PRESETS)}")
+    return MODEL_PRESETS[name](dtype=dtype)
+
+
+def resolve_tokenizer(spec: str, vocab_size: int = 50265,
+                      roberta_style: bool = True):
+    """`hash` → deterministic test tokenizer; anything else → local HF path."""
+    if spec == "hash":
+        return HashTokenizer(vocab_size=vocab_size, roberta_style=roberta_style)
+    return HFTokenizer(spec)
+
+
+def load_retriever_params(checkpoint: str, config: EncoderConfig,
+                          model=None, unified: bool = False):
+    """Load params from either a reference torch .pt or an orbax directory."""
+    if checkpoint.endswith(".pt"):
+        sd = convert.load_torch_state_dict(checkpoint)
+        fn = convert.unified_ckpt_to_flax if unified else convert.retriever_ckpt_to_flax
+        return {"params": fn(sd, config)}
+    from ..core import checkpoint as ckpt
+
+    return ckpt.restore_pytree(checkpoint)
+
+
+def init_retriever(config: EncoderConfig, *, unified: bool = False,
+                   checkpoint: str = "", seed: int = 0):
+    model = (UnifiedRetriever if unified else MhopRetriever)(config)
+    if checkpoint:
+        params = load_retriever_params(checkpoint, config, unified=unified)
+    else:
+        ids = jnp.ones((1, 8), jnp.int32)
+        if unified:
+            batch = {k: ids for k in
+                     ["q_input_ids", "q_mask", "q_sp_input_ids", "q_sp_mask",
+                      "c1_input_ids", "c1_mask", "c2_input_ids", "c2_mask",
+                      "neg1_input_ids", "neg1_mask", "neg2_input_ids",
+                      "neg2_mask"]}
+            params = model.init(jax.random.PRNGKey(seed), batch)
+        else:
+            params = model.init(jax.random.PRNGKey(seed), ids, ids,
+                                method=model.encode_seq)
+    return model, params

@@ -1,0 +1,141 @@
+"""CLI: full question → answer pipeline (equivalent of scripts/end2end.py).
+
+Retrieval (2-hop beam over the dense index) → reader (chain ranking + span
+extraction + supporting facts) → answer EM/F1 when gold answers are present.
+The retrieval stage reuses cli/eval_mhop_retrieval plumbing; the reader stage
+the cli/train_qa plumbing with fixed λ=0.8 (end2end.py/eval_final parity).
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+from ..core.config import SearchConfig
+from ..core.mesh import make_mesh
+from ..data.corpus import Corpus
+from ..data.qa_dataset import QADataset
+from ..eval.hotpot_metrics import exact_match_score, f1_score
+from ..eval.qa_eval import predict
+from ..train import qa as TQA
+from . import common
+from .eval_mhop_retrieval import load_searcher
+from .train_qa import init_reader
+
+
+def retrieve_chains(searcher, tok, corpus, questions, batch_size, max_q_len):
+    """Run 2-hop beam search; returns per-question candidate chains with
+    sentence-split passages for the reader (text split on '. ' when the
+    corpus has no sentence annotations)."""
+    outs = []
+    for s in range(0, len(questions), batch_size):
+        batch = questions[s:s + batch_size]
+        pad = batch_size - len(batch)
+        qs = [q[:-1] if q.endswith("?") else q for q in batch]
+        qs_p = qs + [qs[-1]] * pad
+        q_inputs = tok.encode_batch_one(qs_p, max_q_len)
+        raw = [tok.raw_ids_padded(q, max_q_len - 2) for q in qs_p]
+        res = searcher.search(q_inputs, np.stack([r[0] for r in raw]),
+                              np.array([r[1] for r in raw]))
+        for i in range(len(batch)):
+            chains = []
+            for h1, h2 in zip(res["hop1_ids"][i], res["hop2_ids"][i]):
+                chain = []
+                for doc_id in (int(h1), int(h2)):
+                    d = corpus[doc_id]
+                    sents = [x for x in d["text"].split(". ") if x.strip()] \
+                        or [d["text"] or d["title"]]
+                    chain.append({"title": d["title"], "sents": sents})
+                chains.append(chain)
+            outs.append(chains)
+    return outs
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("raw_data", help="questions JSONL (question[, answer, sp])")
+    p.add_argument("index_dir")
+    p.add_argument("--tokenizer", default="hash")
+    p.add_argument("--retriever-model", default="roberta-base")
+    p.add_argument("--retriever-checkpoint", default="")
+    p.add_argument("--reader-model", default="electra-large")
+    p.add_argument("--reader-checkpoint", default="")
+    p.add_argument("--beam-size", type=int, default=5)
+    p.add_argument("--topk", type=int, default=5)
+    p.add_argument("--batch-size", type=int, default=50)
+    p.add_argument("--max-q-len", type=int, default=70)
+    p.add_argument("--max-q-sp-len", type=int, default=350)
+    p.add_argument("--max-seq-len", type=int, default=512)
+    p.add_argument("--max-ans-len", type=int, default=30)
+    p.add_argument("--chunk-rows", type=int, default=4096)
+    p.add_argument("--lambda", dest="lam", type=float, default=0.8)
+    p.add_argument("--save-path", default="")
+    args = p.parse_args(argv)
+
+    logger = common.setup_logging()
+    # retriever
+    enc_cfg = common.resolve_encoder_config(args.retriever_model)
+    r_tok = common.resolve_tokenizer(args.tokenizer)
+    r_model, r_params = common.init_retriever(
+        enc_cfg, checkpoint=args.retriever_checkpoint)
+    cfg = SearchConfig(beam_size_1=args.beam_size, beam_size_2=args.beam_size,
+                       topk=args.topk, max_q_len=args.max_q_len,
+                       max_q_sp_len=args.max_q_sp_len,
+                       chunk_rows=args.chunk_rows)
+    searcher = load_searcher(args.index_dir, r_tok, r_model, r_params, cfg)
+    corpus = Corpus.from_id2doc(f"{args.index_dir}/id2doc.json")
+
+    with open(args.raw_data) as f:
+        items = [json.loads(l) for l in f if l.strip()]
+
+    t0 = time.time()
+    chains = retrieve_chains(searcher, r_tok, corpus,
+                             [r["question"] for r in items],
+                             args.batch_size, args.max_q_len)
+    t_retr = time.time() - t0
+    logger.info("retrieval: %d questions in %.2fs (%.1f q/s)",
+                len(items), t_retr, len(items) / t_retr)
+
+    # reader
+    q_tok = common.resolve_tokenizer(args.tokenizer, roberta_style=False)
+    _, model, params = init_reader(args.reader_model, args.reader_checkpoint,
+                                   sp_pred=True)
+    rows = [{"question": r["question"], "_id": r.get("_id", str(i)),
+             "answer": r.get("answer", []), "candidate_chains": chains[i]}
+            for i, r in enumerate(items)]
+    ds = QADataset(q_tok, rows, max_seq_len=args.max_seq_len, train=False)
+    pred_step = TQA.make_qa_predict_step(model, max_ans_len=args.max_ans_len)
+    t1 = time.time()
+    res = predict(pred_step, params, ds, batch_size=16, lambdas=[args.lam])
+    t_read = time.time() - t1
+    logger.info("reading: %.2fs", t_read)
+
+    answers = res["best"]["answers"]
+    ems, f1s = [], []
+    for i, r in enumerate(items):
+        qid = r.get("_id", str(i))
+        if r.get("answer"):
+            pred = answers.get(qid, "")
+            ems.append(float(exact_match_score(pred, r["answer"][0])))
+            f1s.append(f1_score(pred, r["answer"][0])[0])
+    out = {"n": len(items),
+           "retrieval_qps": len(items) / t_retr,
+           "answer_em": float(np.mean(ems)) if ems else None,
+           "answer_f1": float(np.mean(f1s)) if f1s else None}
+    logger.info("end2end: %s", out)
+    print(json.dumps(out))
+
+    if args.save_path:
+        with open(args.save_path, "w") as f:
+            for i, r in enumerate(items):
+                qid = r.get("_id", str(i))
+                f.write(json.dumps({"_id": qid, "question": r["question"],
+                                    "pred_answer": answers.get(qid, ""),
+                                    "pred_sp": res["best"]["sp"].get(qid, [])})
+                        + "\n")
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,142 @@
+"""CLI: 2-hop beam-search retrieval eval on HotpotQA-format data.
+
+Equivalent of scripts/eval/eval_mhop_retrieval.py — same metrics block
+(Avg PR / P-EM / 1-Recall / Path Recall, overall + per type) and the same
+candidate-chain JSONL dump for the reader, but the engine is the single-jit
+TPU pipeline (search/beam.py) over artifacts from cli/encode_corpus.py.
+
+Usage:
+  python -m multihop_dense_retrieval_tpu.cli.eval_mhop_retrieval \
+      QAS.jsonl INDEX_DIR --tokenizer hash --model-name tiny \
+      --beam-size 4 --topk 4 [--save-path chains.jsonl]
+"""
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+from ..core.config import SearchConfig
+from ..core.mesh import make_mesh
+from ..data.corpus import Corpus, TokenizedCorpus
+from ..eval.retrieval_metrics import chain_metrics, aggregate_metrics
+from ..index.store import DenseIndex
+from ..search.beam import BeamSearcher
+from . import common
+
+
+def load_searcher(index_dir, tok, model, params, cfg, mesh=None):
+    import jax.numpy as jnp
+
+    index = DenseIndex.load(os.path.join(index_dir, "index.npz"),
+                            mesh=mesh if (mesh and mesh.shape.get("index", 1) > 1)
+                            else None)
+    tc = TokenizedCorpus.load(os.path.join(index_dir, "tokens.npz"))
+    n_pad = index.vectors.shape[0]
+    spec = tok.spec
+
+    def padrows(x, fill):
+        out = np.full((n_pad,) + x.shape[1:], fill, x.dtype)
+        out[: x.shape[0]] = x
+        return out
+
+    return BeamSearcher(
+        encode_fn=lambda p, ids, mask: model.apply(p, ids, mask,
+                                                   method=model.encode_seq),
+        params=params, index=index,
+        text_ids=jnp.asarray(padrows(tc.text_ids, spec.pad_id)),
+        text_lens=jnp.asarray(padrows(tc.text_lens, 0)),
+        empty=jnp.asarray(padrows(tc.empty, False)),
+        spec=spec, config=cfg, mesh=mesh)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("raw_data", help="eval JSONL: question/sp/type per line")
+    p.add_argument("index_dir", help="output dir of cli.encode_corpus")
+    p.add_argument("--tokenizer", default="hash")
+    p.add_argument("--model-name", default="roberta-base")
+    p.add_argument("--checkpoint", default="")
+    p.add_argument("--topk", type=int, default=2)
+    p.add_argument("--beam-size", type=int, default=5)
+    p.add_argument("--batch-size", type=int, default=100)
+    p.add_argument("--max-q-len", type=int, default=70)
+    p.add_argument("--max-q-sp-len", type=int, default=350)
+    p.add_argument("--chunk-rows", type=int, default=4096)
+    p.add_argument("--no-pallas", action="store_true")
+    p.add_argument("--index-shards", type=int, default=1)
+    p.add_argument("--save-path", default="")
+    args = p.parse_args(argv)
+
+    logger = common.setup_logging()
+    enc_cfg = common.resolve_encoder_config(args.model_name)
+    tok = common.resolve_tokenizer(args.tokenizer)
+    model, params = common.init_retriever(enc_cfg, checkpoint=args.checkpoint)
+
+    with open(args.raw_data) as f:
+        ds_items = [json.loads(l) for l in f if l.strip()]
+
+    cfg = SearchConfig(beam_size_1=args.beam_size, beam_size_2=args.beam_size,
+                       topk=args.topk, max_q_len=args.max_q_len,
+                       max_q_sp_len=args.max_q_sp_len,
+                       chunk_rows=args.chunk_rows,
+                       use_pallas=not args.no_pallas)
+    mesh = make_mesh(index=args.index_shards) if args.index_shards > 1 else None
+    searcher = load_searcher(args.index_dir, tok, model, params, cfg, mesh)
+    corpus = Corpus.from_id2doc(os.path.join(args.index_dir, "id2doc.json"))
+
+    metrics, outputs = [], []
+    bs = args.batch_size
+    t0 = time.time()
+    n_q = 0
+    for s in range(0, len(ds_items), bs):
+        batch = ds_items[s:s + bs]
+        pad = bs - len(batch)
+        qs = [(r["question"][:-1] if r["question"].endswith("?")
+               else r["question"]) for r in batch]
+        qs_padded = qs + [qs[-1]] * pad
+        q_inputs = tok.encode_batch_one(qs_padded, args.max_q_len)
+        raw = [tok.raw_ids_padded(q, args.max_q_len - 2) for q in qs_padded]
+        res = searcher.search(q_inputs, np.stack([r[0] for r in raw]),
+                              np.array([r[1] for r in raw]))
+        n_q += len(batch)
+        for i, row in enumerate(batch):
+            path_titles = [[corpus[int(h1)]["title"], corpus[int(h2)]["title"]]
+                           for h1, h2 in zip(res["hop1_ids"][i],
+                                             res["hop2_ids"][i])]
+            hop1_titles = [corpus[int(j)]["title"]
+                           for j in res["hop1_cand_ids"][i]]
+            if "sp" in row:
+                metrics.append(chain_metrics(row["sp"], row.get("type", "single"),
+                                             path_titles, hop1_titles))
+            outputs.append({
+                "_id": row.get("_id"),
+                "question": row["question"],
+                "candidate_chains": [
+                    [corpus[int(h1)], corpus[int(h2)]]
+                    for h1, h2 in zip(res["hop1_ids"][i], res["hop2_ids"][i])],
+            })
+    dt = time.time() - t0
+    logger.info("searched %d questions in %.2fs (%.1f q/s)", n_q, dt, n_q / dt)
+
+    if metrics:
+        agg = aggregate_metrics(metrics)
+        for scope, vals in agg.items():
+            logger.info("[%s] n=%d  Avg PR: %.4f  Avg P-EM: %.4f  "
+                        "Avg 1-Recall: %.4f  Path Recall: %.4f",
+                        scope, vals["n"], vals["avg_pr"], vals["avg_p_em"],
+                        vals["avg_1_recall"], vals["path_recall"])
+        print(json.dumps(agg["overall"]))
+
+    if args.save_path:
+        with open(args.save_path, "w") as f:
+            for o in outputs:
+                f.write(json.dumps(o) + "\n")
+        logger.info("wrote %d candidate chains to %s", len(outputs),
+                    args.save_path)
+
+
+if __name__ == "__main__":
+    main()

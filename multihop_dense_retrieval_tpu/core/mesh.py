@@ -47,9 +47,9 @@ def make_mesh(
         data = n // index
     elif index is None:
         index = n // data
-    if data * index != n:
-        raise ValueError(f"mesh {data}x{index} != {n} devices")
-    arr = np.asarray(devs).reshape(data, index)
+    if data * index > n:
+        raise ValueError(f"mesh {data}x{index} needs more than {n} devices")
+    arr = np.asarray(devs[: data * index]).reshape(data, index)
     return Mesh(arr, (DATA_AXIS, INDEX_AXIS))
 
 

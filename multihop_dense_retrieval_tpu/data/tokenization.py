@@ -56,8 +56,20 @@ class TokenizerSpec:
 class _Base:
     spec: TokenizerSpec
 
+    # string forms of the reader's special tokens (qa_dataset.py:38)
+    sep_token: str = "[SEP]"
+    marker_token: str = "[unused1]"
+
     # -- raw tokenization (no specials, no padding) -----------------------
     def tokenize_ids(self, text: str) -> List[int]:
+        raise NotImplementedError
+
+    # -- wordpiece-level access (QA reader offset maps) -------------------
+    def subtokens(self, word: str) -> List[str]:
+        """Subword strings of one whitespace token (SQuAD-style offset maps)."""
+        raise NotImplementedError
+
+    def convert_tokens_to_ids(self, tokens: Sequence[str]) -> List[int]:
         raise NotImplementedError
 
     # -- fixed-shape encodes ----------------------------------------------
@@ -136,13 +148,30 @@ class HashTokenizer(_Base):
         self.spec = spec
         self._lo = 110 if not roberta_style else self.N_SPECIAL
 
-    def tokenize_ids(self, text: str) -> List[int]:
+    MARKER_ID = 3  # reuses the <unk> slot as [unused1] (tests only)
+    SEP_SURFACE_ID = None  # set lazily: "[SEP]" surface token maps to sep_id
+
+    def _hash_id(self, w: str) -> int:
         import hashlib
 
+        h = int.from_bytes(hashlib.md5(w.encode()).digest()[:4], "little")
+        return self._lo + h % (self.spec.vocab_size - self._lo)
+
+    def tokenize_ids(self, text: str) -> List[int]:
+        return [self._hash_id(w) for w in text.lower().split()]
+
+    def subtokens(self, word: str) -> List[str]:
+        return [word.lower()]
+
+    def convert_tokens_to_ids(self, tokens: Sequence[str]) -> List[int]:
         out = []
-        for w in text.lower().split():
-            h = int.from_bytes(hashlib.md5(w.encode()).digest()[:4], "little")
-            out.append(self._lo + h % (self.spec.vocab_size - self._lo))
+        for t in tokens:
+            if t == self.sep_token:
+                out.append(self.spec.sep_id)
+            elif t == self.marker_token:
+                out.append(self.MARKER_ID)
+            else:
+                out.append(self._hash_id(t))
         return out
 
 
@@ -169,3 +198,9 @@ class HFTokenizer(_Base):
 
     def tokenize_ids(self, text: str) -> List[int]:
         return self.tok(text, add_special_tokens=False)["input_ids"]
+
+    def subtokens(self, word: str) -> List[str]:
+        return self.tok.tokenize(word)
+
+    def convert_tokens_to_ids(self, tokens: Sequence[str]) -> List[int]:
+        return self.tok.convert_tokens_to_ids(list(tokens))

@@ -1,0 +1,112 @@
+"""Reader prediction + HotpotQA scoring with the λ rank/span combination.
+
+Host-side re-design of scripts/train_qa.py predict()/eval_final()
+(:220-371,380-481): per-question chains are scored by the jitted predict
+step; answers decoded from offset maps; chains re-ranked by
+λ·rank_score + (1-λ)·span_score with λ swept on dev (or fixed 0.8 for
+serving, train_qa.py:316-323).
+"""
+
+from __future__ import annotations
+
+import collections
+from typing import Callable, Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.qa_dataset import QADataset, qa_collate, decode_answer
+from .hotpot_metrics import (exact_match_score, f1_score, update_sp,
+                             joint_metrics, new_metrics)
+
+
+def _batches(dataset: QADataset, batch_size: int):
+    idxs = list(range(len(dataset)))
+    for s in range(0, len(idxs), batch_size):
+        chunk = idxs[s:s + batch_size]
+        pad = batch_size - len(chunk)
+        yield qa_collate([dataset[i] for i in chunk + chunk[-1:] * pad]), len(chunk)
+
+
+def predict(predict_step: Callable, params, dataset: QADataset, *,
+            batch_size: int = 16, sp_pred: bool = True,
+            lambdas: Optional[List[float]] = None) -> Dict:
+    """Returns {"chain_em", "best": {...}, "per_lambda": {...}, "answers": ...}."""
+    id2result = collections.defaultdict(list)
+    id2answer = collections.defaultdict(list)
+    id2gold, id2goldsp = {}, {}
+
+    for batch, n_real in _batches(dataset, batch_size):
+        net = {k: jnp.asarray(v) for k, v in batch["net_inputs"].items()}
+        out = predict_step(params, net)
+        out = {k: np.asarray(v) for k, v in out.items()}
+        for i in range(n_real):
+            qid = batch["qid"][i]
+            label = int(batch["net_inputs"]["label"][i])
+            rank = float(out["rank_score"][i])
+            id2result[qid].append((label, rank))
+            id2gold[qid] = batch["gold_answer"][i]
+            id2goldsp[qid] = batch["sp_gold"][i]
+
+            off = batch["para_offset"][i]
+            start = int(out["start_pos"][i]) - off
+            end = int(out["end_pos"][i]) - off
+            pred_str = decode_answer(batch["wp_tokens"][i],
+                                     batch["doc_tokens"][i],
+                                     batch["tok_to_orig_index"][i], start, end)
+            # positions 0/1 of the context are the literal words yes/no
+            if start == 0:
+                pred_str = "yes"
+            elif start == 1:
+                pred_str = "no"
+
+            pred_sp = []
+            if sp_pred and "sp_prob" in out:
+                probs = out["sp_prob"][i]
+                passages = batch["passages"][i]
+                sent_offset = 0
+                si = 0
+                for passage in passages:
+                    for local_idx in range(len(passage.get("sents", []))):
+                        if si < len(probs) and probs[si] >= 0.5:
+                            pred_sp.append([passage["title"], local_idx])
+                        si += 1
+            id2answer[qid].append({
+                "pred_str": pred_str.strip(),
+                "rank_score": rank,
+                "span_score": float(out["span_score"][i]),
+                "pred_sp": pred_sp,
+            })
+
+    # chain ranking EM (train_qa.py:305-310)
+    chain_acc = []
+    for qid, res in id2result.items():
+        res.sort(key=lambda x: x[1], reverse=True)
+        chain_acc.append(res[0][0] == 1)
+    chain_em = float(np.mean(chain_acc)) if chain_acc else 0.0
+
+    lambdas = lambdas or [i / 10 for i in range(11)]
+    per_lambda, best = {}, None
+    for lam in lambdas:
+        m = new_metrics()
+        n = len(id2result)
+        answers, sps = {}, {}
+        for qid in id2result:
+            cands = sorted(id2answer[qid],
+                           key=lambda x: lam * x["rank_score"]
+                           + (1 - lam) * x["span_score"], reverse=True)
+            top = cands[0]
+            answers[qid], sps[qid] = top["pred_str"], top["pred_sp"]
+            gold = id2gold[qid][0] if id2gold[qid] else ""
+            em = float(exact_match_score(top["pred_str"], gold))
+            f1, prec, rec = f1_score(top["pred_str"], gold)
+            m["em"] += em; m["f1"] += f1; m["prec"] += prec; m["recall"] += rec
+            sp_em, sp_prec, sp_rec = update_sp(m, top["pred_sp"], id2goldsp[qid])
+            joint_metrics(m, em, prec, rec, sp_em, sp_prec, sp_rec)
+        stats = {k: v / max(n, 1) for k, v in m.items()}
+        stats["lambda"] = lam
+        per_lambda[lam] = stats
+        if best is None or stats["joint_f1"] > best["joint_f1"]:
+            best = dict(stats, answers=answers, sp=sps)
+    return {"chain_em": chain_em, "best": best, "per_lambda": per_lambda,
+            "n_questions": len(id2result)}

@@ -1,0 +1,318 @@
+"""Retriever training: optimizer, jitted steps, and the epoch loop.
+
+Functional re-design of scripts/train_mhop.py / train_momentum.py:
+
+  * Adam with no-decay param groups (train_mhop.py:125-132) → optax chain
+    with a masked additive weight decay;
+  * grad clip 2.0 *before* the update (train_mhop.py:181-186) → clip first
+    in the chain;
+  * linear warmup + linear decay to zero (train_mhop.py:159-163);
+  * periodic in-batch MRR eval, best checkpoint by mrr_avg
+    (train_mhop.py:198-225);
+  * bf16 forward / fp32 params+optimizer replaces apex amp O1;
+  * data parallelism: the batch is sharded over the mesh `data` axis inside
+    one jitted step — XLA inserts the gradient psum (replaces
+    DataParallel/DDP+NCCL, train_mhop.py:144-148).  NOTE: in-batch negatives
+    make the loss non-separable across devices, so the six encoder passes run
+    data-parallel and the (B, 2B) score matrix is computed on replicated
+    gathered vectors — same math as the reference's single-process
+    DataParallel, at every scale.
+
+Momentum stage (train_momentum.py): `MomentumTrainState` carries the frozen
+key-encoder params and the (K, h) queue + pointer as functional state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.config import EncoderConfig, RetrieverTrainConfig
+from ..core.mesh import DATA_AXIS
+from . import losses
+
+
+# --------------------------------------------------------------------------
+# Optimizer
+# --------------------------------------------------------------------------
+
+
+def _no_decay_mask(params) -> Any:
+    """True for params that DO get weight decay (reference excludes bias and
+    LayerNorm weights, train_mhop.py:125)."""
+    def decay(path, _):
+        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        is_bias = names and names[-1] == "bias"
+        is_ln = any("layer_norm" in str(n) for n in names)
+        return not (is_bias or is_ln)
+
+    return jax.tree_util.tree_map_with_path(decay, params)
+
+
+def linear_warmup_schedule(lr: float, warmup_steps: int, total_steps: int):
+    if warmup_steps <= 0:
+        return optax.linear_schedule(lr, 0.0, max(total_steps, 1))
+    return optax.join_schedules(
+        [optax.linear_schedule(0.0, lr, warmup_steps),
+         optax.linear_schedule(lr, 0.0, max(total_steps - warmup_steps, 1))],
+        [warmup_steps])
+
+
+def make_optimizer(cfg: RetrieverTrainConfig, total_steps: int,
+                   params=None) -> optax.GradientTransformation:
+    sched = linear_warmup_schedule(cfg.learning_rate,
+                                   int(total_steps * cfg.warmup_ratio),
+                                   total_steps)
+    chain = [optax.clip_by_global_norm(cfg.max_grad_norm)]
+    if cfg.weight_decay > 0:
+        chain.append(optax.add_decayed_weights(cfg.weight_decay,
+                                               mask=_no_decay_mask))
+    chain += [optax.scale_by_adam(eps=cfg.adam_eps),
+              optax.scale_by_learning_rate(sched)]
+    return optax.chain(*chain)
+
+
+# --------------------------------------------------------------------------
+# Train states
+# --------------------------------------------------------------------------
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+    @classmethod
+    def create(cls, params, tx):
+        return cls(params=params, opt_state=tx.init(params),
+                   step=jnp.zeros((), jnp.int32))
+
+
+@flax.struct.dataclass
+class MomentumTrainState:
+    params: Any          # encoder_q (trained)
+    params_k: Any        # encoder_k (frozen copy / optional EMA)
+    queue: jnp.ndarray   # (K, h) memory bank
+    queue_ptr: jnp.ndarray
+    opt_state: Any
+    step: jnp.ndarray
+
+    @classmethod
+    def create(cls, params, tx, queue_size: int, hidden: int, seed: int = 0):
+        # reference initializes the queue with randn (mhop_retriever.py:66)
+        queue = jax.random.normal(jax.random.PRNGKey(seed),
+                                  (queue_size, hidden), jnp.float32)
+        return cls(params=params,
+                   params_k=jax.tree_util.tree_map(jnp.copy, params),
+                   queue=queue,
+                   queue_ptr=jnp.zeros((), jnp.int32),
+                   opt_state=tx.init(params),
+                   step=jnp.zeros((), jnp.int32))
+
+
+# --------------------------------------------------------------------------
+# Steps
+# --------------------------------------------------------------------------
+
+
+def _batch_sharding(mesh: Optional[Mesh]):
+    if mesh is None:
+        return None
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def make_train_step(model, tx, *, unified: bool = False,
+                    mesh: Optional[Mesh] = None) -> Callable:
+    """Returns jitted (state, batch) -> (state, loss)."""
+
+    def loss_fn(params, batch):
+        outputs = model.apply(params, batch)
+        if unified:
+            return losses.unified_loss(outputs, batch["stop_targets"])
+        return losses.mhop_loss(outputs)
+
+    def step(state: TrainState, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params=params, opt_state=opt_state,
+                          step=state.step + 1), loss
+
+    shard = _batch_sharding(mesh)
+    if shard is None:
+        return jax.jit(step)
+    return jax.jit(step, in_shardings=(None, shard), donate_argnums=(0,))
+
+
+def make_momentum_train_step(model, tx, *, enable_ema: bool = False,
+                             momentum_m: float = 0.999,
+                             mesh: Optional[Mesh] = None) -> Callable:
+    """Stage-2 memory-bank step (train_momentum.py + criterions.py:134-143).
+
+    Queue scores use the PRE-update queue; the batch contexts are enqueued
+    after.  `enable_ema=False` matches the shipped reference (the EMA call is
+    commented out at criterions.py:144).
+    """
+
+    def encode(params, batch, keys):
+        return {name: model.apply(
+            params, batch[f"{pref}input_ids"], batch[f"{pref}mask"],
+            method=model.encode_seq)
+            for name, pref in keys}
+
+    q_keys = [("q", "q_"), ("q_sp1", "q_sp_")]
+    ctx_keys = [("c1", "c1_"), ("c2", "c2_"), ("neg_1", "neg1_"),
+                ("neg_2", "neg2_")]
+
+    def step(state: MomentumTrainState, batch):
+        ctx = jax.lax.stop_gradient(encode(state.params_k, batch, ctx_keys))
+
+        def loss_fn(params):
+            outputs = dict(ctx)
+            outputs.update(encode(params, batch, q_keys))
+            return losses.mhop_loss(outputs, queue=state.queue)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        all_ctx = jnp.concatenate([ctx["c1"], ctx["c2"]], axis=0)
+        queue, ptr = losses.enqueue(state.queue, state.queue_ptr, all_ctx)
+        params_k = state.params_k
+        if enable_ema:
+            params_k = losses.momentum_update(params, params_k, momentum_m)
+        return MomentumTrainState(
+            params=params, params_k=params_k, queue=queue, queue_ptr=ptr,
+            opt_state=opt_state, step=state.step + 1), loss
+
+    shard = _batch_sharding(mesh)
+    if shard is None:
+        return jax.jit(step)
+    return jax.jit(step, in_shardings=(None, shard), donate_argnums=(0,))
+
+
+def make_eval_step(model, *, unified: bool = False,
+                   mesh: Optional[Mesh] = None) -> Callable:
+    """Returns jitted (params, batch) -> per-sample rr arrays."""
+
+    def step(params, batch):
+        outputs = model.apply(params, batch)
+        if unified:
+            return losses.unified_eval(outputs, batch["stop_targets"])
+        return losses.mhop_eval(outputs)
+
+    shard = _batch_sharding(mesh)
+    if shard is None:
+        return jax.jit(step)
+    return jax.jit(step, in_shardings=(None, shard))
+
+
+# --------------------------------------------------------------------------
+# Loop
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class EpochStats:
+    train_loss: float
+    mrr_1: float
+    mrr_2: float
+
+    @property
+    def mrr_avg(self):
+        return (self.mrr_1 + self.mrr_2) / 2
+
+
+def evaluate_mrr(eval_step, params, loader) -> Dict[str, float]:
+    """In-batch MRR over an eval loader (train_mhop.py predict(), :233-250)."""
+    rrs1, rrs2 = [], []
+    for batch in loader:
+        valid = batch.pop("valid", None)
+        out = eval_step(params, {k: jnp.asarray(v) for k, v in batch.items()})
+        r1 = np.asarray(out["rrs_1"])
+        r2 = np.asarray(out["rrs_2"])
+        if valid is not None:
+            r1, r2 = r1[valid], r2[valid]
+        rrs1.extend(r1.tolist())
+        rrs2.extend(r2.tolist())
+    mrr_1 = float(np.mean(rrs1)) if rrs1 else 0.0
+    mrr_2 = float(np.mean(rrs2)) if rrs2 else 0.0
+    return {"mrr_1": mrr_1, "mrr_2": mrr_2, "mrr_avg": (mrr_1 + mrr_2) / 2}
+
+
+class RetrieverTrainer:
+    """Epoch loop with periodic eval + best-checkpoint tracking.
+
+    Deliberately thin: steps are the jitted functions above; this class only
+    sequences them and talks to the host (loader, logging, orbax).
+
+    With cfg.momentum=True this is the stage-2 memory-bank trainer
+    (scripts/train_momentum.py): the state carries encoder_k + queue, and
+    only encoder_q params are checkpointed (train_momentum.py:186-189).
+    """
+
+    def __init__(self, model, cfg: RetrieverTrainConfig, train_loader,
+                 eval_loader, *, init_params, total_steps: Optional[int] = None,
+                 mesh: Optional[Mesh] = None, output_dir: Optional[str] = None,
+                 log_fn=print, hidden_size: Optional[int] = None,
+                 enable_ema: bool = False):
+        from ..core import checkpoint as ckpt
+
+        self.cfg = cfg
+        self.train_loader = train_loader
+        self.eval_loader = eval_loader
+        self.output_dir = output_dir
+        self.log = log_fn
+        self._ckpt = ckpt
+        total = total_steps or (len(train_loader) * cfg.num_epochs)
+        self.tx = make_optimizer(cfg, total)
+        if cfg.momentum:
+            hidden = hidden_size or model.config.hidden_size
+            self.state = MomentumTrainState.create(
+                init_params, self.tx, queue_size=cfg.queue_size, hidden=hidden,
+                seed=cfg.seed)
+            self.train_step = make_momentum_train_step(
+                model, self.tx, enable_ema=enable_ema,
+                momentum_m=cfg.momentum_m, mesh=mesh)
+        else:
+            self.state = TrainState.create(init_params, self.tx)
+            self.train_step = make_train_step(model, self.tx,
+                                              unified=cfg.unified, mesh=mesh)
+        self.eval_step = make_eval_step(model, unified=cfg.unified, mesh=mesh)
+        self.best_mrr = 0.0
+
+    def run(self) -> Dict[str, float]:
+        history = []
+        for epoch in range(self.cfg.num_epochs):
+            losses_seen = []
+            for batch in self.train_loader:
+                batch.pop("valid", None)
+                self.state, loss = self.train_step(
+                    self.state, {k: jnp.asarray(v) for k, v in batch.items()})
+                losses_seen.append(float(loss))
+            mrrs = evaluate_mrr(self.eval_step, self.state.params,
+                                self.eval_loader)
+            stats = EpochStats(float(np.mean(losses_seen)),
+                               mrrs["mrr_1"], mrrs["mrr_2"])
+            history.append(stats)
+            self.log(f"epoch {epoch}: loss={stats.train_loss:.4f} "
+                     f"mrr1={stats.mrr_1:.4f} mrr2={stats.mrr_2:.4f}")
+            if self.output_dir:
+                self._ckpt.save_pytree(f"{self.output_dir}/checkpoint_last",
+                                       self.state.params)
+                if stats.mrr_avg > self.best_mrr:
+                    self.best_mrr = stats.mrr_avg
+                    self._ckpt.save_pytree(f"{self.output_dir}/checkpoint_best",
+                                           self.state.params)
+            else:
+                self.best_mrr = max(self.best_mrr, stats.mrr_avg)
+        return {"best_mrr": self.best_mrr,
+                "final_loss": history[-1].train_loss if history else 0.0}

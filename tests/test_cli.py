@@ -1,0 +1,86 @@
+"""End-to-end CLI smoke tests on synthetic data: encode corpus → search eval
+→ (tiny) retriever training.  These are the framework's equivalent of the
+reference's README workflows."""
+
+import json
+
+import numpy as np
+import pytest
+
+from tests import synth
+
+
+@pytest.fixture(scope="module")
+def artifacts(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cli")
+    rng = np.random.RandomState(0)
+    docs = synth.make_corpus(rng, 48, empty_every=9)
+    rows = synth.make_mhop_rows(rng, docs, n_rows=12)
+    corpus_path = tmp / "corpus.jsonl"
+    synth.write_jsonl(corpus_path, [{"title": d["title"], "text": d["text"]}
+                                    for d in docs])
+    qas_path = tmp / "qas.jsonl"
+    synth.write_jsonl(qas_path, rows)
+    train_path = tmp / "train.jsonl"
+    synth.write_jsonl(train_path, rows)
+    return tmp, corpus_path, qas_path, train_path
+
+
+def test_encode_then_eval(artifacts, capsys):
+    tmp, corpus_path, qas_path, _ = artifacts
+    from multihop_dense_retrieval_tpu.cli import encode_corpus, eval_mhop_retrieval
+
+    out_dir = str(tmp / "index")
+    encode_corpus.main([str(corpus_path), out_dir,
+                        "--tokenizer", "hash", "--model-name", "tiny",
+                        "--batch-size", "16", "--chunk-rows", "64",
+                        "--max-c-len", "64"])
+    import os
+    assert os.path.exists(f"{out_dir}/index.npz")
+    assert os.path.exists(f"{out_dir}/tokens.npz")
+    assert os.path.exists(f"{out_dir}/id2doc.json")
+
+    chains_path = str(tmp / "chains.jsonl")
+    eval_mhop_retrieval.main([str(qas_path), out_dir,
+                              "--tokenizer", "hash", "--model-name", "tiny",
+                              "--beam-size", "3", "--topk", "3",
+                              "--batch-size", "6", "--chunk-rows", "64",
+                              "--max-q-len", "24", "--max-q-sp-len", "96",
+                              "--save-path", chains_path])
+    out = capsys.readouterr().out
+    agg = json.loads(out.strip().splitlines()[-1])
+    assert set(agg) >= {"avg_pr", "avg_p_em", "avg_1_recall", "path_recall"}
+    with open(chains_path) as f:
+        chains = [json.loads(l) for l in f]
+    assert len(chains) == 12
+    assert len(chains[0]["candidate_chains"]) == 3
+    assert {"title", "text"} <= set(chains[0]["candidate_chains"][0][0])
+
+
+def test_train_cli(artifacts):
+    tmp, _, qas_path, train_path = artifacts
+    from multihop_dense_retrieval_tpu.cli import train_retriever
+
+    result = train_retriever.main([
+        "--train-file", str(train_path), "--predict-file", str(qas_path),
+        "--output-dir", str(tmp / "train_out"),
+        "--tokenizer", "hash", "--model-name", "tiny",
+        "--train-batch-size", "4", "--predict-batch-size", "4",
+        "--num-epochs", "1", "--learning-rate", "1e-4",
+        "--max-q-len", "16", "--max-q-sp-len", "48", "--max-c-len", "32",
+        "--data-parallel", "2"])
+    assert result["best_mrr"] > 0
+
+
+def test_train_momentum_cli(artifacts):
+    tmp, _, qas_path, train_path = artifacts
+    from multihop_dense_retrieval_tpu.cli import train_momentum
+
+    result = train_momentum.main([
+        "--train-file", str(train_path), "--predict-file", str(qas_path),
+        "--tokenizer", "hash", "--model-name", "tiny",
+        "--train-batch-size", "4", "--predict-batch-size", "4",
+        "--num-epochs", "1", "--learning-rate", "1e-4",
+        "--max-q-len", "16", "--max-q-sp-len", "48", "--max-c-len", "32",
+        "--queue-size", "64", "--data-parallel", "2"])
+    assert np.isfinite(result["final_loss"])

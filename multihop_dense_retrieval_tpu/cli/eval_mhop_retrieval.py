@@ -61,6 +61,9 @@ def main(argv=None):
     p.add_argument("--checkpoint", default="")
     p.add_argument("--topk", type=int, default=2)
     p.add_argument("--beam-size", type=int, default=5)
+    p.add_argument("--beam-size-2", type=int, default=None,
+                   help="hop-2 beam (FEVER uses asymmetric beams, "
+                        "eval_mhop_fever.py:55-56); defaults to --beam-size")
     p.add_argument("--batch-size", type=int, default=100)
     p.add_argument("--max-q-len", type=int, default=70)
     p.add_argument("--max-q-sp-len", type=int, default=350)
@@ -78,7 +81,8 @@ def main(argv=None):
     with open(args.raw_data) as f:
         ds_items = [json.loads(l) for l in f if l.strip()]
 
-    cfg = SearchConfig(beam_size_1=args.beam_size, beam_size_2=args.beam_size,
+    cfg = SearchConfig(beam_size_1=args.beam_size,
+                       beam_size_2=args.beam_size_2 or args.beam_size,
                        topk=args.topk, max_q_len=args.max_q_len,
                        max_q_sp_len=args.max_q_sp_len,
                        chunk_rows=args.chunk_rows,

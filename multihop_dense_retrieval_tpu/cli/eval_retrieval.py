@@ -1,0 +1,128 @@
+"""CLI: single-hop retrieval eval with answer-recall@k.
+
+Equivalent of scripts/eval/eval_retrieval.py: encode questions, exact top-k
+over the index, then answer recall @ {1,5,10,20,50,100} via token-subsequence
+matching (a process pool of SimpleTokenizer matchers in the reference,
+eval_retrieval.py:60-82,171-178 — a thread pool here; the matcher releases
+the GIL rarely but corpora are small relative to search time).
+
+Also reports SP recall@k when rows carry `sp` gold titles.
+"""
+
+import argparse
+import concurrent.futures as cf
+import json
+import time
+
+import numpy as np
+
+from ..core.config import SearchConfig
+from ..data.corpus import Corpus
+from ..index.store import DenseIndex
+from ..ops.mips import mips_topk
+from ..utils.text import SimpleTokenizer, para_has_answer
+from . import common
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("raw_data", help="eval JSONL: question/answer per line")
+    p.add_argument("index_dir")
+    p.add_argument("--tokenizer", default="hash")
+    p.add_argument("--model-name", default="roberta-base")
+    p.add_argument("--checkpoint", default="")
+    p.add_argument("--topk", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--max-q-len", type=int, default=50)
+    p.add_argument("--chunk-rows", type=int, default=4096)
+    p.add_argument("--num-workers", type=int, default=16)
+    p.add_argument("--save-path", default="")
+    args = p.parse_args(argv)
+
+    logger = common.setup_logging()
+    enc_cfg = common.resolve_encoder_config(args.model_name)
+    tok = common.resolve_tokenizer(args.tokenizer)
+    model, params = common.init_retriever(enc_cfg, checkpoint=args.checkpoint)
+    index = DenseIndex.load(f"{args.index_dir}/index.npz")
+    corpus = Corpus.from_id2doc(f"{args.index_dir}/id2doc.json")
+
+    with open(args.raw_data) as f:
+        items = [json.loads(l) for l in f if l.strip()]
+
+    import jax.numpy as jnp
+    import jax
+
+    @jax.jit
+    def encode(params, ids, mask):
+        return model.apply(params, ids, mask, method=model.encode_seq)
+
+    all_ids = []
+    t0 = time.time()
+    bs = args.batch_size
+    for s in range(0, len(items), bs):
+        batch = items[s:s + bs]
+        pad = bs - len(batch)
+        qs = [(r["question"][:-1] if r["question"].endswith("?")
+               else r["question"]) for r in batch]
+        enc = tok.encode_batch_one(qs + [qs[-1]] * pad, args.max_q_len)
+        vecs = encode(params, jnp.asarray(enc["input_ids"]),
+                      jnp.asarray(enc["attention_mask"]))
+        _, ids = mips_topk(index.vectors, vecs.astype(index.vectors.dtype),
+                           args.topk, chunk_rows=args.chunk_rows,
+                           n_valid=index.n_docs)
+        all_ids.append(np.asarray(ids)[: len(batch)])
+    all_ids = np.concatenate(all_ids)
+    dt = time.time() - t0
+    logger.info("retrieved %d questions in %.2fs (%.1f q/s)",
+                len(items), dt, len(items) / dt)
+
+    simple = SimpleTokenizer()
+    ks = [k for k in (1, 5, 10, 20, 50, 100) if k <= args.topk]
+
+    def recall_row(i):
+        row = items[i]
+        answers = row.get("answer", row.get("answers", []))
+        sp = set(row.get("sp", []))
+        hits, sp_hits = {}, {}
+        found, sp_found = False, False
+        for rank, doc_id in enumerate(all_ids[i]):
+            doc = corpus[int(doc_id)]
+            if not found and answers and para_has_answer(
+                    answers, doc["title"] + " " + doc["text"], simple):
+                found = True
+                first = rank
+            if not sp_found and sp and doc["title"] in sp:
+                sp_found = True
+                sp_first = rank
+        for k in ks:
+            hits[k] = int(found and first < k) if answers else None
+            sp_hits[k] = int(sp_found and sp_first < k) if sp else None
+        return hits, sp_hits
+
+    with cf.ThreadPoolExecutor(args.num_workers) as pool:
+        results = list(pool.map(recall_row, range(len(items))))
+
+    out = {}
+    for k in ks:
+        ans = [r[0][k] for r in results if r[0][k] is not None]
+        sps = [r[1][k] for r in results if r[1][k] is not None]
+        if ans:
+            out[f"answer_recall@{k}"] = float(np.mean(ans))
+        if sps:
+            out[f"sp_recall@{k}"] = float(np.mean(sps))
+    out["qps"] = len(items) / dt
+    logger.info("metrics: %s", out)
+    print(json.dumps(out))
+
+    if args.save_path:
+        with open(args.save_path, "w") as f:
+            for i, row in enumerate(items):
+                f.write(json.dumps({
+                    "question": row["question"],
+                    "retrieved": [corpus[int(d)]["title"] for d in all_ids[i]],
+                }) + "\n")
+    return out
+
+
+if __name__ == "__main__":
+    main()

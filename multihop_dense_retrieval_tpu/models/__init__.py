@@ -3,9 +3,12 @@ from .retriever import (
     MhopRetriever,
     SingleRetriever,
     UnifiedRetriever,
+    NQRetriever,
+    MultiVectorCtxEncoder,
     CtxEncoder,
     ProjectionHead,
 )
+from .reader import QAReader
 
 __all__ = [
     "TransformerEncoder",
@@ -13,6 +16,9 @@ __all__ = [
     "MhopRetriever",
     "SingleRetriever",
     "UnifiedRetriever",
+    "NQRetriever",
+    "MultiVectorCtxEncoder",
     "CtxEncoder",
     "ProjectionHead",
+    "QAReader",
 ]

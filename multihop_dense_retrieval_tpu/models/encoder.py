@@ -115,10 +115,16 @@ class EncoderLayer(nn.Module):
 
 
 class TransformerEncoder(nn.Module):
-    """Returns the last hidden state (B, L, H) in the compute dtype."""
+    """Returns the last hidden state (B, L, H) in the compute dtype.
+
+    With return_all_hiddens=True returns a list of per-layer hidden states
+    (embeddings output first) — used by the layerwise multi-vector corpus
+    encoder (reference models/retriever.py:156-167).
+    """
 
     config: EncoderConfig
     remat: bool = False
+    return_all_hiddens: bool = False
 
     @nn.compact
     def __call__(self, input_ids, attention_mask, token_type_ids=None):
@@ -135,6 +141,10 @@ class TransformerEncoder(nn.Module):
             attention_mask[:, None, None, :].astype(bool), 0.0, NEG_INF
         ).astype(jnp.float32)
         layer_cls = nn.remat(EncoderLayer) if self.remat else EncoderLayer
+        hiddens = [x]
         for i in range(c.num_layers):
             x = layer_cls(c, name=f"layer_{i}")(x, attn_bias)
+            hiddens.append(x)
+        if self.return_all_hiddens:
+            return hiddens
         return x

@@ -170,6 +170,89 @@ class UnifiedRetriever(nn.Module):
         return self.encode_seq(input_ids, mask, token_type_ids)
 
 
+class NQRetriever(nn.Module):
+    """NQ/WebQ single-hop retriever with the error-recovery view
+    (unified_retriever.py:59-111): `q_neg1` re-encodes question ⊕ a wrongly
+    retrieved passage as a second-chance query.
+
+    NOTE: the reference's RobertaNQRetriever constructs a projection head but
+    returns the raw CLS (unified_retriever.py:70-73) — `use_projection=False`
+    reproduces that; True applies the head.
+    """
+
+    config: EncoderConfig
+    use_projection: bool = False
+
+    def setup(self):
+        self.encoder = TransformerEncoder(self.config, name="encoder")
+        self.project = ProjectionHead(self.config, name="project")
+
+    def encode_seq(self, input_ids, mask, token_type_ids=None):
+        cls = self.encoder(input_ids, mask, token_type_ids)[:, 0, :]
+        if self.use_projection:
+            return self.project(cls)
+        return cls.astype(jnp.float32)
+
+    def __call__(self, batch):
+        out = {
+            "q": self.encode_seq(batch["q_input_ids"], batch["q_mask"],
+                                 batch.get("q_type_ids")),
+            "c": self.encode_seq(batch["c_input_ids"], batch["c_mask"],
+                                 batch.get("c_type_ids")),
+            "neg": self.encode_seq(batch["neg_input_ids"], batch["neg_mask"],
+                                   batch.get("neg_type_ids")),
+            "q_neg1": self.encode_seq(batch["q_neg1_input_ids"],
+                                      batch["q_neg1_mask"],
+                                      batch.get("q_neg1_type_ids")),
+        }
+        # optional extra dense negatives (BertNQRetriever,
+        # unified_retriever.py:100-106)
+        if "dense_neg1_input_ids" in batch:
+            out["dense_neg1"] = self.encode_seq(
+                batch["dense_neg1_input_ids"], batch["dense_neg1_mask"],
+                batch.get("dense_neg1_type_ids"))
+            out["dense_neg2"] = self.encode_seq(
+                batch["dense_neg2_input_ids"], batch["dense_neg2_mask"],
+                batch.get("dense_neg2_type_ids"))
+        return out
+
+    def encode_q(self, input_ids, mask, token_type_ids=None):
+        return self.encode_seq(input_ids, mask, token_type_ids)
+
+
+class MultiVectorCtxEncoder(nn.Module):
+    """Multi-vector corpus encoder (reference models/retriever.py:147-174):
+
+    scheme="layerwise" — CLS of the last `multi_vector` layers
+    scheme="tokenwise" — first `multi_vector` token reps of the last layer
+    multi_vector=1     — plain CLS
+    Returns (B * multi_vector, H) fp32, rows grouped per passage.
+    """
+
+    config: EncoderConfig
+    multi_vector: int = 1
+    scheme: str = "tokenwise"
+
+    def setup(self):
+        self.encoder = TransformerEncoder(
+            self.config, name="encoder",
+            return_all_hiddens=(self.scheme == "layerwise"))
+
+    def __call__(self, input_ids, mask, token_type_ids=None):
+        out = self.encoder(input_ids, mask, token_type_ids)
+        if self.multi_vector <= 1:
+            h = out[-1] if isinstance(out, list) else out
+            return h[:, 0, :].astype(jnp.float32)
+        if self.scheme == "layerwise":
+            cls = jnp.stack([h[:, 0, :] for h in out[::-1][: self.multi_vector]],
+                            axis=1)
+        elif self.scheme == "tokenwise":
+            cls = out[:, : self.multi_vector, :]
+        else:
+            raise ValueError(f"unknown scheme {self.scheme}")
+        return cls.reshape(-1, cls.shape[-1]).astype(jnp.float32)
+
+
 # Corpus encoding reuses MhopRetriever.encode_seq with the same checkpoint
 # (reference loads the retriever ckpt into RobertaCtxEncoder with exact=False,
 # scripts/encode_corpus.py:74).  Alias for API parity:

@@ -39,6 +39,22 @@ from ..core.mesh import INDEX_AXIS
 
 NEG_INF = -3.0e38  # python float: safe to close over inside pallas kernels
 
+VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the 16MB VMEM limit
+
+
+def auto_chunk_rows(b: int, d: int, itemsize: int = 2,
+                    max_chunk: int = 8192) -> int:
+    """Largest power-of-two chunk whose double-buffered tile + score matrix
+    + merge temporaries fit in VMEM for a (b, d) query block."""
+    chunk = max_chunk
+    while chunk > 512:
+        need = 2 * chunk * d * itemsize      # double-buffered index tile
+        need += 3 * b * chunk * 4            # scores + merge work vals/idx
+        if need <= VMEM_BUDGET:
+            return chunk
+        chunk //= 2
+    return chunk
+
 
 def _merge_topk(vals_a, idx_a, vals_b, idx_b, k: int):
     """Merge two (B, ka)/(B, kb) candidate sets into top-k."""
@@ -224,10 +240,17 @@ def mips_topk_pallas(index: jnp.ndarray, queries: jnp.ndarray, k: int,
 def mips_topk(index, queries, k: int, *, use_pallas: bool = True,
               chunk_rows: int = 4096, interpret: bool = False,
               n_valid: Optional[int] = None):
-    """Single-shard exact top-k; picks the Pallas kernel on TPU."""
+    """Single-shard exact top-k; picks the Pallas kernel on TPU.
+
+    chunk_rows is clamped so the kernel's VMEM footprint (double-buffered
+    tile + score matrix + merge temps) stays under budget for this batch.
+    """
     on_tpu = jax.default_backend() == "tpu"
-    if use_pallas and (on_tpu or interpret) and index.shape[0] % chunk_rows == 0:
-        return mips_topk_pallas(index, queries, k, chunk_rows=chunk_rows,
+    chunk = min(chunk_rows,
+                auto_chunk_rows(queries.shape[0], index.shape[1],
+                                jnp.dtype(index.dtype).itemsize))
+    if use_pallas and (on_tpu or interpret) and index.shape[0] % chunk == 0:
+        return mips_topk_pallas(index, queries, k, chunk_rows=chunk,
                                 interpret=interpret, n_valid=n_valid)
     return mips_topk_xla(index, queries, k, chunk_rows=max(chunk_rows, 16384),
                          n_valid=n_valid)

@@ -110,27 +110,40 @@ class BeamSearcher:
 
     def __post_init__(self):
         cfg = self.config
-        self._search = functools.partial(
+        # the big arrays (index + token store) are explicit jit ARGUMENTS —
+        # closing over them would bake gigabytes of constants into the
+        # compiled program (and re-lower them on every trace)
+        self._store = {
+            "vectors": self.index.vectors,
+            "text_ids": self.text_ids,
+            "text_lens": self.text_lens,
+            "empty": self.empty,
+        }
+        impl = functools.partial(
             self._search_impl,
             beam1=cfg.beam_size_1, beam2=cfg.beam_size_2, topk=cfg.topk)
-        self._jit = jax.jit(self._search, static_argnames=())
+        self._jit_impl = jax.jit(impl)
+        self._search = lambda params, q_inputs, q_raw_ids, q_raw_lens: impl(
+            params, self._store, q_inputs, q_raw_ids, q_raw_lens)
+        self._jit = lambda params, q_inputs, q_raw_ids, q_raw_lens: \
+            self._jit_impl(params, self._store, q_inputs, q_raw_ids, q_raw_lens)
 
     # ------------------------------------------------------------------
 
-    def _mips(self, queries, k):
+    def _mips(self, vectors, queries, k):
         if self.mesh is not None and self.mesh.shape.get("index", 1) > 1:
             return sharded_mips_topk(
-                self.index.vectors, queries, k, self.mesh,
+                vectors, queries, k, self.mesh,
                 use_pallas=self.config.use_pallas,
                 chunk_rows=self.config.chunk_rows,
                 n_valid=self.index.n_docs)
         return mips_topk(
-            self.index.vectors, queries, k,
+            vectors, queries, k,
             use_pallas=self.config.use_pallas,
             chunk_rows=self.config.chunk_rows,
             n_valid=self.index.n_docs)
 
-    def _search_impl(self, params, q_inputs, q_raw_ids, q_raw_lens,
+    def _search_impl(self, params, store, q_inputs, q_raw_ids, q_raw_lens,
                      *, beam1: int, beam2: int, topk: int):
         cfg = self.config
         bsz = q_raw_ids.shape[0]
@@ -138,19 +151,19 @@ class BeamSearcher:
         # hop 1 ---------------------------------------------------------
         q_vec = self.encode_fn(params, q_inputs["input_ids"],
                                q_inputs["attention_mask"])
-        d1, i1 = self._mips(q_vec.astype(jnp.float32), beam1)   # (B, beam1)
+        d1, i1 = self._mips(store["vectors"], q_vec.astype(jnp.float32), beam1)
         # empty-text docs cannot start a chain (eval_mhop_retrieval.py:165)
-        d1 = jnp.where(self.empty[i1], NEG_INF, d1)
+        d1 = jnp.where(store["empty"][i1], NEG_INF, d1)
 
         # hop 2: on-device reformulation ---------------------------------
-        doc_ids = self.text_ids[i1.reshape(-1)].astype(jnp.int32)  # (B*beam1, Lt)
-        doc_lens = self.text_lens[i1.reshape(-1)].astype(jnp.int32)
+        doc_ids = store["text_ids"][i1.reshape(-1)].astype(jnp.int32)
+        doc_lens = store["text_lens"][i1.reshape(-1)].astype(jnp.int32)
         a_ids = jnp.repeat(q_raw_ids, beam1, axis=0)
         a_lens = jnp.repeat(q_raw_lens, beam1, axis=0)
         qsp = assemble_pair_inputs(a_ids, a_lens, doc_ids, doc_lens,
                                    cfg.max_q_sp_len, self.spec)
         qsp_vec = self.encode_fn(params, qsp["input_ids"], qsp["attention_mask"])
-        d2, i2 = self._mips(qsp_vec.astype(jnp.float32), beam2)  # (B*beam1, beam2)
+        d2, i2 = self._mips(store["vectors"], qsp_vec.astype(jnp.float32), beam2)
         d2 = d2.reshape(bsz, beam1, beam2)
         i2 = i2.reshape(bsz, beam1, beam2)
 

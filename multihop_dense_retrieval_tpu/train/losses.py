@@ -137,6 +137,51 @@ def unified_eval(outputs: Dict[str, jnp.ndarray],
     }
 
 
+def single_loss(outputs: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """Single-hop DPR loss: in-batch positives + per-sample hard negative.
+
+    The reference's `loss_single` was deleted (criterions.py:10-110 commented
+    out; train_single.py:106 imports it and crashes) — this is the standard
+    formulation its surviving callers expect: scores = q · [c; neg]ᵀ with
+    target i.
+    """
+    q = outputs["q"].astype(jnp.float32)
+    c = outputs["c"].astype(jnp.float32)
+    neg = outputs["neg"].astype(jnp.float32)
+    scores = jnp.concatenate([q @ c.T, q @ neg.T], axis=1)  # (B, 2B)
+    targets = jnp.arange(q.shape[0], dtype=jnp.int32)
+    return cross_entropy(scores, targets)
+
+
+def single_eval(outputs: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    q = outputs["q"].astype(jnp.float32)
+    c = outputs["c"].astype(jnp.float32)
+    neg = outputs["neg"].astype(jnp.float32)
+    scores = jnp.concatenate([q @ c.T, q @ neg.T], axis=1)
+    targets = jnp.arange(q.shape[0], dtype=jnp.int32)
+    return {"rrs": _reciprocal_ranks(scores, targets)}
+
+
+def nq_mhop_loss(outputs: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """Error-recovery objective for the NQ variants (reconstruction of the
+    dead `loss_nq_mhop`, criterions.py:10-110 / unified_retriever.py:59-111):
+    both the original query and the recovery query q_neg1 (question ⊕ wrong
+    passage) must rank the gold passage first against in-batch + dense
+    negatives."""
+    q = outputs["q"].astype(jnp.float32)
+    q_neg1 = outputs["q_neg1"].astype(jnp.float32)
+    c = outputs["c"].astype(jnp.float32)
+    neg = outputs["neg"].astype(jnp.float32)
+    ctx = [c.T, neg.T]
+    for k in ("dense_neg1", "dense_neg2"):
+        if k in outputs:
+            ctx.append(outputs[k].astype(jnp.float32).T)
+    ctx = jnp.concatenate(ctx, axis=1)  # (h, >=2B)
+    targets = jnp.arange(q.shape[0], dtype=jnp.int32)
+    return (cross_entropy(q @ ctx, targets)
+            + cross_entropy(q_neg1 @ ctx, targets))
+
+
 def enqueue(queue: jnp.ndarray, ptr: jnp.ndarray,
             embeddings: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Memory-bank update (mhop_retriever.py:85-106), static-shape.

@@ -130,14 +130,23 @@ def _batch_sharding(mesh: Optional[Mesh]):
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
-def make_train_step(model, tx, *, unified: bool = False,
+def make_train_step(model, tx, *, unified: bool = False, task: str = None,
                     mesh: Optional[Mesh] = None) -> Callable:
-    """Returns jitted (state, batch) -> (state, loss)."""
+    """Returns jitted (state, batch) -> (state, loss).
+
+    task: "mhop" (default) | "unified" | "single" (DPR, train_single.py
+    parity) | "nq" (error-recovery variants).
+    """
+    task = task or ("unified" if unified else "mhop")
 
     def loss_fn(params, batch):
         outputs = model.apply(params, batch)
-        if unified:
+        if task == "unified":
             return losses.unified_loss(outputs, batch["stop_targets"])
+        if task == "single":
+            return losses.single_loss(outputs)
+        if task == "nq":
+            return losses.nq_mhop_loss(outputs)
         return losses.mhop_loss(outputs)
 
     def step(state: TrainState, batch):
@@ -199,14 +208,18 @@ def make_momentum_train_step(model, tx, *, enable_ema: bool = False,
     return jax.jit(step, in_shardings=(None, shard), donate_argnums=(0,))
 
 
-def make_eval_step(model, *, unified: bool = False,
+def make_eval_step(model, *, unified: bool = False, task: str = None,
                    mesh: Optional[Mesh] = None) -> Callable:
     """Returns jitted (params, batch) -> per-sample rr arrays."""
+    task = task or ("unified" if unified else "mhop")
 
     def step(params, batch):
         outputs = model.apply(params, batch)
-        if unified:
+        if task == "unified":
             return losses.unified_eval(outputs, batch["stop_targets"])
+        if task == "single":
+            rrs = losses.single_eval(outputs)["rrs"]
+            return {"rrs_1": rrs, "rrs_2": rrs}
         return losses.mhop_eval(outputs)
 
     shard = _batch_sharding(mesh)

@@ -1,0 +1,198 @@
+"""Tests for the wider component inventory: single-hop/unified/FEVER datasets,
+NQ retriever + losses, multi-vector encoder, utils, prep, preemption,
+analysis."""
+
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multihop_dense_retrieval_tpu.core.config import EncoderConfig
+from multihop_dense_retrieval_tpu.data import HashTokenizer
+from multihop_dense_retrieval_tpu.data.sp_datasets import SPDataset, sp_collate
+from multihop_dense_retrieval_tpu.data.unified_dataset import (
+    UnifiedDataset, FeverDataset, FeverSampler)
+from multihop_dense_retrieval_tpu.data import prep
+from multihop_dense_retrieval_tpu.eval.analysis import (
+    decompose_errors, aggregate_errors)
+from multihop_dense_retrieval_tpu.models import (
+    NQRetriever, MultiVectorCtxEncoder)
+from multihop_dense_retrieval_tpu.train import losses
+from multihop_dense_retrieval_tpu.utils import (
+    SimpleTokenizer, para_has_answer, AverageMeter, DocDB)
+from tests import synth
+
+
+def _write(tmp_path, name, rows):
+    synth.write_jsonl(tmp_path / name, rows)
+    return str(tmp_path / name)
+
+
+def test_sp_dataset(tmp_path):
+    tok = HashTokenizer(vocab_size=512)
+    rows = [{"question": "who did x?",
+             "pos_paras": [{"title": "A", "text": "a text"}],
+             "neg_paras": [{"title": "B", "text": "b text"}]},
+            {"question": "who did y?",
+             "pos_paras": [{"title": "C", "text": "c text"}],
+             "neg_paras": []}]
+    ds = SPDataset(tok, _write(tmp_path, "sp.jsonl", rows),
+                   max_q_len=12, max_c_len=16, train=True)
+    batch = sp_collate([ds[0], ds[1]])
+    assert batch["q_input_ids"].shape == (2, 12)
+    assert batch["c_input_ids"].shape == (2, 16)
+    # row 1 has no negatives: train mode borrows another sample's positive
+    assert batch["neg_mask"][1].sum() > 0
+
+
+def test_single_loss_learnable():
+    out = {k: jnp.asarray(np.random.RandomState(0).randn(4, 8), jnp.float32)
+           for k in ("q", "c", "neg")}
+    l = losses.single_loss(out)
+    assert np.isfinite(float(l))
+    ev = losses.single_eval(out)
+    assert ev["rrs"].shape == (4,)
+
+
+def test_unified_dataset_stop_targets(tmp_path):
+    tok = HashTokenizer(vocab_size=512)
+    rng = np.random.RandomState(0)
+    docs = synth.make_corpus(rng, 16)
+    rows = synth.make_mhop_rows(rng, docs, n_rows=4)
+    rows[1]["type"] = "single"
+    rows[1]["pos_paras"] = rows[1]["pos_paras"][:1]
+    ds = UnifiedDataset(tok, _write(tmp_path, "u.jsonl", rows),
+                        max_q_len=12, max_q_sp_len=32, max_c_len=24)
+    assert ds[0]["stop_targets"] == 1
+    assert ds[1]["stop_targets"] == 0
+    assert ds[1]["c2_input_ids"].shape == (24,)
+
+
+def test_fever_dataset_and_sampler(tmp_path):
+    tok = HashTokenizer(vocab_size=512)
+    rows = [{"claim": "claim one",
+             "evidence": [[{"title": "A", "text": "ta"},
+                           {"title": "B", "text": "tb"}]],
+             "tfidf_neg": [{"title": "N1", "text": "tn"}],
+             "linked_neg": [{"title": "N2", "text": "tn2"}]},
+            {"claim": "claim two",
+             "evidence": [[{"title": "C", "text": "tc"}]],  # single-title: dropped
+             "tfidf_neg": [], "linked_neg": []}]
+    ds = FeverDataset(tok, _write(tmp_path, "f.jsonl", rows),
+                      max_q_len=12, max_q_sp_len=32, max_c_len=24)
+    assert len(ds) == 1
+    item = ds[0]
+    assert item["q_input_ids"].shape == (12,)
+    sampler = FeverSampler(single_ids=[0, 1, 2, 3], multi_ids=[4, 5], ratio=1)
+    idxs = sampler.epoch_indices()
+    assert len(idxs) == 4 and {4, 5} <= set(idxs)
+
+
+def test_nq_retriever_and_loss():
+    cfg = EncoderConfig.tiny(vocab_size=256, max_position_embeddings=32)
+    model = NQRetriever(cfg)
+    ids = jnp.ones((2, 8), jnp.int32)
+    batch = {f"{k}_input_ids": ids for k in ("q", "c", "neg", "q_neg1")}
+    batch.update({f"{k}_mask": ids for k in ("q", "c", "neg", "q_neg1")})
+    params = model.init(jax.random.PRNGKey(0), batch)
+    out = model.apply(params, batch)
+    assert set(out) == {"q", "c", "neg", "q_neg1"}
+    l = losses.nq_mhop_loss(out)
+    assert np.isfinite(float(l))
+
+
+def test_multi_vector_ctx_encoder():
+    cfg = EncoderConfig.tiny(vocab_size=256, max_position_embeddings=32)
+    ids = jnp.ones((2, 8), jnp.int32)
+    mask = jnp.ones((2, 8), jnp.int32)
+    for scheme, mv in (("tokenwise", 3), ("layerwise", 2)):
+        model = MultiVectorCtxEncoder(cfg, multi_vector=mv, scheme=scheme)
+        params = model.init(jax.random.PRNGKey(0), ids, mask)
+        out = model.apply(params, ids, mask)
+        assert out.shape == (2 * mv, cfg.hidden_size)
+
+
+def test_simple_tokenizer_and_answer_match():
+    tok = SimpleTokenizer()
+    assert tok.tokenize("Hello, world-2!") == ["Hello", ",", "world", "-", "2", "!"]
+    assert para_has_answer(["world"], "Hello world!", tok)
+    assert para_has_answer(["hello world"], "Hello world!", tok)
+    # punctuation is a token: a comma between words breaks the subsequence
+    # (DrQA semantics, same as the reference matcher)
+    assert not para_has_answer(["hello world"], "Hello, world!", tok)
+    assert not para_has_answer(["absent"], "Hello world", tok)
+
+
+def test_average_meter():
+    m = AverageMeter()
+    m.update(1.0)
+    m.update(3.0)
+    assert m.avg == 2.0 and m.val == 3.0
+
+
+def test_docdb(tmp_path):
+    db = DocDB.create(str(tmp_path / "docs.db"))
+    db.insert("Title A", "text of a")
+    assert db.get_doc_text("Title A") == "text of a"
+    assert db.get_doc_ids() == ["Title A"]
+    assert db.get_doc_text("missing") is None
+
+
+def test_pick_bridge_and_prep():
+    title2doc = {"A": "answer lives here", "B": "other text"}
+    title2linked = {"A": ["B"], "B": []}
+    # answer containment decides
+    assert prep.pick_bridge(title2linked, title2doc, ["A", "B"], "answer") == "A"
+    # hyperlink direction decides (A links to B → B is second... reference
+    # returns titles[0] when t0 ∈ linked(t1); here B links to nothing)
+    assert prep.pick_bridge(title2linked, title2doc, ["A", "B"], "zzz") == "B"
+
+    raw = [{"question": "q?", "_id": "1", "type": "bridge",
+            "context": [["A", ["answer lives here"]], ["B", ["other text"]]],
+            "supporting_facts": [["A", 0], ["B", 0]], "answer": "answer"}]
+    rows = prep.hotpot_to_mhop_rows(raw, title2linked)
+    assert rows[0]["bridge"] == "A"
+    assert rows[0]["pos_paras"][0]["title"] == "A"
+
+    retrieved = [{"question": "q?", "candidate_chains": []}]
+    out = prep.add_sp_labels(raw, retrieved, {"A": ["answer lives here"],
+                                              "B": ["other text"]})
+    assert out[0]["sp"][0]["title"] == "A"
+    assert out[0]["sp"][0]["sp_sent_ids"] == [0]
+
+
+def test_error_decomposition():
+    rows = [
+        decompose_errors(["A", "B"], "bridge", [["A", "B"]], ["A"]),   # correct
+        decompose_errors(["A", "B"], "bridge", [["X", "Y"]], ["X"]),   # start err
+        decompose_errors(["A", "B"], "bridge", [["A", "X"]], ["A"]),   # bridge err
+        decompose_errors(["A", "B"], "bridge", [["A", "X"], ["B", "Y"]],
+                         ["A", "B"]),                                   # ordering
+    ]
+    agg = aggregate_errors(rows)
+    assert agg["overall"]["correct"] == 0.25
+    assert agg["overall"]["start_hop_error"] == 0.25
+    assert agg["overall"]["bridge_hop_error"] == 0.25
+    assert agg["overall"]["ordering_error"] == 0.25
+
+
+def test_preemption_roundtrip(tmp_path):
+    from multihop_dense_retrieval_tpu.train.preemption import PreemptionCheckpointer
+    from multihop_dense_retrieval_tpu.train.trainer import (
+        TrainState, make_optimizer)
+    from multihop_dense_retrieval_tpu.core.config import RetrieverTrainConfig
+
+    params = {"w": jnp.arange(4.0)}
+    tx = make_optimizer(RetrieverTrainConfig(), 10)
+    state = TrainState.create(params, tx)
+    pc = PreemptionCheckpointer(str(tmp_path / "pc"))
+    pc.save(state, epoch=3, best_metric=0.5)
+    restored, meta = pc.maybe_restore(state)
+    assert meta["epoch"] == 3 and meta["best_metric"] == 0.5
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]),
+                                  np.arange(4.0))
+    # empty dir → (None, None)
+    pc2 = PreemptionCheckpointer(str(tmp_path / "nope"))
+    assert pc2.maybe_restore(state) == (None, None)

@@ -1,0 +1,99 @@
+"""CLI smoke tests for single-hop training, single-hop eval, demo pipeline,
+and the grid launcher."""
+
+import json
+
+import numpy as np
+import pytest
+
+from tests import synth
+
+
+def test_train_single_cli(tmp_path):
+    from multihop_dense_retrieval_tpu.cli import train_single
+
+    rows = [{"question": f"what is thing {i}?",
+             "pos_paras": [{"title": f"P{i}", "text": f"thing {i} body text"}],
+             "neg_paras": [{"title": f"N{i}", "text": "unrelated words"}]}
+            for i in range(8)]
+    synth.write_jsonl(tmp_path / "sp.jsonl", rows)
+    res = train_single.main([
+        "--train-file", str(tmp_path / "sp.jsonl"),
+        "--predict-file", str(tmp_path / "sp.jsonl"),
+        "--tokenizer", "hash", "--model-name", "tiny",
+        "--train-batch-size", "4", "--predict-batch-size", "4",
+        "--num-epochs", "1", "--learning-rate", "1e-4",
+        "--max-q-len", "12", "--max-c-len", "24", "--data-parallel", "2"])
+    assert res["best_mrr"] > 0
+
+
+def test_eval_retrieval_cli(tmp_path, capsys):
+    from multihop_dense_retrieval_tpu.cli import encode_corpus, eval_retrieval
+
+    rng = np.random.RandomState(0)
+    docs = synth.make_corpus(rng, 24)
+    docs[3]["text"] = "the secret answer is zanzibar ."
+    synth.write_jsonl(tmp_path / "corpus.jsonl",
+                      [{"title": d["title"], "text": d["text"]} for d in docs])
+    qas = [{"question": "where is the secret?", "answer": ["zanzibar"],
+            "sp": ["Title 3"]},
+           {"question": "unanswerable?", "answer": ["nowhere-word"],
+            "sp": ["Title 5"]}]
+    synth.write_jsonl(tmp_path / "qas.jsonl", qas)
+    out_dir = str(tmp_path / "index")
+    encode_corpus.main([str(tmp_path / "corpus.jsonl"), out_dir,
+                        "--tokenizer", "hash", "--model-name", "tiny",
+                        "--batch-size", "8", "--chunk-rows", "16",
+                        "--max-c-len", "32"])
+    res = eval_retrieval.main([str(tmp_path / "qas.jsonl"), out_dir,
+                               "--tokenizer", "hash", "--model-name", "tiny",
+                               "--topk", "20", "--batch-size", "2",
+                               "--max-q-len", "16", "--chunk-rows", "16"])
+    # top-20 of 24 docs: doc with the answer is almost surely retrieved
+    assert res["answer_recall@20"] >= 0.5
+    assert "sp_recall@20" in res
+
+
+def test_demo_single_question(tmp_path):
+    from multihop_dense_retrieval_tpu.cli import encode_corpus, demo
+
+    rng = np.random.RandomState(1)
+    docs = synth.make_corpus(rng, 16)
+    synth.write_jsonl(tmp_path / "corpus.jsonl",
+                      [{"title": d["title"], "text": d["text"]} for d in docs])
+    out_dir = str(tmp_path / "index")
+    encode_corpus.main([str(tmp_path / "corpus.jsonl"), out_dir,
+                        "--tokenizer", "hash", "--model-name", "tiny",
+                        "--batch-size", "8", "--chunk-rows", "16",
+                        "--max-c-len", "32"])
+    out = demo.main([out_dir, "--tokenizer", "hash",
+                     "--retriever-model", "tiny", "--reader-model", "tiny",
+                     "--beam-size", "2", "--topk", "2",
+                     "--max-q-len", "16", "--max-q-sp-len", "48",
+                     "--max-seq-len", "96", "--max-ans-len", "6",
+                     "--chunk-rows", "16",
+                     "--question", "what links things?"])
+    assert isinstance(out["answer"], str)
+    assert len(out["chains"]) == 2
+    assert out["retrieval_s"] > 0
+
+
+def test_launch_grid(tmp_path):
+    from multihop_dense_retrieval_tpu.cli import launch
+
+    rng = np.random.RandomState(2)
+    docs = synth.make_corpus(rng, 24)
+    rows = synth.make_mhop_rows(rng, docs, n_rows=8)
+    synth.write_jsonl(tmp_path / "t.jsonl", rows)
+    best = launch.main([
+        "--grid-lr", "1e-4,1e-3", "--grid-warmup", "0.0",
+        "--train-file", str(tmp_path / "t.jsonl"),
+        "--predict-file", str(tmp_path / "t.jsonl"),
+        "--output-dir", str(tmp_path / "sweep"),
+        "--tokenizer", "hash", "--model-name", "tiny",
+        "--train-batch-size", "4", "--predict-batch-size", "4",
+        "--num-epochs", "1", "--max-q-len", "12", "--max-q-sp-len", "32",
+        "--max-c-len", "24", "--data-parallel", "2"])
+    assert best["best_mrr"] > 0
+    with open(tmp_path / "sweep" / "sweep_results.jsonl") as f:
+        assert len(f.readlines()) == 2

@@ -30,6 +30,9 @@ def main(argv=None):
     p.add_argument("--max-c-len", type=int, default=300)
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--chunk-rows", type=int, default=4096)
+    p.add_argument("--index-dtype", default="bfloat16",
+                   choices=["bfloat16", "float32", "int8"],
+                   help="int8 halves HBM vs bf16 (per-row symmetric scales)")
     p.add_argument("--max-docs", type=int, default=None)
     p.add_argument("--data-parallel", type=int, default=None,
                    help="devices on the data axis (default: all)")
@@ -51,9 +54,11 @@ def main(argv=None):
         lambda p_, ids, mask, *t: model.apply(p_, ids, mask, *t,
                                               method=model.encode_seq))
     logger.info("encoding on %s", mesh)
+    import jax.numpy as jnp
     index = build_index(encode_fn, params, tc, tok.spec,
                         max_c_len=args.max_c_len, batch_size=args.batch_size,
-                        chunk_rows=args.chunk_rows, mesh=mesh, progress=True)
+                        chunk_rows=args.chunk_rows, mesh=mesh, progress=True,
+                        dtype=jnp.dtype(args.index_dtype))
 
     os.makedirs(args.out_dir, exist_ok=True)
     index.save(os.path.join(args.out_dir, "index.npz"))

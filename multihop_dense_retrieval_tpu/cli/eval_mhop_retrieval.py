@@ -52,6 +52,94 @@ def load_searcher(index_dir, tok, model, params, cfg, mesh=None):
         spec=spec, config=cfg, mesh=mesh)
 
 
+class _HnswBeamSearcher:
+    """Host-serving 2-hop engine: device encodes, native HNSW searches.
+
+    Mirrors the reference's --hnsw mode (eval_mhop_retrieval.py:96-119,
+    153-188) with the same .search() result contract as BeamSearcher.
+    """
+
+    def __init__(self, hnsw, encode, tok, corpus, cfg, ef_search):
+        self.hnsw = hnsw
+        self.encode = encode
+        self.tok = tok
+        self.corpus = corpus
+        self.cfg = cfg
+        self.ef = ef_search
+
+    def search(self, q_inputs, q_raw_ids, q_raw_lens):
+        import jax.numpy as jnp
+        from ..ops.mips import NEG_INF
+
+        cfg = self.cfg
+        beam1, beam2, topk = cfg.beam_size_1, cfg.beam_size_2, cfg.topk
+        q_vec = np.asarray(self.encode(jnp.asarray(q_inputs["input_ids"]),
+                                       jnp.asarray(q_inputs["attention_mask"])),
+                           np.float32)
+        d1, i1 = self.hnsw.search(q_vec, beam1, self.ef)
+        bsz = q_vec.shape[0]
+        # assemble hop-2 inputs from raw question ids ⊕ doc-text ids (id-level
+        # pair encoding — identical to the reference's host retokenization)
+        from ..search.beam import assemble_pair_inputs
+
+        doc_rows = []
+        for b in range(bsz):
+            for s in range(beam1):
+                doc = self.corpus[int(i1[b, s])]
+                text = doc["text"] if doc["text"].strip() else doc["title"]
+                if not doc["text"].strip():
+                    d1[b, s] = NEG_INF
+                doc_rows.append(self.tok.raw_ids_padded(text, 300))
+        b_ids = np.stack([r[0] for r in doc_rows])
+        b_lens = np.array([r[1] for r in doc_rows])
+        a_ids = np.repeat(q_raw_ids, beam1, axis=0)
+        a_lens = np.repeat(q_raw_lens, beam1, axis=0)
+        qsp = assemble_pair_inputs(jnp.asarray(a_ids), jnp.asarray(a_lens),
+                                   jnp.asarray(b_ids), jnp.asarray(b_lens),
+                                   cfg.max_q_sp_len, self.tok.spec)
+        qsp_vec = np.asarray(self.encode(qsp["input_ids"],
+                                         qsp["attention_mask"]), np.float32)
+        d2, i2 = self.hnsw.search(qsp_vec, beam2, self.ef)
+        d2 = d2.reshape(bsz, beam1, beam2)
+        i2 = i2.reshape(bsz, beam1, beam2)
+        path = d1[:, :, None] + d2
+        flatscores = path.reshape(bsz, -1)
+        order = np.argsort(-flatscores, axis=1)[:, :topk]
+        hop1_slot = order // beam2
+        return {
+            "path_scores": np.take_along_axis(flatscores, order, axis=1),
+            "hop1_ids": np.take_along_axis(i1, hop1_slot, axis=1),
+            "hop2_ids": np.take_along_axis(i2.reshape(bsz, -1), order, axis=1),
+            "hop1_cand_ids": i1,
+            "hop1_cand_scores": d1,
+        }
+
+
+def _hnsw_searcher(args, logger, tok, model, params, cfg, corpus):
+    import jax
+    import jax.numpy as jnp
+    from ..index.hnsw import HNSWIndex
+
+    hnsw_path = os.path.join(args.index_dir, "index.hnsw")
+    if os.path.exists(hnsw_path):
+        logger.info("loading HNSW index %s", hnsw_path)
+        hnsw = HNSWIndex.load(hnsw_path)
+    else:
+        logger.info("building HNSW index from index.npz ...")
+        dense = DenseIndex.load(os.path.join(args.index_dir, "index.npz"))
+        vecs = np.asarray(dense.vectors[: dense.n_docs], np.float32)
+        hnsw = HNSWIndex(vecs.shape[1], M=32, ef_construction=200)
+        hnsw.add(vecs)
+        hnsw.save(hnsw_path)
+        logger.info("built + cached %s (%d vectors)", hnsw_path, len(hnsw))
+
+    # params passed as an argument (never close over big arrays in jit)
+    _enc = jax.jit(lambda p, ids, mask: model.apply(
+        p, ids, mask, method=model.encode_seq))
+    encode = lambda ids, mask: _enc(params, ids, mask)
+    return _HnswBeamSearcher(hnsw, encode, tok, corpus, cfg, args.ef_search)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("raw_data", help="eval JSONL: question/sp/type per line")
@@ -70,6 +158,11 @@ def main(argv=None):
     p.add_argument("--chunk-rows", type=int, default=4096)
     p.add_argument("--no-pallas", action="store_true")
     p.add_argument("--index-shards", type=int, default=1)
+    p.add_argument("--hnsw", action="store_true",
+                   help="host-side approximate search via the native C++ "
+                        "HNSW index (reference --hnsw parity); builds and "
+                        "caches <index_dir>/index.hnsw")
+    p.add_argument("--ef-search", type=int, default=128)
     p.add_argument("--save-path", default="")
     args = p.parse_args(argv)
 
@@ -87,9 +180,13 @@ def main(argv=None):
                        max_q_sp_len=args.max_q_sp_len,
                        chunk_rows=args.chunk_rows,
                        use_pallas=not args.no_pallas)
-    mesh = make_mesh(index=args.index_shards) if args.index_shards > 1 else None
-    searcher = load_searcher(args.index_dir, tok, model, params, cfg, mesh)
     corpus = Corpus.from_id2doc(os.path.join(args.index_dir, "id2doc.json"))
+    if args.hnsw:
+        searcher = _hnsw_searcher(args, logger, tok, model, params, cfg, corpus)
+    else:
+        mesh = (make_mesh(index=args.index_shards)
+                if args.index_shards > 1 else None)
+        searcher = load_searcher(args.index_dir, tok, model, params, cfg, mesh)
 
     metrics, outputs = [], []
     bs = args.batch_size

@@ -26,7 +26,7 @@ from . import common
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("raw_data", help="eval JSONL: question/answer per line")
+    p.add_argument("raw_data", help="eval JSONL: question (or FEVER claim)/answer per line")
     p.add_argument("index_dir")
     p.add_argument("--tokenizer", default="hash")
     p.add_argument("--model-name", default="roberta-base")
@@ -62,8 +62,8 @@ def main(argv=None):
     for s in range(0, len(items), bs):
         batch = items[s:s + bs]
         pad = bs - len(batch)
-        qs = [(r["question"][:-1] if r["question"].endswith("?")
-               else r["question"]) for r in batch]
+        qs = [r.get("question", r.get("claim", "")) for r in batch]
+        qs = [q[:-1] if q.endswith("?") else q for q in qs]
         enc = tok.encode_batch_one(qs + [qs[-1]] * pad, args.max_q_len)
         vecs = encode(params, jnp.asarray(enc["input_ids"]),
                       jnp.asarray(enc["attention_mask"]))
@@ -118,7 +118,7 @@ def main(argv=None):
         with open(args.save_path, "w") as f:
             for i, row in enumerate(items):
                 f.write(json.dumps({
-                    "question": row["question"],
+                    "question": row.get("question", row.get("claim", "")),
                     "retrieved": [corpus[int(d)]["title"] for d in all_ids[i]],
                 }) + "\n")
     return out

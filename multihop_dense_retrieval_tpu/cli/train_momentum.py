@@ -23,9 +23,26 @@ def main(argv=None):
     p.add_argument("--queue-size", type=int, default=76800)
     p.add_argument("--momentum-m", type=float, default=0.999)
     p.add_argument("--enable-ema", action="store_true")
+    p.add_argument("--fever", action="store_true",
+                   help="FEVER multi-hop claims (the reference auto-detects "
+                        "'fever' in the path, train_momentum.py:86-91)")
     args = p.parse_args(argv)
     logger = common.setup_logging(args.output_dir or None)
     cfg, model, params, train_loader, eval_loader, mesh = build(args)
+    if args.fever or "fever" in args.train_file.lower():
+        from ..data import BatchLoader
+        from ..data.unified_dataset import FeverDataset
+
+        kw = dict(max_q_len=cfg.max_q_len, max_q_sp_len=cfg.max_q_sp_len,
+                  max_c_len=cfg.max_c_len)
+        train_loader = BatchLoader(
+            FeverDataset(common.resolve_tokenizer(args.tokenizer),
+                         args.train_file, train=True, seed=args.seed, **kw),
+            cfg.batch_size, shuffle=True, seed=args.seed)
+        eval_loader = BatchLoader(
+            FeverDataset(common.resolve_tokenizer(args.tokenizer),
+                         args.predict_file, **kw),
+            cfg.eval_batch_size)
     cfg = dataclasses.replace(cfg, momentum=True, queue_size=args.queue_size,
                               momentum_m=args.momentum_m)
     trainer = RetrieverTrainer(model, cfg, train_loader, eval_loader,

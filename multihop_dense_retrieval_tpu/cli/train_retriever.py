@@ -36,9 +36,14 @@ def add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--max-c-len", type=int, default=300)
     p.add_argument("--seed", type=int, default=3)
     p.add_argument("--data-parallel", type=int, default=None)
+    p.add_argument("--unified", action="store_true",
+                   help="variable-hop training with the stop head "
+                        "(UnifiedRetriever + UnifiedDataset)")
 
 
-def build(args, unified: bool = False):
+def build(args, unified: bool = None):
+    if unified is None:
+        unified = getattr(args, "unified", False)
     cfg = RetrieverTrainConfig(
         batch_size=args.train_batch_size,
         eval_batch_size=args.predict_batch_size,
@@ -54,8 +59,16 @@ def build(args, unified: bool = False):
                                           seed=args.seed)
     kw = dict(max_q_len=cfg.max_q_len, max_q_sp_len=cfg.max_q_sp_len,
               max_c_len=cfg.max_c_len)
-    train_ds = MhopDataset(tok, args.train_file, train=True, seed=args.seed, **kw)
-    eval_ds = MhopDataset(tok, args.predict_file, **kw)
+    if unified:
+        from ..data.unified_dataset import UnifiedDataset
+
+        train_ds = UnifiedDataset(tok, args.train_file, train=True,
+                                  seed=args.seed, **kw)
+        eval_ds = UnifiedDataset(tok, args.predict_file, **kw)
+    else:
+        train_ds = MhopDataset(tok, args.train_file, train=True,
+                               seed=args.seed, **kw)
+        eval_ds = MhopDataset(tok, args.predict_file, **kw)
     train_loader = BatchLoader(train_ds, cfg.batch_size, shuffle=True,
                                seed=args.seed)
     eval_loader = BatchLoader(eval_ds, cfg.eval_batch_size, shuffle=False)

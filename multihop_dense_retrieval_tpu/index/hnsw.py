@@ -1,0 +1,124 @@
+"""ctypes binding for the native HNSW index (native/hnsw.cpp).
+
+Host-side approximate-MIPS serving path — parity with the reference's
+`--hnsw` mode (eval_mhop_retrieval.py:96-119), used when no TPU is attached
+or the index must live in host RAM.  The TPU path (ops/mips.py) is exact and
+usually both faster and higher-recall; this exists for CPU-only serving and
+API completeness.
+
+The shared library is compiled on first use with g++ -O3 (and -fopenmp when
+available) and cached next to the source.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_SRC = os.path.join(_NATIVE_DIR, "hnsw.cpp")
+_LIB = os.path.join(_NATIVE_DIR, "libhnsw.so")
+
+_lib = None
+
+
+def _build() -> str:
+    if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
+        return _LIB
+    for flags in (["-fopenmp"], []):
+        cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+               "-o", _LIB, _SRC] + flags
+        try:
+            subprocess.run(cmd, check=True, capture_output=True)
+            return _LIB
+        except subprocess.CalledProcessError as e:
+            last_err = e.stderr.decode()
+    raise RuntimeError(f"failed to build libhnsw.so:\n{last_err}")
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    lib = ctypes.CDLL(_build())
+    lib.hnsw_new.restype = ctypes.c_void_p
+    lib.hnsw_new.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                             ctypes.c_uint64]
+    lib.hnsw_free.argtypes = [ctypes.c_void_p]
+    lib.hnsw_add_batch.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                   ctypes.POINTER(ctypes.c_float)]
+    lib.hnsw_size.restype = ctypes.c_int64
+    lib.hnsw_size.argtypes = [ctypes.c_void_p]
+    lib.hnsw_search_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_float)]
+    lib.hnsw_save.restype = ctypes.c_int
+    lib.hnsw_save.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.hnsw_load.restype = ctypes.c_void_p
+    lib.hnsw_load.argtypes = [ctypes.c_char_p]
+    _lib = lib
+    return lib
+
+
+class HNSWIndex:
+    """Approximate MIPS over host RAM.  add() then search() like FAISS."""
+
+    def __init__(self, dim: int, M: int = 32, ef_construction: int = 200,
+                 seed: int = 0, _handle=None):
+        self._lib = _load()
+        self.dim = dim
+        self._h = _handle if _handle is not None else self._lib.hnsw_new(
+            dim, M, ef_construction, seed)
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.hnsw_free(self._h)
+            self._h = None
+
+    def __len__(self) -> int:
+        return int(self._lib.hnsw_size(self._h))
+
+    def add(self, vectors: np.ndarray):
+        v = np.ascontiguousarray(vectors, np.float32)
+        assert v.ndim == 2 and v.shape[1] == self.dim
+        self._lib.hnsw_add_batch(
+            self._h, v.shape[0],
+            v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+
+    def search(self, queries: np.ndarray, k: int,
+               ef_search: int = 128) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (scores (B, k) fp32 inner products, ids (B, k) int64)."""
+        q = np.ascontiguousarray(queries, np.float32)
+        assert q.ndim == 2 and q.shape[1] == self.dim
+        nq = q.shape[0]
+        ids = np.empty((nq, k), np.int64)
+        scores = np.empty((nq, k), np.float32)
+        self._lib.hnsw_search_batch(
+            self._h, nq, q.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            k, ef_search, ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        return scores, ids
+
+    def save(self, path: str):
+        rc = self._lib.hnsw_save(self._h, path.encode())
+        if rc != 0:
+            raise IOError(f"hnsw_save failed: {path}")
+
+    @classmethod
+    def load(cls, path: str, dim: Optional[int] = None) -> "HNSWIndex":
+        lib = _load()
+        h = lib.hnsw_load(path.encode())
+        if not h:
+            raise IOError(f"hnsw_load failed: {path}")
+        # dim is stored in the file header; re-read it cheaply
+        with open(path, "rb") as f:
+            import struct
+
+            file_dim = struct.unpack("<i", f.read(4))[0]
+        return cls(dim or file_dim, _handle=h)

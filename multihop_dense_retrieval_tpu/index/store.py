@@ -32,8 +32,9 @@ def _round_up(x: int, m: int) -> int:
 
 @dataclasses.dataclass
 class DenseIndex:
-    vectors: jnp.ndarray  # (N_pad, D), bf16 (or fp32 on CPU tests)
+    vectors: jnp.ndarray  # (N_pad, D): bf16, fp32 (CPU tests), or int8
     n_docs: int           # true row count
+    scales: Optional[jnp.ndarray] = None  # (N_pad,) f32, int8 indexes only
 
     @classmethod
     def build(cls, embeddings: np.ndarray, *, chunk_rows: int = 4096,
@@ -43,25 +44,43 @@ class DenseIndex:
         n_pad = _round_up(n, chunk_rows * n_shards)
         out = np.zeros((n_pad, d), dtype=np.float32)
         out[:n] = np.asarray(embeddings, np.float32)
-        arr = jnp.asarray(out, dtype=dtype)
+        scales = None
+        if jnp.dtype(dtype) == jnp.int8:
+            # symmetric per-row int8: halves HBM vs bf16, quarter of the
+            # reference's fp32 FAISS index; recall parity tested
+            from ..ops.mips import quantize_rows
+
+            arr, scales = quantize_rows(jnp.asarray(out))
+        else:
+            arr = jnp.asarray(out, dtype=dtype)
         if mesh is not None:
-            arr = jax.device_put(arr, NamedSharding(mesh, P(INDEX_AXIS, None)))
-        return cls(vectors=arr, n_docs=n)
+            sh = NamedSharding(mesh, P(INDEX_AXIS, None))
+            arr = jax.device_put(arr, sh)
+            if scales is not None:
+                scales = jax.device_put(scales, NamedSharding(mesh, P(INDEX_AXIS)))
+        return cls(vectors=arr, n_docs=n, scales=scales)
 
     def shard(self, mesh: Mesh) -> "DenseIndex":
         arr = jax.device_put(self.vectors, NamedSharding(mesh, P(INDEX_AXIS, None)))
-        return DenseIndex(vectors=arr, n_docs=self.n_docs)
+        scales = None if self.scales is None else jax.device_put(
+            self.scales, NamedSharding(mesh, P(INDEX_AXIS)))
+        return DenseIndex(vectors=arr, n_docs=self.n_docs, scales=scales)
 
     # ---- persistence -----------------------------------------------------
 
     def save(self, path: str):
+        extra = {}
+        if self.scales is not None:
+            extra["scales"] = np.asarray(jax.device_get(self.scales))
         if self.vectors.dtype == jnp.bfloat16:
             payload = np.asarray(jax.device_get(
                 jax.lax.bitcast_convert_type(self.vectors, jnp.uint16)))
-            np.savez(path, payload=payload, dtype="bfloat16", n_docs=self.n_docs)
+            np.savez(path, payload=payload, dtype="bfloat16",
+                     n_docs=self.n_docs, **extra)
         else:
             host = np.asarray(jax.device_get(self.vectors))
-            np.savez(path, payload=host, dtype=str(host.dtype), n_docs=self.n_docs)
+            np.savez(path, payload=host, dtype=str(host.dtype),
+                     n_docs=self.n_docs, **extra)
 
     @classmethod
     def load(cls, path: str, mesh: Optional[Mesh] = None) -> "DenseIndex":
@@ -71,7 +90,8 @@ class DenseIndex:
             arr = jax.lax.bitcast_convert_type(jnp.asarray(payload), jnp.bfloat16)
         else:
             arr = jnp.asarray(payload)
-        idx = cls(vectors=arr, n_docs=int(z["n_docs"]))
+        scales = jnp.asarray(z["scales"]) if "scales" in z.files else None
+        idx = cls(vectors=arr, n_docs=int(z["n_docs"]), scales=scales)
         return idx.shard(mesh) if mesh is not None else idx
 
     @classmethod

@@ -119,6 +119,8 @@ class BeamSearcher:
             "text_lens": self.text_lens,
             "empty": self.empty,
         }
+        if self.index.scales is not None:
+            self._store["scales"] = self.index.scales
         impl = functools.partial(
             self._search_impl,
             beam1=cfg.beam_size_1, beam2=cfg.beam_size_2, topk=cfg.topk)
@@ -130,18 +132,18 @@ class BeamSearcher:
 
     # ------------------------------------------------------------------
 
-    def _mips(self, vectors, queries, k):
+    def _mips(self, vectors, queries, k, scales=None):
         if self.mesh is not None and self.mesh.shape.get("index", 1) > 1:
             return sharded_mips_topk(
                 vectors, queries, k, self.mesh,
                 use_pallas=self.config.use_pallas,
                 chunk_rows=self.config.chunk_rows,
-                n_valid=self.index.n_docs)
+                n_valid=self.index.n_docs, doc_scales=scales)
         return mips_topk(
             vectors, queries, k,
             use_pallas=self.config.use_pallas,
             chunk_rows=self.config.chunk_rows,
-            n_valid=self.index.n_docs)
+            n_valid=self.index.n_docs, doc_scales=scales)
 
     def _search_impl(self, params, store, q_inputs, q_raw_ids, q_raw_lens,
                      *, beam1: int, beam2: int, topk: int):
@@ -151,7 +153,8 @@ class BeamSearcher:
         # hop 1 ---------------------------------------------------------
         q_vec = self.encode_fn(params, q_inputs["input_ids"],
                                q_inputs["attention_mask"])
-        d1, i1 = self._mips(store["vectors"], q_vec.astype(jnp.float32), beam1)
+        d1, i1 = self._mips(store["vectors"], q_vec.astype(jnp.float32), beam1,
+                            scales=store.get("scales"))
         # empty-text docs cannot start a chain (eval_mhop_retrieval.py:165)
         d1 = jnp.where(store["empty"][i1], NEG_INF, d1)
 
@@ -163,7 +166,8 @@ class BeamSearcher:
         qsp = assemble_pair_inputs(a_ids, a_lens, doc_ids, doc_lens,
                                    cfg.max_q_sp_len, self.spec)
         qsp_vec = self.encode_fn(params, qsp["input_ids"], qsp["attention_mask"])
-        d2, i2 = self._mips(store["vectors"], qsp_vec.astype(jnp.float32), beam2)
+        d2, i2 = self._mips(store["vectors"], qsp_vec.astype(jnp.float32), beam2,
+                            scales=store.get("scales"))
         d2 = d2.reshape(bsz, beam1, beam2)
         i2 = i2.reshape(bsz, beam1, beam2)
 

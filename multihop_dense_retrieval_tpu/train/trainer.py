@@ -131,15 +131,23 @@ def _batch_sharding(mesh: Optional[Mesh]):
 
 
 def make_train_step(model, tx, *, unified: bool = False, task: str = None,
-                    mesh: Optional[Mesh] = None) -> Callable:
+                    mesh: Optional[Mesh] = None,
+                    tensor_parallel: bool = False) -> Callable:
     """Returns jitted (state, batch) -> (state, loss).
 
     task: "mhop" (default) | "unified" | "single" (DPR, train_single.py
     parity) | "nq" (error-recovery variants).
+
+    tensor_parallel=True additionally shards attention heads + FFN over the
+    mesh `index` axis (parallel/sharding.py) — dp × tp in one step.
     """
     task = task or ("unified" if unified else "mhop")
 
     def loss_fn(params, batch):
+        if tensor_parallel and mesh is not None:
+            from ..parallel.sharding import constrain_params
+
+            params = constrain_params(params, mesh)
         outputs = model.apply(params, batch)
         if task == "unified":
             return losses.unified_loss(outputs, batch["stop_targets"])
@@ -206,6 +214,27 @@ def make_momentum_train_step(model, tx, *, enable_ema: bool = False,
     if shard is None:
         return jax.jit(step)
     return jax.jit(step, in_shardings=(None, shard), donate_argnums=(0,))
+
+
+def make_momentum_eval_step(model, mesh: Optional[Mesh] = None) -> Callable:
+    """Momentum-stage eval: queries via encoder_q, contexts via encoder_k —
+    matching the reference's eval-mode forward (mhop_retriever.py:120-126)."""
+
+    def step(params_q, params_k, batch):
+        outputs = {}
+        for name, pref, params in (
+                ("q", "q_", params_q), ("q_sp1", "q_sp_", params_q),
+                ("c1", "c1_", params_k), ("c2", "c2_", params_k),
+                ("neg_1", "neg1_", params_k), ("neg_2", "neg2_", params_k)):
+            outputs[name] = model.apply(
+                params, batch[f"{pref}input_ids"], batch[f"{pref}mask"],
+                method=model.encode_seq)
+        return losses.mhop_eval(outputs)
+
+    shard = _batch_sharding(mesh)
+    if shard is None:
+        return jax.jit(step)
+    return jax.jit(step, in_shardings=(None, None, shard))
 
 
 def make_eval_step(model, *, unified: bool = False, task: str = None,
@@ -299,11 +328,24 @@ class RetrieverTrainer:
             self.state = TrainState.create(init_params, self.tx)
             self.train_step = make_train_step(model, self.tx,
                                               unified=cfg.unified, mesh=mesh)
-        self.eval_step = make_eval_step(model, unified=cfg.unified, mesh=mesh)
+        if cfg.momentum:
+            mstep = make_momentum_eval_step(model, mesh=mesh)
+            self.eval_step = lambda params, batch: mstep(
+                params, self.state.params_k, batch)
+        else:
+            self.eval_step = make_eval_step(model, unified=cfg.unified,
+                                            mesh=mesh)
         self.best_mrr = 0.0
 
     def run(self) -> Dict[str, float]:
+        writer = None
+        if self.output_dir:
+            from ..utils.meters import MetricWriter
+
+            writer = MetricWriter(f"{self.output_dir}/tb")
+        smoothed = None
         history = []
+        step_no = 0
         for epoch in range(self.cfg.num_epochs):
             losses_seen = []
             for batch in self.train_loader:
@@ -311,11 +353,20 @@ class RetrieverTrainer:
                 self.state, loss = self.train_step(
                     self.state, {k: jnp.asarray(v) for k, v in batch.items()})
                 losses_seen.append(float(loss))
+                step_no += 1
+                if writer:
+                    # same scalars the reference logs (train_mhop.py:193-196)
+                    smoothed = (float(loss) if smoothed is None
+                                else 0.99 * smoothed + 0.01 * float(loss))
+                    writer.add_scalar("batch_train_loss", float(loss), step_no)
+                    writer.add_scalar("smoothed_train_loss", smoothed, step_no)
             mrrs = evaluate_mrr(self.eval_step, self.state.params,
                                 self.eval_loader)
             stats = EpochStats(float(np.mean(losses_seen)),
                                mrrs["mrr_1"], mrrs["mrr_2"])
             history.append(stats)
+            if writer:
+                writer.add_scalar("dev_mrr", stats.mrr_avg, epoch)
             self.log(f"epoch {epoch}: loss={stats.train_loss:.4f} "
                      f"mrr1={stats.mrr_1:.4f} mrr2={stats.mrr_2:.4f}")
             if self.output_dir:
@@ -327,5 +378,7 @@ class RetrieverTrainer:
                                            self.state.params)
             else:
                 self.best_mrr = max(self.best_mrr, stats.mrr_avg)
+        if writer:
+            writer.close()
         return {"best_mrr": self.best_mrr,
                 "final_loss": history[-1].train_loss if history else 0.0}

@@ -1,0 +1,281 @@
+// HNSW approximate maximum-inner-product index (host-side serving path).
+//
+// Native replacement for the reference's FAISS IndexHNSWFlat usage
+// (scripts/eval/eval_mhop_retrieval.py:96-119).  The reference squeezes IP
+// search into FAISS's L2 HNSW via an auxiliary dimension sqrt(phi - |x|^2)
+// and negates distances afterwards (:44-47,187-188); since this is our own
+// implementation we order neighbors by inner product directly — same result,
+// no aux dimension, no phi pass over the corpus.
+//
+// Exposed as a C API for ctypes (no pybind11 in this environment).
+// Build: g++ -O3 -shared -fPIC -o libhnsw.so hnsw.cpp [-fopenmp]
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <queue>
+#include <random>
+#include <vector>
+
+namespace {
+
+struct HNSW {
+  int dim;
+  int M;               // max neighbors per node per layer (2M at layer 0)
+  int ef_construction;
+  int max_level = -1;
+  int entry = -1;
+  std::vector<float> data;                    // n * dim
+  std::vector<int> levels;                    // level of each node
+  // neighbors[l][i] = fixed-capacity adjacency (M or 2M), -1 padded
+  std::vector<std::vector<int>> neighbors;    // per level, n * cap
+  std::mt19937 rng;
+  double level_mult;
+
+  HNSW(int d, int m, int efc, uint64_t seed)
+      : dim(d), M(m), ef_construction(efc), rng(seed),
+        level_mult(1.0 / std::log(std::max(2, m))) {}
+
+  int n() const { return (int)levels.size(); }
+  int cap(int level) const { return level == 0 ? 2 * M : M; }
+  const float* vec(int i) const { return data.data() + (size_t)i * dim; }
+
+  float ip(const float* a, const float* b) const {
+    float s = 0.f;
+    for (int i = 0; i < dim; ++i) s += a[i] * b[i];
+    return s;
+  }
+
+  int* nbrs(int level, int node) {
+    return neighbors[level].data() + (size_t)node * cap(level);
+  }
+
+  int random_level() {
+    std::uniform_real_distribution<double> u(0.0, 1.0);
+    double r = u(rng);
+    int lvl = (int)(-std::log(std::max(r, 1e-12)) * level_mult);
+    return std::min(lvl, 24);
+  }
+
+  // greedy ascent at one layer: move to the best-scoring neighbor until stuck
+  int greedy(const float* q, int start, int level) const {
+    int cur = start;
+    float best = ip(q, vec(cur));
+    bool improved = true;
+    while (improved) {
+      improved = false;
+      const int* nb = neighbors[level].data() + (size_t)cur * cap(level);
+      for (int j = 0; j < cap(level); ++j) {
+        int cand = nb[j];
+        if (cand < 0) break;
+        float s = ip(q, vec(cand));
+        if (s > best) { best = s; cur = cand; improved = true; }
+      }
+    }
+    return cur;
+  }
+
+  // beam search at one layer; returns up to ef (score, id), best first
+  void search_layer(const float* q, int start, int level, int ef,
+                    std::vector<std::pair<float, int>>& out) const {
+    // min-heap of results (worst on top), max-heap of candidates
+    std::priority_queue<std::pair<float, int>,
+                        std::vector<std::pair<float, int>>,
+                        std::greater<>> results;
+    std::priority_queue<std::pair<float, int>> candidates;
+    std::vector<uint8_t> visited(n(), 0);
+
+    float s0 = ip(q, vec(start));
+    results.push({s0, start});
+    candidates.push({s0, start});
+    visited[start] = 1;
+
+    while (!candidates.empty()) {
+      auto [cs, cid] = candidates.top();
+      candidates.pop();
+      if ((int)results.size() >= ef && cs < results.top().first) break;
+      const int* nb = neighbors[level].data() + (size_t)cid * cap(level);
+      for (int j = 0; j < cap(level); ++j) {
+        int cand = nb[j];
+        if (cand < 0) break;
+        if (visited[cand]) continue;
+        visited[cand] = 1;
+        float s = ip(q, vec(cand));
+        if ((int)results.size() < ef || s > results.top().first) {
+          results.push({s, cand});
+          candidates.push({s, cand});
+          if ((int)results.size() > ef) results.pop();
+        }
+      }
+    }
+    out.clear();
+    out.reserve(results.size());
+    while (!results.empty()) { out.push_back(results.top()); results.pop(); }
+    std::reverse(out.begin(), out.end());  // best first
+  }
+
+  // connect `node` to up to cap neighbors chosen from candidates (best-IP
+  // first), adding reverse links with simple worst-drop pruning
+  void connect(int node, int level,
+               const std::vector<std::pair<float, int>>& cands) {
+    int c = cap(level);
+    int* nb = nbrs(level, node);
+    int count = 0;
+    for (auto& [s, id] : cands) {
+      if (id == node) continue;
+      nb[count++] = id;
+      if (count == c) break;
+    }
+    // reverse links
+    for (int j = 0; j < count; ++j) {
+      int other = nb[j];
+      int* onb = nbrs(level, other);
+      int k = 0;
+      while (k < c && onb[k] >= 0) ++k;
+      if (k < c) {
+        onb[k] = node;
+      } else {
+        // replace the worst current neighbor if node scores better
+        float s_new = ip(vec(other), vec(node));
+        int worst = -1;
+        float worst_s = s_new;
+        for (int t = 0; t < c; ++t) {
+          float s = ip(vec(other), vec(onb[t]));
+          if (s < worst_s) { worst_s = s; worst = t; }
+        }
+        if (worst >= 0) onb[worst] = node;
+      }
+    }
+  }
+
+  void add(const float* v) {
+    int id = n();
+    data.insert(data.end(), v, v + dim);
+    int lvl = random_level();
+    levels.push_back(lvl);
+    while ((int)neighbors.size() <= lvl) neighbors.emplace_back();
+    for (int l = 0; l <= lvl; ++l) {
+      size_t need = (size_t)(id + 1) * cap(l);
+      if (neighbors[l].size() < need) neighbors[l].resize(need, -1);
+    }
+    // keep adjacency sized for ALL nodes at every existing level (simpler io)
+    for (int l = 0; l < (int)neighbors.size(); ++l) {
+      size_t need = (size_t)(id + 1) * cap(l);
+      if (neighbors[l].size() < need) neighbors[l].resize(need, -1);
+    }
+
+    if (entry < 0) { entry = id; max_level = lvl; return; }
+
+    int cur = entry;
+    for (int l = max_level; l > lvl; --l) cur = greedy(v, cur, l);
+    std::vector<std::pair<float, int>> cands;
+    for (int l = std::min(lvl, max_level); l >= 0; --l) {
+      search_layer(v, cur, l, ef_construction, cands);
+      connect(id, l, cands);
+      cur = cands.empty() ? cur : cands[0].second;
+    }
+    if (lvl > max_level) { max_level = lvl; entry = id; }
+  }
+
+  void search(const float* q, int k, int ef, int64_t* out_ids,
+              float* out_scores) const {
+    if (entry < 0) {
+      for (int i = 0; i < k; ++i) { out_ids[i] = -1; out_scores[i] = -1e30f; }
+      return;
+    }
+    int cur = entry;
+    for (int l = max_level; l > 0; --l) cur = greedy(q, cur, l);
+    std::vector<std::pair<float, int>> cands;
+    search_layer(q, cur, 0, std::max(ef, k), cands);
+    for (int i = 0; i < k; ++i) {
+      if (i < (int)cands.size()) {
+        out_ids[i] = cands[i].second;
+        out_scores[i] = cands[i].first;
+      } else {
+        out_ids[i] = -1;
+        out_scores[i] = -1e30f;
+      }
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* hnsw_new(int dim, int M, int ef_construction, uint64_t seed) {
+  return new HNSW(dim, M, ef_construction, seed);
+}
+
+void hnsw_free(void* h) { delete (HNSW*)h; }
+
+void hnsw_add_batch(void* h, int64_t count, const float* vecs) {
+  HNSW* idx = (HNSW*)h;
+  for (int64_t i = 0; i < count; ++i) idx->add(vecs + i * idx->dim);
+}
+
+int64_t hnsw_size(void* h) { return ((HNSW*)h)->n(); }
+
+void hnsw_search_batch(void* h, int64_t nq, const float* qs, int k, int ef,
+                       int64_t* out_ids, float* out_scores) {
+  HNSW* idx = (HNSW*)h;
+#pragma omp parallel for schedule(dynamic)
+  for (int64_t i = 0; i < nq; ++i) {
+    idx->search(qs + i * idx->dim, k, ef, out_ids + i * k,
+                out_scores + i * k);
+  }
+}
+
+int hnsw_save(void* h, const char* path) {
+  HNSW* idx = (HNSW*)h;
+  FILE* f = fopen(path, "wb");
+  if (!f) return -1;
+  int32_t header[4] = {idx->dim, idx->M, idx->ef_construction, idx->max_level};
+  fwrite(header, sizeof(int32_t), 4, f);
+  int64_t n = idx->n(), entry = idx->entry;
+  fwrite(&n, sizeof(int64_t), 1, f);
+  fwrite(&entry, sizeof(int64_t), 1, f);
+  fwrite(idx->data.data(), sizeof(float), idx->data.size(), f);
+  fwrite(idx->levels.data(), sizeof(int), idx->levels.size(), f);
+  int32_t nlev = (int32_t)idx->neighbors.size();
+  fwrite(&nlev, sizeof(int32_t), 1, f);
+  for (auto& adj : idx->neighbors) {
+    int64_t sz = (int64_t)adj.size();
+    fwrite(&sz, sizeof(int64_t), 1, f);
+    fwrite(adj.data(), sizeof(int), adj.size(), f);
+  }
+  fclose(f);
+  return 0;
+}
+
+void* hnsw_load(const char* path) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  int32_t header[4];
+  if (fread(header, sizeof(int32_t), 4, f) != 4) { fclose(f); return nullptr; }
+  HNSW* idx = new HNSW(header[0], header[1], header[2], 0);
+  idx->max_level = header[3];
+  int64_t n, entry;
+  fread(&n, sizeof(int64_t), 1, f);
+  fread(&entry, sizeof(int64_t), 1, f);
+  idx->entry = (int)entry;
+  idx->data.resize((size_t)n * idx->dim);
+  fread(idx->data.data(), sizeof(float), idx->data.size(), f);
+  idx->levels.resize(n);
+  fread(idx->levels.data(), sizeof(int), n, f);
+  int32_t nlev;
+  fread(&nlev, sizeof(int32_t), 1, f);
+  idx->neighbors.resize(nlev);
+  for (auto& adj : idx->neighbors) {
+    int64_t sz;
+    fread(&sz, sizeof(int64_t), 1, f);
+    adj.resize(sz);
+    fread(adj.data(), sizeof(int), sz, f);
+  }
+  fclose(f);
+  return idx;
+}
+
+}  // extern "C"

@@ -20,5 +20,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the suite re-jits many tiny models; this cuts
+# repeat runs from ~11min to a fraction
+jax.config.update("jax_compilation_cache_dir", "/tmp/mdrt_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_enable_xla_caches",
+                  "xla_gpu_per_fusion_autotune_cache_dir")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -74,3 +74,44 @@ def test_sharded_2d_mesh():
                                    chunk_rows=256)
     bv, bi = _brute(index, q, k)
     np.testing.assert_array_equal(np.asarray(i_sh), bi)
+
+
+def test_int8_recall_vs_exact():
+    from multihop_dense_retrieval_tpu.ops.mips import (
+        quantize_rows, mips_topk_xla_int8, mips_topk_pallas_int8)
+    rng = np.random.RandomState(5)
+    index = jnp.asarray(rng.randn(2048, 64), jnp.float32)
+    q = jnp.asarray(rng.randn(16, 64), jnp.float32)
+    qi, sc = quantize_rows(index)
+    bv, bi = _brute(index, q, 10)
+    v, i = mips_topk_xla_int8(qi, sc, q, 10, chunk_rows=512)
+    recall = np.mean([len(set(np.asarray(i)[r]) & set(bi[r])) / 10
+                      for r in range(16)])
+    assert recall >= 0.9, recall
+    # scores close to exact
+    np.testing.assert_allclose(np.asarray(v)[:, 0], bv[:, 0], rtol=0.05)
+    # pallas interpret path agrees with the xla int8 path exactly
+    v2, i2 = mips_topk_pallas_int8(qi, sc, q, 10, chunk_rows=512,
+                                   interpret=True)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i2))
+
+
+def test_int8_dense_index_roundtrip(tmp_path):
+    from multihop_dense_retrieval_tpu.index.store import DenseIndex
+    from multihop_dense_retrieval_tpu.ops.mips import mips_topk
+    rng = np.random.RandomState(6)
+    emb = rng.randn(100, 32).astype(np.float32)
+    idx = DenseIndex.build(emb, chunk_rows=64, dtype=jnp.int8)
+    assert idx.vectors.dtype == jnp.int8 and idx.scales is not None
+    p = str(tmp_path / "i8.npz")
+    idx.save(p)
+    idx2 = DenseIndex.load(p)
+    np.testing.assert_array_equal(np.asarray(idx.vectors),
+                                  np.asarray(idx2.vectors))
+    q = jnp.asarray(rng.randn(8, 32), jnp.float32)
+    v, i = mips_topk(idx2.vectors, q, 5, doc_scales=idx2.scales,
+                     n_valid=idx2.n_docs, use_pallas=False)
+    bv, bi = _brute(emb, q, 5)
+    overlap = np.mean([len(set(np.asarray(i)[r]) & set(bi[r])) / 5
+                       for r in range(8)])
+    assert overlap >= 0.8

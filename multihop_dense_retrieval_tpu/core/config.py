@@ -47,6 +47,12 @@ class EncoderConfig:
     # Compute dtype.  Params are always fp32; activations run in this dtype
     # (bf16 feeds the MXU at full rate; the reference needed apex amp for this).
     dtype: str = "bfloat16"
+    # "xla" (default) or "flash" (fused pallas flash-attention, TPU-only,
+    # seq len must divide 128).  MEASURED on v5e at L<=512: XLA's fused
+    # attention is FASTER (69.7 vs 125.7 ms for a 96x384 encode) — keep
+    # "xla" for MDR shapes; "flash" exists for long-context variants where
+    # the (B,H,L,L) score matrix would dominate HBM.
+    attention_impl: str = "xla"
 
     @property
     def head_dim(self) -> int:

@@ -27,6 +27,7 @@ from typing import Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.config import EncoderConfig
 
@@ -81,17 +82,32 @@ class SelfAttention(nn.Module):
     config: EncoderConfig
 
     @nn.compact
-    def __call__(self, x, attn_bias):
+    def __call__(self, x, attn_bias, attention_mask=None):
         c = self.config
         h, d = c.num_heads, c.head_dim
         dt = c.compute_dtype
         q = nn.DenseGeneral((h, d), name="query", dtype=dt)(x)
         k = nn.DenseGeneral((h, d), name="key", dtype=dt)(x)
         v = nn.DenseGeneral((h, d), name="value", dtype=dt)(x)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(d).astype(dt)
-        scores = scores.astype(jnp.float32) + attn_bias  # bias is (B,1,1,L) fp32
-        probs = jax.nn.softmax(scores, axis=-1).astype(dt)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        L = x.shape[1]
+        use_flash = (c.attention_impl == "flash" and L % 128 == 0
+                     and attention_mask is not None
+                     and jax.default_backend() == "tpu")
+        if use_flash:
+            from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+            seg = attention_mask.astype(jnp.int32)
+            out = fa.flash_attention(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                segment_ids=fa.SegmentIds(seg, seg),
+                sm_scale=1.0 / float(np.sqrt(d)))
+            out = out.transpose(0, 2, 1, 3)  # back to (B, L, H, D)
+        else:
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(d).astype(dt)
+            scores = scores.astype(jnp.float32) + attn_bias  # (B,1,1,L) fp32
+            probs = jax.nn.softmax(scores, axis=-1).astype(dt)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         out = nn.DenseGeneral(c.hidden_size, axis=(-2, -1), name="out", dtype=dt)(out)
         return out
 
@@ -100,10 +116,11 @@ class EncoderLayer(nn.Module):
     config: EncoderConfig
 
     @nn.compact
-    def __call__(self, x, attn_bias):
+    def __call__(self, x, attn_bias, attention_mask=None):
         c = self.config
         dt = c.compute_dtype
-        attn_out = SelfAttention(c, name="attention")(x, attn_bias)
+        attn_out = SelfAttention(c, name="attention")(x, attn_bias,
+                                                      attention_mask)
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="attention_layer_norm",
                          dtype=jnp.float32)(x + attn_out).astype(dt)
         inter = nn.Dense(c.intermediate_size, name="intermediate", dtype=dt)(x)
@@ -143,7 +160,7 @@ class TransformerEncoder(nn.Module):
         layer_cls = nn.remat(EncoderLayer) if self.remat else EncoderLayer
         hiddens = [x]
         for i in range(c.num_layers):
-            x = layer_cls(c, name=f"layer_{i}")(x, attn_bias)
+            x = layer_cls(c, name=f"layer_{i}")(x, attn_bias, attention_mask)
             hiddens.append(x)
         if self.return_all_hiddens:
             return hiddens

@@ -107,20 +107,35 @@ class TokenizedCorpus:
 
     @classmethod
     def build(cls, corpus: Corpus, tokenizer: Tokenizer,
-              max_text_len: int = 300, max_title_len: int = 64) -> "TokenizedCorpus":
+              max_text_len: int = 300, max_title_len: int = 64,
+              num_workers: int = 8) -> "TokenizedCorpus":
+        """Tokenize the whole corpus once.  Parallelized with threads — HF
+        fast tokenizers release the GIL in their Rust core, so this scales;
+        the hash tokenizer doesn't but test corpora are tiny."""
+        import concurrent.futures as cf
+
         n = len(corpus)
         text_ids = np.full((n, max_text_len), tokenizer.spec.pad_id, np.int32)
         title_ids = np.full((n, max_title_len), tokenizer.spec.pad_id, np.int32)
         text_lens = np.zeros(n, np.int32)
         title_lens = np.zeros(n, np.int32)
         empty = np.zeros(n, bool)
-        for i in range(n):
+
+        def work(i):
             empty[i] = corpus.is_empty(i)
-            ids, ln = tokenizer.raw_ids_padded(corpus.encode_text(i), max_text_len)
+            ids, ln = tokenizer.raw_ids_padded(corpus.encode_text(i),
+                                               max_text_len)
             text_ids[i], text_lens[i] = ids, ln
             tids, tln = tokenizer.raw_ids_padded(corpus[i]["title"].strip(),
                                                  max_title_len)
             title_ids[i], title_lens[i] = tids, tln
+
+        if num_workers > 1 and n > 256:
+            with cf.ThreadPoolExecutor(num_workers) as pool:
+                list(pool.map(work, range(n), chunksize=512))
+        else:
+            for i in range(n):
+                work(i)
         return cls(text_ids, text_lens, title_ids, title_lens, empty)
 
     def save(self, path: str):

@@ -128,7 +128,7 @@ def mips_topk_xla(index: jnp.ndarray, queries: jnp.ndarray, k: int,
 
 
 def _mips_kernel(q_ref, chunk_ref, vals_ref, idx_ref, k: int, chunk_rows: int,
-                 n_valid: int):
+                 n_valid: int, k_eff: int = None):
     """One grid step: score a (C, D) chunk against (B, D) queries and merge
     into the running (B, K) top-k carried in the output refs.
 
@@ -155,8 +155,11 @@ def _mips_kernel(q_ref, chunk_ref, vals_ref, idx_ref, k: int, chunk_rows: int,
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
         scores = jnp.where(col + step * chunk_rows < n_valid, scores, NEG_INF)
 
+    k_eff = k if k_eff is None else k_eff
     chunk_best = jnp.max(scores, axis=1)          # (B,)
-    kth_best = vals_ref[:, k - 1]                 # (B,) running k-th best (sorted desc)
+    # only the first k_eff columns are live results (sorted desc); running
+    # merge rounds for the padded layout columns would waste VPU time
+    kth_best = vals_ref[:, k_eff - 1]
     improves = jnp.any(chunk_best > kth_best)
 
     @pl.when(improves)
@@ -172,7 +175,7 @@ def _mips_kernel(q_ref, chunk_ref, vals_ref, idx_ref, k: int, chunk_rows: int,
              jax.lax.broadcasted_iota(jnp.int32, (b, c), 1) + step * chunk_rows],
             axis=1)
         new_vals, new_idx = [], []
-        for _ in range(k):
+        for _ in range(k_eff):
             m = jnp.max(work_vals, axis=1, keepdims=True)            # (B, 1)
             at_max = work_vals == m
             sel_col = jnp.min(jnp.where(at_max, col_ids, jnp.int32(2**30)),
@@ -181,6 +184,10 @@ def _mips_kernel(q_ref, chunk_ref, vals_ref, idx_ref, k: int, chunk_rows: int,
             new_vals.append(m[:, 0])
             new_idx.append(jnp.sum(jnp.where(onehot, work_idx, 0), axis=1))
             work_vals = jnp.where(onehot, NEG_INF, work_vals)
+        pad = k - k_eff
+        if pad:
+            new_vals += [jnp.full((b,), NEG_INF, jnp.float32)] * pad
+            new_idx += [jnp.zeros((b,), jnp.int32)] * pad
         vals_ref[:] = jnp.stack(new_vals, axis=1)
         idx_ref[:] = jnp.stack(new_idx, axis=1)
 
@@ -216,7 +223,7 @@ def mips_topk_pallas(index: jnp.ndarray, queries: jnp.ndarray, k: int,
     vals, idxs = pl.pallas_call(
         functools.partial(_mips_kernel, k=k_pad, chunk_rows=chunk_rows,
                           n_valid=None if (n_valid is None or n_valid >= n)
-                          else n_valid),
+                          else n_valid, k_eff=k),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((b, k_pad), jnp.float32),
@@ -253,7 +260,7 @@ def quantize_rows(x: jnp.ndarray):
 
 def _mips_kernel_int8(q_ref, qscale_ref, chunk_ref, dscale_ref,
                       vals_ref, idx_ref, k: int, chunk_rows: int,
-                      n_valid: int):
+                      n_valid: int, k_eff: int = None):
     """Int8 variant of _mips_kernel: int8×int8→int32 on the MXU, then
     dequantize with per-query × per-doc scales before the running merge."""
     step = pl.program_id(0)
@@ -276,8 +283,9 @@ def _mips_kernel_int8(q_ref, qscale_ref, chunk_ref, dscale_ref,
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
         scores = jnp.where(col + step * chunk_rows < n_valid, scores, NEG_INF)
 
+    k_eff = k if k_eff is None else k_eff
     chunk_best = jnp.max(scores, axis=1)
-    kth_best = vals_ref[:, k - 1]
+    kth_best = vals_ref[:, k_eff - 1]
     improves = jnp.any(chunk_best > kth_best)
 
     @pl.when(improves)
@@ -290,7 +298,7 @@ def _mips_kernel_int8(q_ref, qscale_ref, chunk_ref, dscale_ref,
              jax.lax.broadcasted_iota(jnp.int32, (b, c), 1) + step * chunk_rows],
             axis=1)
         new_vals, new_idx = [], []
-        for _ in range(k):
+        for _ in range(k_eff):
             m = jnp.max(work_vals, axis=1, keepdims=True)
             at_max = work_vals == m
             sel_col = jnp.min(jnp.where(at_max, col_ids, jnp.int32(2**30)),
@@ -299,6 +307,10 @@ def _mips_kernel_int8(q_ref, qscale_ref, chunk_ref, dscale_ref,
             new_vals.append(m[:, 0])
             new_idx.append(jnp.sum(jnp.where(onehot, work_idx, 0), axis=1))
             work_vals = jnp.where(onehot, NEG_INF, work_vals)
+        pad = k - k_eff
+        if pad:
+            new_vals += [jnp.full((b,), NEG_INF, jnp.float32)] * pad
+            new_idx += [jnp.zeros((b,), jnp.int32)] * pad
         vals_ref[:] = jnp.stack(new_vals, axis=1)
         idx_ref[:] = jnp.stack(new_idx, axis=1)
 
@@ -320,7 +332,12 @@ def mips_topk_pallas_int8(index_int8: jnp.ndarray, doc_scales: jnp.ndarray,
 
     q_int8, q_scales = quantize_rows(queries)
     q_scales = q_scales.reshape(b, 1)
-    dsc = doc_scales.reshape(n, 1).astype(jnp.float32)
+    # scales packed (N/128, 128): a (C,1) layout would be tile-padded to 128
+    # lanes and read 128x the bytes (measured 2x slower end to end)
+    lanes = 128
+    if n % lanes:
+        raise ValueError(f"int8 index rows {n} must be a multiple of {lanes}")
+    dsc = doc_scales.astype(jnp.float32).reshape(n // lanes, lanes)
 
     grid_spec = pl.GridSpec(
         grid=(num_chunks,),
@@ -329,7 +346,7 @@ def mips_topk_pallas_int8(index_int8: jnp.ndarray, doc_scales: jnp.ndarray,
             pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk_rows, d), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk_rows, 1), lambda i: (i, 0),
+            pl.BlockSpec((chunk_rows // lanes, lanes), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -340,7 +357,7 @@ def mips_topk_pallas_int8(index_int8: jnp.ndarray, doc_scales: jnp.ndarray,
     vals, idxs = pl.pallas_call(
         functools.partial(_mips_kernel_int8, k=k_pad, chunk_rows=chunk_rows,
                           n_valid=None if (n_valid is None or n_valid >= n)
-                          else n_valid),
+                          else n_valid, k_eff=k),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((b, k_pad), jnp.float32),

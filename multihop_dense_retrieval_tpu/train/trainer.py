@@ -337,16 +337,33 @@ class RetrieverTrainer:
                                             mesh=mesh)
         self.best_mrr = 0.0
 
-    def run(self) -> Dict[str, float]:
+    def run(self, resume: bool = True) -> Dict[str, float]:
         writer = None
+        checkpointer = None
+        start_epoch = 0
         if self.output_dir:
             from ..utils.meters import MetricWriter
+            from .preemption import PreemptionCheckpointer
 
             writer = MetricWriter(f"{self.output_dir}/tb")
+            checkpointer = PreemptionCheckpointer(
+                f"{self.output_dir}/preempt")
+            try:
+                checkpointer.install_signal_handler()
+            except ValueError:
+                pass  # not on the main thread (tests)
+            if resume:
+                state, meta = checkpointer.maybe_restore(self.state)
+                if state is not None:
+                    self.state = state
+                    start_epoch = meta["epoch"] + 1
+                    self.best_mrr = meta["best_metric"]
+                    self.log(f"resumed from epoch {meta['epoch']} "
+                             f"(best_mrr={self.best_mrr:.4f})")
         smoothed = None
         history = []
         step_no = 0
-        for epoch in range(self.cfg.num_epochs):
+        for epoch in range(start_epoch, self.cfg.num_epochs):
             losses_seen = []
             for batch in self.train_loader:
                 batch.pop("valid", None)
@@ -378,6 +395,13 @@ class RetrieverTrainer:
                                            self.state.params)
             else:
                 self.best_mrr = max(self.best_mrr, stats.mrr_avg)
+            if checkpointer:
+                checkpointer.save(self.state, epoch=epoch,
+                                  best_metric=self.best_mrr)
+                if checkpointer.preempted:
+                    self.log("preemption signal received — state saved, "
+                             "exiting for requeue")
+                    break
         if writer:
             writer.close()
         return {"best_mrr": self.best_mrr,

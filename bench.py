@@ -54,7 +54,9 @@ def main():
         try:
             return _run(n_docs)
         except Exception as e:  # OOM ladder: halve the index and retry
-            if "RESOURCE_EXHAUSTED" not in str(e) or attempt == 2:
+            oom = any(t in str(e) for t in
+                      ("RESOURCE_EXHAUSTED", "Ran out of memory", "hbm"))
+            if not oom or attempt == 2:
                 raise
             print(f"# OOM at {n_docs} docs, retrying at {n_docs // 2}",
                   file=sys.stderr)

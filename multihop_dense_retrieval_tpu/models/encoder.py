@@ -103,6 +103,10 @@ class SelfAttention(nn.Module):
                 segment_ids=fa.SegmentIds(seg, seg),
                 sm_scale=1.0 / float(np.sqrt(d)))
             out = out.transpose(0, 2, 1, 3)  # back to (B, L, H, D)
+        elif c.attention_scores_dtype == "bfloat16":
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(d).astype(dt)
+            probs = jax.nn.softmax(scores + attn_bias.astype(dt), axis=-1)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         else:
             scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(d).astype(dt)
             scores = scores.astype(jnp.float32) + attn_bias  # (B,1,1,L) fp32

@@ -31,6 +31,7 @@ def add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--warmup-ratio", type=float, default=0.1)
     p.add_argument("--max-grad-norm", type=float, default=2.0)
     p.add_argument("--weight-decay", type=float, default=0.0)
+    p.add_argument("--gradient-accumulation", type=int, default=1)
     p.add_argument("--max-q-len", type=int, default=70)
     p.add_argument("--max-q-sp-len", type=int, default=350)
     p.add_argument("--max-c-len", type=int, default=300)
@@ -50,6 +51,7 @@ def build(args, unified: bool = None):
         learning_rate=args.learning_rate, num_epochs=args.num_epochs,
         warmup_ratio=args.warmup_ratio, max_grad_norm=args.max_grad_norm,
         weight_decay=args.weight_decay, seed=args.seed,
+        gradient_accumulation=args.gradient_accumulation,
         max_q_len=args.max_q_len, max_q_sp_len=args.max_q_sp_len,
         max_c_len=args.max_c_len, unified=unified)
     enc_cfg = common.resolve_encoder_config(args.model_name)

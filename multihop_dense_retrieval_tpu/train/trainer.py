@@ -77,7 +77,12 @@ def make_optimizer(cfg: RetrieverTrainConfig, total_steps: int,
                                                mask=_no_decay_mask))
     chain += [optax.scale_by_adam(eps=cfg.adam_eps),
               optax.scale_by_learning_rate(sched)]
-    return optax.chain(*chain)
+    tx = optax.chain(*chain)
+    if cfg.gradient_accumulation > 1:
+        # reference --gradient_accumulation_steps (train_mhop.py:168-190):
+        # grads averaged over N micro-batches, one optimizer step per N
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.gradient_accumulation)
+    return tx
 
 
 # --------------------------------------------------------------------------

@@ -151,3 +151,31 @@ def test_unified_train_step(tmp_path):
     ev = T.make_eval_step(model, unified=True)
     out = ev(new_state.params, batch)
     assert out["stop_acc"].shape == (4,)
+
+
+def test_gradient_accumulation(tmp_path):
+    """N micro-batches with accumulation == params unchanged until step N."""
+    tok = HashTokenizer(vocab_size=512)
+    train_loader, _ = _make_loaders(tmp_path, tok, n_rows=8, bs=4)
+    _, model, params = _tiny_model_and_params()
+    cfg_t = RetrieverTrainConfig(batch_size=4, gradient_accumulation=2,
+                                 warmup_ratio=0.0, learning_rate=1e-3)
+    tx = T.make_optimizer(cfg_t, 10)
+    state = T.TrainState.create(params, tx)
+    step = T.make_train_step(model, tx)
+    it = iter(train_loader)
+    b1 = next(it); b1.pop("valid")
+    b2 = next(it); b2.pop("valid")
+    b1 = {k: jnp.asarray(v) for k, v in b1.items()}
+    b2 = {k: jnp.asarray(v) for k, v in b2.items()}
+    state1, _ = step(state, b1)
+    # after micro-step 1: params must be UNCHANGED
+    for x, y in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(state1.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    state2, _ = step(state1, b2)
+    # after micro-step 2: params updated
+    changed = any(not np.allclose(np.asarray(x), np.asarray(y))
+                  for x, y in zip(jax.tree_util.tree_leaves(params),
+                                  jax.tree_util.tree_leaves(state2.params)))
+    assert changed

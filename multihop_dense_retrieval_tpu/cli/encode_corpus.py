@@ -11,7 +11,6 @@ Usage:
 """
 
 import argparse
-import functools
 import os
 
 from ..core.mesh import make_mesh
@@ -50,9 +49,10 @@ def main(argv=None):
 
     import jax
     mesh = make_mesh(data=args.data_parallel or len(jax.devices()), index=1)
-    encode_fn = functools.partial(
-        lambda p_, ids, mask, *t: model.apply(p_, ids, mask, *t,
-                                              method=model.encode_seq))
+
+    def encode_fn(p_, ids, mask, *type_ids):
+        return model.apply(p_, ids, mask, *type_ids, method=model.encode_seq)
+
     logger.info("encoding on %s", mesh)
     import jax.numpy as jnp
     index = build_index(encode_fn, params, tc, tok.spec,

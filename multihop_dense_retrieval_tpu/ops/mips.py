@@ -484,13 +484,11 @@ def sharded_mips_topk(index: jnp.ndarray, queries: jnp.ndarray, k: int,
         top_vals, pos = jax.lax.top_k(all_vals, k)
         return top_vals, jnp.take_along_axis(all_idxs, pos, axis=1)
 
-    if doc_scales is None:
-        doc_scales = jnp.zeros((index.shape[0],), jnp.float32)
-        scales_spec = P(INDEX_AXIS)
-        use_scales = False
-    else:
-        scales_spec = P(INDEX_AXIS)
-        use_scales = True
+    use_scales = doc_scales is not None
+    if not use_scales:
+        # placeholder sized one element per shard (the wrapper drops it)
+        doc_scales = jnp.zeros((n_shards,), jnp.float32)
+    scales_spec = P(INDEX_AXIS)
 
     def wrapper(idx_shard, q, scales_shard):
         return local_search(idx_shard, q,

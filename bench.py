@@ -72,7 +72,9 @@ def _run(n_docs):
     d = 768
 
     cfg = EncoderConfig.roberta_base(num_layers=layers)
-    model = MhopRetriever(cfg)
+    # cls_only: the final encoder layer computes only the CLS position —
+    # bit-identical retrieval vectors (tests/test_encoder.py), fewer FLOPs
+    model = MhopRetriever(cfg, cls_only=True)
     rng = jax.random.PRNGKey(0)
     params = model.init(rng, jnp.ones((1, 8), jnp.int32),
                         jnp.ones((1, 8), jnp.int32), method=model.encode_seq)

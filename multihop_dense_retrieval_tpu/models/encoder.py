@@ -82,15 +82,17 @@ class SelfAttention(nn.Module):
     config: EncoderConfig
 
     @nn.compact
-    def __call__(self, x, attn_bias, attention_mask=None):
+    def __call__(self, x, attn_bias, attention_mask=None, q_positions=None):
         c = self.config
         h, d = c.num_heads, c.head_dim
         dt = c.compute_dtype
-        q = nn.DenseGeneral((h, d), name="query", dtype=dt)(x)
+        x_q = x if q_positions is None else x[:, :q_positions]
+        q = nn.DenseGeneral((h, d), name="query", dtype=dt)(x_q)
         k = nn.DenseGeneral((h, d), name="key", dtype=dt)(x)
         v = nn.DenseGeneral((h, d), name="value", dtype=dt)(x)
         L = x.shape[1]
         use_flash = (c.attention_impl == "flash" and L % 128 == 0
+                     and q_positions is None
                      and attention_mask is not None
                      and jax.default_backend() == "tpu")
         if use_flash:
@@ -118,15 +120,28 @@ class SelfAttention(nn.Module):
 
 class EncoderLayer(nn.Module):
     config: EncoderConfig
+    # compute only the first `q_positions` output positions (None = all).
+    # Used for the retriever's LAST layer: only the CLS vector is consumed,
+    # so attention queries and the FFN run for position 0 alone — the result
+    # is bit-identical to the full layer's position 0 and skips ~1/num_layers
+    # of the encode FLOPs.
+    q_positions: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, attn_bias, attention_mask=None):
         c = self.config
         dt = c.compute_dtype
-        attn_out = SelfAttention(c, name="attention")(x, attn_bias,
-                                                      attention_mask)
+        qp = self.q_positions
+        if qp is None:
+            attn_out = SelfAttention(c, name="attention")(x, attn_bias,
+                                                          attention_mask)
+            res = x
+        else:
+            attn_out = SelfAttention(c, name="attention")(
+                x, attn_bias, attention_mask, q_positions=qp)
+            res = x[:, :qp]
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="attention_layer_norm",
-                         dtype=jnp.float32)(x + attn_out).astype(dt)
+                         dtype=jnp.float32)(res + attn_out).astype(dt)
         inter = nn.Dense(c.intermediate_size, name="intermediate", dtype=dt)(x)
         inter = _act(c.hidden_act)(inter)
         out = nn.Dense(c.hidden_size, name="output", dtype=dt)(inter)
@@ -146,6 +161,11 @@ class TransformerEncoder(nn.Module):
     config: EncoderConfig
     remat: bool = False
     return_all_hiddens: bool = False
+    # cls_only=True: the final layer computes position 0 only (bit-identical
+    # CLS, ~1/num_layers fewer FLOPs) and the output is (B, 1, H).  Use for
+    # bi-encoder inference; NOT for the reader (needs all positions) or
+    # training (params would still get full grads, but keep it simple).
+    cls_only: bool = False
 
     @nn.compact
     def __call__(self, input_ids, attention_mask, token_type_ids=None):
@@ -164,7 +184,11 @@ class TransformerEncoder(nn.Module):
         layer_cls = nn.remat(EncoderLayer) if self.remat else EncoderLayer
         hiddens = [x]
         for i in range(c.num_layers):
-            x = layer_cls(c, name=f"layer_{i}")(x, attn_bias, attention_mask)
+            last = i == c.num_layers - 1
+            qp = 1 if (self.cls_only and last and not self.return_all_hiddens) \
+                else None
+            x = layer_cls(c, name=f"layer_{i}", q_positions=qp)(
+                x, attn_bias, attention_mask)
             hiddens.append(x)
         if self.return_all_hiddens:
             return hiddens

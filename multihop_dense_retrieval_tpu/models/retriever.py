@@ -57,9 +57,13 @@ class MhopRetriever(nn.Module):
     """
 
     config: EncoderConfig
+    # cls_only: final encoder layer computes position 0 only — bit-identical
+    # CLS vector, ~1/num_layers fewer FLOPs (see encoder.TransformerEncoder)
+    cls_only: bool = False
 
     def setup(self):
-        self.encoder = TransformerEncoder(self.config, name="encoder")
+        self.encoder = TransformerEncoder(self.config, name="encoder",
+                                          cls_only=self.cls_only)
         self.project = ProjectionHead(self.config, name="project")
 
     def encode_seq(self, input_ids, mask, token_type_ids=None):

@@ -147,3 +147,19 @@ def test_retriever_ckpt_roundtrip():
                      attention_mask=torch.ones(2, 8, dtype=torch.long))
         expected = ln(lin(h.last_hidden_state[:, 0])).numpy()
     np.testing.assert_allclose(np.asarray(vec), expected, atol=1e-3, rtol=1e-3)
+
+
+def test_cls_only_last_layer_bit_identical():
+    """cls_only encoder output position 0 == full encoder's position 0."""
+    cfg = EncoderConfig.tiny()
+    full = TransformerEncoder(cfg)
+    cls_only = TransformerEncoder(cfg, cls_only=True)
+    rng = jax.random.PRNGKey(0)
+    ids = jnp.array([[5, 9, 3, 7, 2], [8, 4, 1, 1, 1]], dtype=jnp.int32)
+    mask = jnp.array([[1, 1, 1, 1, 1], [1, 1, 0, 0, 0]], dtype=jnp.int32)
+    params = full.init(rng, ids, mask)
+    out_full = full.apply(params, ids, mask)
+    out_cls = cls_only.apply(params, ids, mask)
+    assert out_cls.shape == (2, 1, cfg.hidden_size)
+    np.testing.assert_allclose(np.asarray(out_cls[:, 0]),
+                               np.asarray(out_full[:, 0]), atol=1e-6)

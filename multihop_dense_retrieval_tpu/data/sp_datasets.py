@@ -92,6 +92,62 @@ class SPDataset:
         return out
 
 
+class NQMhopDataset:
+    """NQ error-recovery rows (sp_datasets.py NQMhopDataset): the model must
+    recover from a wrong first retrieval — `q_neg1` = question ⊕ top wrong
+    passage; plain `q` is [MASK]-augmented to fixed length.  Rows:
+    {"question", "pos_paras", "top_neg"}; rows with <2 top_neg dropped."""
+
+    def __init__(self, tokenizer: Tokenizer, data_path: str,
+                 max_q_len: int = 50, max_q_sp_len: int = 350,
+                 max_c_len: int = 300, train: bool = False, seed: int = 3,
+                 augment: bool = True):
+        self.tok = tokenizer
+        self.max_q_len = max_q_len
+        self.max_q_sp_len = max_q_sp_len
+        self.max_c_len = max_c_len
+        self.train = train
+        self.augment = augment
+        self.rng = np.random.RandomState(seed)
+        with open(data_path) as f:
+            self.data = [json.loads(l) for l in f if l.strip()]
+        self.data = [r for r in self.data if len(r.get("top_neg", [])) >= 2]
+
+    def __len__(self):
+        return len(self.data)
+
+    def _para(self, para, max_len):
+        text = para["text"].strip() or para["title"].strip()
+        return self.tok.encode_pair(para["title"].strip(), text, max_len)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        sample = self.data[index]
+        question = sample["question"]
+        negs = list(sample["top_neg"])
+        if self.train:
+            self.rng.shuffle(negs)
+        error_para, neg_para = negs[0], negs[1]
+        pos_para = sample["pos_paras"][0]
+
+        if self.augment:
+            q = self.tok.encode_one_augmented(question, self.max_q_len)
+        else:
+            q = self.tok.encode_one(question, self.max_q_len)
+        err_text = error_para["text"].strip() or error_para["title"].strip()
+        q_neg1 = self.tok.encode_pair(question, err_text, self.max_q_sp_len)
+
+        out = {"q_input_ids": q["input_ids"], "q_mask": q["attention_mask"],
+               "q_neg1_input_ids": q_neg1["input_ids"],
+               "q_neg1_mask": q_neg1["attention_mask"]}
+        for name, para in (("c", pos_para), ("neg", neg_para)):
+            enc = self._para(para, self.max_c_len)
+            out[f"{name}_input_ids"] = enc["input_ids"]
+            out[f"{name}_mask"] = enc["attention_mask"]
+            if "token_type_ids" in enc:
+                out[f"{name}_type_ids"] = enc["token_type_ids"]
+        return out
+
+
 def sp_collate(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     if not samples:
         return {}

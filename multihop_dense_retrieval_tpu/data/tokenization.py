@@ -42,6 +42,7 @@ class TokenizerSpec:
     pad_id: int
     vocab_size: int
     roberta_style: bool = True  # True: pair sep is `</s> </s>`; False: BERT
+    mask_id: Optional[int] = None  # [MASK]: NQ query augmentation
 
     @property
     def num_special_pair(self) -> int:
@@ -76,6 +77,18 @@ class _Base:
     def encode_one(self, text: str, max_len: int) -> Dict[str, np.ndarray]:
         s = self.spec
         body = self.tokenize_ids(text)[: max_len - s.num_special_single]
+        ids = [s.cls_id] + body + [s.sep_id]
+        return self._pad(ids, len(ids), max_len)
+
+    def encode_one_augmented(self, text: str, max_len: int) -> Dict[str, np.ndarray]:
+        """Query augmentation: short questions are padded with [MASK] tokens
+        up to max_len (NQMhopDataset.encode_q, sp_datasets.py:171-178) —
+        gives the encoder uniform-length queries with learnable slack."""
+        s = self.spec
+        body = self.tokenize_ids(text)[: max_len - s.num_special_single]
+        fill = max_len - s.num_special_single - len(body)
+        if fill > 0 and s.mask_id is not None:
+            body = body + [s.mask_id] * fill
         ids = [s.cls_id] + body + [s.sep_id]
         return self._pad(ids, len(ids), max_len)
 
@@ -141,10 +154,12 @@ class HashTokenizer(_Base):
     def __init__(self, vocab_size: int = 50265, roberta_style: bool = True):
         if roberta_style:
             spec = TokenizerSpec(cls_id=0, sep_id=2, pad_id=1,
-                                 vocab_size=vocab_size, roberta_style=True)
+                                 vocab_size=vocab_size, roberta_style=True,
+                                 mask_id=vocab_size - 1)
         else:
             spec = TokenizerSpec(cls_id=101, sep_id=102, pad_id=0,
-                                 vocab_size=vocab_size, roberta_style=False)
+                                 vocab_size=vocab_size, roberta_style=False,
+                                 mask_id=103)
         self.spec = spec
         self._lo = 110 if not roberta_style else self.N_SPECIAL
 
@@ -194,6 +209,7 @@ class HFTokenizer(_Base):
             pad_id=self.tok.pad_token_id,
             vocab_size=self.tok.vocab_size,
             roberta_style=roberta_style,
+            mask_id=self.tok.mask_token_id,
         )
 
     def tokenize_ids(self, text: str) -> List[int]:

@@ -196,3 +196,41 @@ def test_preemption_roundtrip(tmp_path):
     # empty dir → (None, None)
     pc2 = PreemptionCheckpointer(str(tmp_path / "nope"))
     assert pc2.maybe_restore(state) == (None, None)
+
+
+def test_nq_mhop_dataset_and_augmentation(tmp_path):
+    from multihop_dense_retrieval_tpu.data.sp_datasets import NQMhopDataset
+    from multihop_dense_retrieval_tpu.train.trainer import (
+        TrainState, make_optimizer, make_train_step)
+    from multihop_dense_retrieval_tpu.core.config import RetrieverTrainConfig
+    import jax.numpy as jnp
+
+    tok = HashTokenizer(vocab_size=512)
+    rows = [{"question": f"short q {i}",
+             "pos_paras": [{"title": f"P{i}", "text": "pos body"}],
+             "top_neg": [{"title": f"E{i}", "text": "wrong passage body"},
+                         {"title": f"N{i}", "text": "negative body"}]}
+            for i in range(4)]
+    rows.append({"question": "dropped", "pos_paras": [], "top_neg": []})
+    synth.write_jsonl(tmp_path / "nq.jsonl", rows)
+    ds = NQMhopDataset(tok, str(tmp_path / "nq.jsonl"),
+                       max_q_len=16, max_q_sp_len=32, max_c_len=24)
+    assert len(ds) == 4  # <2 top_neg dropped
+    item = ds[0]
+    # [MASK] augmentation: every non-special slot of q filled, full mask
+    assert item["q_mask"].sum() == 16
+    assert (item["q_input_ids"] == tok.spec.mask_id).sum() > 0
+    # q_neg1 is a (question, error passage) pair
+    assert item["q_neg1_input_ids"][0] == tok.spec.cls_id
+
+    # full NQ train step over this batch
+    from multihop_dense_retrieval_tpu.data.sp_datasets import sp_collate
+    batch = {k: jnp.asarray(v) for k, v in sp_collate([ds[i] for i in range(4)]).items()}
+    cfg = EncoderConfig.tiny(vocab_size=512, max_position_embeddings=40)
+    model = NQRetriever(cfg)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    tx = make_optimizer(RetrieverTrainConfig(warmup_ratio=0.0), 10)
+    state = TrainState.create(params, tx)
+    step = make_train_step(model, tx, task="nq")
+    state, loss = step(state, batch)
+    assert np.isfinite(float(loss))

@@ -6,21 +6,25 @@ a (N, D) bf16 array (row-sharded over the mesh `index` axis for multi-chip);
 search streams it through the MXU in row chunks and keeps a running top-k, so
 the (B, N) score matrix is never materialized.
 
-Three tiers:
+Four tiers (all measured on TPU v5e, 5.2M×768 rows, B=96 — see memory/
+PARITY.md for the experiments):
 
-  * `mips_topk_xla`    — lax.scan over chunks: matmul + lax.top_k merge.
-                          Portable (CPU tests), and already within ~25% of
-                          HBM-bandwidth speed-of-light for B≈100.
-  * `mips_topk_pallas` — fused Pallas kernel: the chunk scores stay in VMEM;
-                          the running top-k merge is skipped entirely for
-                          chunks that cannot beat the current k-th best
-                          (almost all of them), so the kernel is
-                          matmul/bandwidth bound.
-  * `sharded_mips_topk`— shard_map wrapper: per-shard top-k, global row ids,
-                          all-gather of the (B, k) candidates over ICI and a
-                          final cheap merge.
+  * `mips_topk_xla`         — lax.scan over chunks: matmul + lax.top_k merge.
+                               Portable (CPU tests); ~244 GB/s.
+  * `mips_topk_pallas`      — fused Pallas kernel: chunk scores stay in VMEM,
+                               the running top-k merge runs only for chunks
+                               that can beat the current k-th best.  At k=1 it
+                               reaches ~95% of HBM bandwidth (10.3 ms/5.2M
+                               rows) — speed-of-light for exact search.
+  * `mips_topk_pallas_int8` — per-row symmetric int8: half the bytes, int8
+                               MXU; 8.4 ms/5.2M at 97.4% recall@10 vs exact
+                               (100% top-1 agreement).
+  * `sharded_mips_topk`     — shard_map wrapper: per-shard top-k, global row
+                               ids, all-gather of the (B, k) candidates over
+                               ICI and a final cheap merge.
 
-All scores are computed in fp32 (MXU accumulates bf16×bf16→fp32).
+All scores are computed in fp32 (MXU accumulates bf16×bf16→fp32 and
+int8×int8→int32).
 """
 
 from __future__ import annotations

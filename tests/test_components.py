@@ -234,3 +234,35 @@ def test_nq_mhop_dataset_and_augmentation(tmp_path):
     step = make_train_step(model, tx, task="nq")
     state, loss = step(state, batch)
     assert np.isfinite(float(loss))
+
+
+def test_profiling_utils(tmp_path):
+    from multihop_dense_retrieval_tpu.utils.profiling import (
+        StageTimers, device_trace)
+    import time as _t
+
+    t = StageTimers()
+    with t.span("encode"):
+        _t.sleep(0.01)
+    with t.span("encode"):
+        _t.sleep(0.01)
+    with t.span("search"):
+        pass
+    rep = t.report()
+    assert rep["encode"]["count"] == 2
+    assert rep["encode"]["mean_ms"] >= 10
+    t.dump(str(tmp_path / "t.json"))
+    assert json.load(open(tmp_path / "t.json"))["search"]["count"] == 1
+    with device_trace(None):  # no-op path
+        pass
+
+
+def test_metric_writer_jsonl(tmp_path):
+    from multihop_dense_retrieval_tpu.utils.meters import MetricWriter
+
+    w = MetricWriter(str(tmp_path / "tb"))
+    w.add_scalar("loss", 1.5, 3)
+    w.close()
+    import glob
+    files = glob.glob(str(tmp_path / "tb" / "*"))
+    assert files  # either tb events or metrics.jsonl

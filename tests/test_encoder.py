@@ -163,3 +163,63 @@ def test_cls_only_last_layer_bit_identical():
     assert out_cls.shape == (2, 1, cfg.hidden_size)
     np.testing.assert_allclose(np.asarray(out_cls[:, 0]),
                                np.asarray(out_full[:, 0]), atol=1e-6)
+
+
+def test_electra_reader_ckpt_parity():
+    """Random ELECTRA torch model + reader heads → convert → QAReader; the
+    encoder hidden states must match HF to fp32 tolerance (this is the
+    qa_electra.pt ingestion path)."""
+    torch = pytest.importorskip("torch")
+    import transformers
+    from multihop_dense_retrieval_tpu.models.reader import QAReader
+
+    torch.manual_seed(0)
+    hf_cfg = transformers.ElectraConfig(
+        vocab_size=128, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64, embedding_size=32,
+        max_position_embeddings=40, type_vocab_size=2, pad_token_id=0,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    hf_model = transformers.ElectraModel(hf_cfg)
+    hf_model.eval()
+
+    # build a QAModel-style state dict: encoder.* + pooler/qa_outputs/rank/sp
+    sd = {f"encoder.{k}": v.detach().cpu().numpy()
+          for k, v in hf_model.state_dict().items()}
+    for name, (i, o) in (("pooler.dense", (32, 32)), ("qa_outputs", (32, 2)),
+                         ("rank", (32, 1)), ("sp", (32, 1))):
+        lin = torch.nn.Linear(i, o)
+        sd[f"{name}.weight"] = lin.weight.detach().numpy()
+        sd[f"{name}.bias"] = lin.bias.detach().numpy()
+
+    cfg = EncoderConfig(vocab_size=128, hidden_size=32, num_layers=2,
+                        num_heads=4, intermediate_size=64,
+                        max_position_embeddings=40, type_vocab_size=2,
+                        pad_token_id=0, roberta_positions=False,
+                        layer_norm_eps=hf_cfg.layer_norm_eps, dtype="float32")
+    params = {"params": convert.reader_ckpt_to_flax(sd, cfg, sp_pred=True)}
+    model = QAReader(cfg, sp_pred=True)
+
+    rng = np.random.RandomState(1)
+    B, L = 2, 12
+    ids = rng.randint(4, 120, size=(B, L)).astype(np.int32)
+    batch = {
+        "input_ids": jnp.asarray(ids),
+        "attention_mask": jnp.ones((B, L), jnp.int32),
+        "token_type_ids": jnp.zeros((B, L), jnp.int32),
+        "paragraph_mask": jnp.ones((B, L), jnp.int32),
+        "sent_offsets": jnp.zeros((B, 3), jnp.int32),
+        "sent_mask": jnp.ones((B, 3), jnp.int32),
+    }
+    out = model.apply(params, batch)
+    with torch.no_grad():
+        hf_h = hf_model(input_ids=torch.tensor(ids, dtype=torch.long),
+                        attention_mask=torch.ones(B, L, dtype=torch.long),
+                        token_type_ids=torch.zeros(B, L, dtype=torch.long)
+                        ).last_hidden_state.numpy()
+        import numpy as _np
+        w, b = sd["qa_outputs.weight"], sd["qa_outputs.bias"]
+        expected_start = hf_h @ w.T[:, 0] + b[0]
+    np.testing.assert_allclose(np.asarray(out["start_logits"]),
+                               expected_start, atol=1e-3, rtol=1e-3)
+    assert out["rank_score"].shape == (B, 1)
+    assert out["sp_score"].shape == (B, 3)

@@ -97,3 +97,23 @@ def test_launch_grid(tmp_path):
     assert best["best_mrr"] > 0
     with open(tmp_path / "sweep" / "sweep_results.jsonl") as f:
         assert len(f.readlines()) == 2
+
+
+def test_eval_reranked_cli(tmp_path, capsys):
+    from multihop_dense_retrieval_tpu.cli import eval_reranked
+
+    preds = [{"_id": "q0", "pred_answer": "paris",
+              "pred_sp": [["A", 0]]},
+             {"_id": "q1", "pred_answer": "wrong", "pred_sp": []}]
+    gold = [{"_id": "q0", "answer": ["Paris"], "type": "bridge",
+             "sp_gold": [["A", 0]]},
+            {"_id": "q1", "answer": ["right"], "type": "comparison",
+             "sp_gold": [["B", 1]]}]
+    synth.write_jsonl(tmp_path / "p.jsonl", preds)
+    synth.write_jsonl(tmp_path / "g.jsonl", gold)
+    out = eval_reranked.main([str(tmp_path / "p.jsonl"),
+                              str(tmp_path / "g.jsonl")])
+    assert out["overall"]["em"] == 0.5
+    assert out["overall"]["sp_em"] == 0.5
+    assert out["bridge"]["em"] == 1.0
+    assert out["comparison"]["em"] == 0.0

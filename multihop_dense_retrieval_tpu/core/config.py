@@ -159,8 +159,6 @@ class SearchConfig:
     max_q_len: int = 70
     max_q_sp_len: int = 350
     batch_size: int = 100
-    # index layout
-    index_dtype: str = "bfloat16"
     # chunk rows per MIPS tile step (per shard)
     chunk_rows: int = 131072
     use_pallas: bool = True

@@ -319,7 +319,10 @@ class RetrieverTrainer:
         self.output_dir = output_dir
         self.log = log_fn
         self._ckpt = ckpt
-        total = total_steps or (len(train_loader) * cfg.num_epochs)
+        # optimizer steps, not micro-batches (reference t_total divides by
+        # gradient_accumulation_steps, train_mhop.py:159)
+        total = total_steps or (len(train_loader) * cfg.num_epochs
+                                // max(cfg.gradient_accumulation, 1))
         self.tx = make_optimizer(cfg, total)
         if cfg.momentum:
             hidden = hidden_size or model.config.hidden_size

@@ -84,3 +84,35 @@ def test_train_momentum_cli(artifacts):
         "--max-q-len", "16", "--max-q-sp-len", "48", "--max-c-len", "32",
         "--queue-size", "64", "--data-parallel", "2"])
     assert np.isfinite(result["final_loss"])
+
+
+def test_encode_corpus_bert_style_and_int8(tmp_path):
+    """BERT-style tokenizer path (token_type_ids through passage assembly)
+    and the int8 index option, end to end."""
+    from multihop_dense_retrieval_tpu.data import HashTokenizer, Corpus, TokenizedCorpus
+    from multihop_dense_retrieval_tpu.index.build import build_index
+    from multihop_dense_retrieval_tpu.models import MhopRetriever
+    from multihop_dense_retrieval_tpu.core.config import EncoderConfig
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    docs = synth.make_corpus(rng, 24)
+    corpus = Corpus(docs)
+    tok = HashTokenizer(vocab_size=512, roberta_style=False)
+    tc = TokenizedCorpus.build(corpus, tok, max_text_len=32)
+    cfg = EncoderConfig.tiny(vocab_size=512, max_position_embeddings=64,
+                             type_vocab_size=2, pad_token_id=0,
+                             roberta_positions=False)
+    model = MhopRetriever(cfg)
+    ids = jnp.ones((1, 8), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids, ids,
+                        method=model.encode_seq)
+
+    def encode_fn(p, i, m, *t):
+        return model.apply(p, i, m, *t, method=model.encode_seq)
+
+    idx = build_index(encode_fn, params, tc, tok.spec, max_c_len=48,
+                      batch_size=8, chunk_rows=16, dtype=jnp.int8)
+    assert idx.vectors.dtype == jnp.int8
+    assert idx.scales is not None and idx.n_docs == 24

@@ -133,3 +133,32 @@ def test_batch_loader_static_shapes(tmp_path, tok):
     assert len(ev) == 3
     assert ev[-1]["valid"].sum() == 2
     assert ev[-1]["q_input_ids"].shape == (4, 16)
+
+
+def test_corpus_from_id2doc_both_formats(tmp_path):
+    import json
+    # reference id2doc can be dict-of-lists or dict-of-dicts
+    # (eval_mhop_retrieval.py:131-133)
+    as_list = {"0": ["Title A", "text a"], "1": ["Title B", "text b"]}
+    as_dict = {"0": {"title": "Title A", "text": "text a"},
+               "1": {"title": "Title B", "text": "text b"}}
+    for i, table in enumerate((as_list, as_dict)):
+        p = tmp_path / f"id2doc{i}.json"
+        p.write_text(json.dumps(table))
+        c = Corpus.from_id2doc(str(p))
+        assert len(c) == 2
+        assert c[1]["title"] == "Title B" and c[1]["text"] == "text b"
+
+
+def test_dense_index_from_reference_npy(tmp_path):
+    import jax.numpy as jnp
+    from multihop_dense_retrieval_tpu.index.store import DenseIndex
+
+    rng = np.random.RandomState(0)
+    emb = rng.randn(100, 16).astype(np.float32)
+    p = str(tmp_path / "wiki_index.npy")
+    np.save(p, emb)
+    idx = DenseIndex.from_reference_npy(p, chunk_rows=64, dtype=jnp.float32)
+    assert idx.n_docs == 100
+    assert idx.vectors.shape[0] % 64 == 0
+    np.testing.assert_allclose(np.asarray(idx.vectors[:100]), emb, rtol=1e-6)

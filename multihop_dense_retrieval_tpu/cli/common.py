@@ -66,9 +66,15 @@ def load_retriever_params(checkpoint: str, config: EncoderConfig,
         sd = convert.load_torch_state_dict(checkpoint)
         fn = convert.unified_ckpt_to_flax if unified else convert.retriever_ckpt_to_flax
         return {"params": fn(sd, config)}
+    import numpy as np
+
     from ..core import checkpoint as ckpt
 
-    return ckpt.restore_pytree(checkpoint)
+    params = ckpt.restore_pytree(checkpoint)
+    # orbax restores the sharding the checkpoint was SAVED with (e.g. a
+    # 2-device training mesh); pull to host so the consumer's jit can place
+    # the params on whatever mesh it runs on
+    return jax.tree_util.tree_map(np.asarray, params)
 
 
 def init_retriever(config: EncoderConfig, *, unified: bool = False,

@@ -115,3 +115,19 @@ def test_int8_dense_index_roundtrip(tmp_path):
     overlap = np.mean([len(set(np.asarray(i)[r]) & set(bi[r])) / 5
                        for r in range(8)])
     assert overlap >= 0.8
+
+
+def test_sharded_int8_matches_unsharded():
+    from multihop_dense_retrieval_tpu.ops.mips import (
+        quantize_rows, mips_topk_xla_int8)
+    mesh = make_mesh()  # (1, 8)
+    rng = np.random.RandomState(9)
+    n, d, b, k = 8 * 256, 32, 8, 5
+    index = jnp.asarray(rng.randn(n, d), jnp.float32)
+    q = jnp.asarray(rng.randn(b, d), jnp.float32)
+    qi, sc = quantize_rows(index)
+    v_ref, i_ref = mips_topk_xla_int8(qi, sc, q, k, chunk_rows=256)
+    v_sh, i_sh = sharded_mips_topk(qi, q, k, mesh, use_pallas=False,
+                                   chunk_rows=256, doc_scales=sc)
+    np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_sh))
+    np.testing.assert_allclose(np.asarray(v_ref), np.asarray(v_sh), rtol=1e-5)

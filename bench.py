@@ -104,8 +104,8 @@ def _run(n_docs):
                         max_q_len=max_q_len, max_q_sp_len=max_q_sp_len,
                         chunk_rows=chunk, use_pallas=True)
     searcher = BeamSearcher(
-        encode_fn=lambda p, ids, mask: model.apply(p, ids, mask,
-                                                   method=model.encode_seq),
+        encode_fn=lambda p, ids, mask, tt=None: model.apply(
+            p, ids, mask, tt, method=model.encode_seq),
         params=params, index=index, text_ids=text_ids, text_lens=text_lens,
         empty=empty, spec=spec, config=scfg, mesh=None)
 

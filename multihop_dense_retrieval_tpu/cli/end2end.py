@@ -35,7 +35,11 @@ def retrieve_chains(searcher, tok, corpus, questions, batch_size, max_q_len):
         qs = [q[:-1] if q.endswith("?") else q for q in batch]
         qs_p = qs + [qs[-1]] * pad
         q_inputs = tok.encode_batch_one(qs_p, max_q_len)
-        raw = [tok.raw_ids_padded(q, max_q_len - 2) for q in qs_p]
+        # hop-2 raw-question budget follows max_q_sp_len (longest-first
+        # truncation happens at pair-assembly time, like the reference)
+        cfg = getattr(searcher, "config", None) or searcher.cfg
+        q_budget = cfg.max_q_sp_len - (4 if tok.spec.roberta_style else 3)
+        raw = [tok.raw_ids_padded(q, q_budget) for q in qs_p]
         res = searcher.search(q_inputs, np.stack([r[0] for r in raw]),
                               np.array([r[1] for r in raw]))
         for i in range(len(batch)):

@@ -43,13 +43,23 @@ def load_searcher(index_dir, tok, model, params, cfg, mesh=None):
         return out
 
     return BeamSearcher(
-        encode_fn=lambda p, ids, mask: model.apply(p, ids, mask,
-                                                   method=model.encode_seq),
+        encode_fn=lambda p, ids, mask, tt=None: model.apply(
+            p, ids, mask, tt, method=model.encode_seq),
         params=params, index=index,
         text_ids=jnp.asarray(padrows(tc.text_ids, spec.pad_id)),
         text_lens=jnp.asarray(padrows(tc.text_lens, 0)),
         empty=jnp.asarray(padrows(tc.empty, False)),
         spec=spec, config=cfg, mesh=mesh)
+
+
+def _patch_missing(d, i):
+    """HNSW returns id -1 when the index holds fewer than k docs; Python
+    negative indexing would silently wrap corpus[-1] to the last document.
+    Remap to doc 0 with a NEG_INF score so the slot can never win."""
+    from ..ops.mips import NEG_INF
+
+    missing = i < 0
+    return np.where(missing, NEG_INF, d), np.where(missing, 0, i)
 
 
 class _HnswBeamSearcher:
@@ -73,10 +83,14 @@ class _HnswBeamSearcher:
 
         cfg = self.cfg
         beam1, beam2, topk = cfg.beam_size_1, cfg.beam_size_2, cfg.topk
+        q_tt = q_inputs.get("token_type_ids")
         q_vec = np.asarray(self.encode(jnp.asarray(q_inputs["input_ids"]),
-                                       jnp.asarray(q_inputs["attention_mask"])),
+                                       jnp.asarray(q_inputs["attention_mask"]),
+                                       None if q_tt is None
+                                       else jnp.asarray(q_tt)),
                            np.float32)
         d1, i1 = self.hnsw.search(q_vec, beam1, self.ef)
+        d1, i1 = _patch_missing(d1, i1)
         bsz = q_vec.shape[0]
         # assemble hop-2 inputs from raw question ids ⊕ doc-text ids (id-level
         # pair encoding — identical to the reference's host retokenization)
@@ -98,8 +112,10 @@ class _HnswBeamSearcher:
                                    jnp.asarray(b_ids), jnp.asarray(b_lens),
                                    cfg.max_q_sp_len, self.tok.spec)
         qsp_vec = np.asarray(self.encode(qsp["input_ids"],
-                                         qsp["attention_mask"]), np.float32)
+                                         qsp["attention_mask"],
+                                         qsp.get("token_type_ids")), np.float32)
         d2, i2 = self.hnsw.search(qsp_vec, beam2, self.ef)
+        d2, i2 = _patch_missing(d2, i2)
         d2 = d2.reshape(bsz, beam1, beam2)
         i2 = i2.reshape(bsz, beam1, beam2)
         path = d1[:, :, None] + d2
@@ -134,9 +150,9 @@ def _hnsw_searcher(args, logger, tok, model, params, cfg, corpus):
         logger.info("built + cached %s (%d vectors)", hnsw_path, len(hnsw))
 
     # params passed as an argument (never close over big arrays in jit)
-    _enc = jax.jit(lambda p, ids, mask: model.apply(
-        p, ids, mask, method=model.encode_seq))
-    encode = lambda ids, mask: _enc(params, ids, mask)
+    _enc = jax.jit(lambda p, ids, mask, tt: model.apply(
+        p, ids, mask, tt, method=model.encode_seq))
+    encode = lambda ids, mask, tt=None: _enc(params, ids, mask, tt)
     return _HnswBeamSearcher(hnsw, encode, tok, corpus, cfg, args.ef_search)
 
 
@@ -199,7 +215,11 @@ def main(argv=None):
                else r["question"]) for r in batch]
         qs_padded = qs + [qs[-1]] * pad
         q_inputs = tok.encode_batch_one(qs_padded, args.max_q_len)
-        raw = [tok.raw_ids_padded(q, args.max_q_len - 2) for q in qs_padded]
+        # raw ids feed hop-2 pair assembly: the reference tokenizes the FULL
+        # question inside encode_plus(q, doc, max_length=max_q_sp_len) and
+        # lets longest-first truncation decide, so budget by max_q_sp_len
+        q_budget = args.max_q_sp_len - (4 if tok.spec.roberta_style else 3)
+        raw = [tok.raw_ids_padded(q, q_budget) for q in qs_padded]
         res = searcher.search(q_inputs, np.stack([r[0] for r in raw]),
                               np.array([r[1] for r in raw]))
         n_q += len(batch)

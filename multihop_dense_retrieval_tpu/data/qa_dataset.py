@@ -141,7 +141,9 @@ class QAFeatureBuilder:
         attention_mask = np.zeros(L, np.int32)
         attention_mask[: len(ids)] = 1
         token_type_ids = np.zeros(L, np.int32)
-        token_type_ids[para_offset - 1: len(ids)] = 1  # [SEP] starts segment B
+        # HF pair encoding keeps the [SEP] after the question in segment 0
+        # (reference builds features with encode_plus, qa/qa_dataset.py:164)
+        token_type_ids[para_offset: len(ids)] = 1
         paragraph_mask = np.zeros(L, np.int32)
         paragraph_mask[para_offset: len(ids) - 1] = 1
 

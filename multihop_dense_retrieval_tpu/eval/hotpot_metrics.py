@@ -75,8 +75,10 @@ def update_sp(metrics: Dict, prediction: Iterable[Tuple[str, int]],
     for e in gold_sp_pred:
         if e not in cur_sp_pred:
             fn += 1
-    prec = 1.0 if fp + tp == 0 else tp / (fp + tp)
-    recall = 1.0 if fn + tp == 0 else tp / (fn + tp)
+    # official script: empty prediction / empty gold yield 0.0, not 1.0
+    # (hotpot_evaluate_v1.py:78-79)
+    prec = tp / (tp + fp) if tp + fp > 0 else 0.0
+    recall = tp / (tp + fn) if tp + fn > 0 else 0.0
     f1 = 0.0 if prec + recall == 0 else 2 * prec * recall / (prec + recall)
     em = 1.0 if fp + fn == 0 else 0.0
     metrics["sp_em"] += em

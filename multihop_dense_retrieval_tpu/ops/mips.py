@@ -73,20 +73,33 @@ def _merge_topk(vals_a, idx_a, vals_b, idx_b, k: int):
 # --------------------------------------------------------------------------
 
 
+def _valid_bound(n: int, n_valid: Optional[int], n_valid_dyn):
+    """Resolve the row-validity bound: a traced scalar (`n_valid_dyn`) wins
+    over the static `n_valid`; returns None when no masking is needed."""
+    if n_valid_dyn is not None:
+        return n_valid_dyn
+    if n_valid is not None and n_valid < n:
+        return n_valid
+    return None
+
+
 @functools.partial(jax.jit, static_argnames=("k", "chunk_rows", "n_valid"))
 def mips_topk_xla(index: jnp.ndarray, queries: jnp.ndarray, k: int,
                   chunk_rows: int = 131072,
-                  n_valid: Optional[int] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                  n_valid: Optional[int] = None,
+                  n_valid_dyn=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k inner products of `queries` (B, D) against `index` (N, D).
 
     Returns (scores (B, k) fp32, row ids (B, k) int32).  N must be a multiple
     of `chunk_rows` or is padded virtually by clamping the chunk count; for
     simplicity we require the caller to pad the index (index/store.py pads
-    with -inf-normed rows and remembers the true N).
+    with -inf-normed rows and remembers the true N).  `n_valid_dyn` is a
+    traced int32 scalar alternative to the static `n_valid` (used by the
+    sharded path, where the bound depends on the traced shard id).
     """
     n, d = index.shape
     b = queries.shape[0]
-    n_valid = n if n_valid is None else n_valid
+    bound = _valid_bound(n, n_valid, n_valid_dyn)
     chunk_rows = min(chunk_rows, n)
     num_chunks = n // chunk_rows
     rem = n - num_chunks * chunk_rows
@@ -103,9 +116,9 @@ def mips_topk_xla(index: jnp.ndarray, queries: jnp.ndarray, k: int,
         vals, idxs = carry
         chunk = jax.lax.dynamic_slice(index, (i * chunk_rows, 0), (chunk_rows, d))
         s = scores_of(chunk)
-        if n_valid < n:  # mask padding rows (index padded to a chunk multiple)
+        if bound is not None:  # mask padding rows
             col = jax.lax.broadcasted_iota(jnp.int32, (1, chunk_rows), 1)
-            s = jnp.where(col + i * chunk_rows < n_valid, s, NEG_INF)
+            s = jnp.where(col + i * chunk_rows < bound, s, NEG_INF)
         kk = min(k, chunk_rows)
         c_vals, c_idx = jax.lax.top_k(s, kk)
         c_idx = c_idx + i * chunk_rows
@@ -117,9 +130,9 @@ def mips_topk_xla(index: jnp.ndarray, queries: jnp.ndarray, k: int,
     (vals, idxs), _ = jax.lax.scan(step, init, jnp.arange(num_chunks))
     if rem:
         s = scores_of(index[num_chunks * chunk_rows:])
-        if n_valid < n:
+        if bound is not None:
             col = jax.lax.broadcasted_iota(jnp.int32, (1, rem), 1)
-            s = jnp.where(col + num_chunks * chunk_rows < n_valid, s, NEG_INF)
+            s = jnp.where(col + num_chunks * chunk_rows < bound, s, NEG_INF)
         c_vals, c_idx = jax.lax.top_k(s, min(k, rem))
         vals, idxs = _merge_topk(vals, idxs, c_vals,
                                  c_idx + num_chunks * chunk_rows, k)
@@ -131,8 +144,8 @@ def mips_topk_xla(index: jnp.ndarray, queries: jnp.ndarray, k: int,
 # --------------------------------------------------------------------------
 
 
-def _mips_kernel(q_ref, chunk_ref, vals_ref, idx_ref, k: int, chunk_rows: int,
-                 n_valid: int, k_eff: int = None):
+def _mips_kernel(q_ref, chunk_ref, nv_ref, vals_ref, idx_ref, k: int,
+                 chunk_rows: int, mask_valid: bool, k_eff: int = None):
     """One grid step: score a (C, D) chunk against (B, D) queries and merge
     into the running (B, K) top-k carried in the output refs.
 
@@ -155,9 +168,10 @@ def _mips_kernel(q_ref, chunk_ref, vals_ref, idx_ref, k: int, chunk_rows: int,
         preferred_element_type=jnp.float32,
     )  # (B, C)
 
-    if n_valid is not None:  # mask padding rows in the tail chunk
+    if mask_valid:  # mask padding rows (bound is an SMEM scalar: the
+        # sharded path passes a per-shard value computed from the shard id)
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        scores = jnp.where(col + step * chunk_rows < n_valid, scores, NEG_INF)
+        scores = jnp.where(col + step * chunk_rows < nv_ref[0], scores, NEG_INF)
 
     k_eff = k if k_eff is None else k_eff
     chunk_best = jnp.max(scores, axis=1)          # (B,)
@@ -199,7 +213,8 @@ def _mips_kernel(q_ref, chunk_ref, vals_ref, idx_ref, k: int, chunk_rows: int,
 @functools.partial(jax.jit, static_argnames=("k", "chunk_rows", "interpret", "n_valid"))
 def mips_topk_pallas(index: jnp.ndarray, queries: jnp.ndarray, k: int,
                      chunk_rows: int = 4096, interpret: bool = False,
-                     n_valid: Optional[int] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                     n_valid: Optional[int] = None,
+                     n_valid_dyn=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused matmul + streaming top-k.  Requires N % chunk_rows == 0
     (index/store.py pads the index); k is rounded up to a multiple of 8
     internally for layout friendliness, extra columns are dropped."""
@@ -211,6 +226,8 @@ def mips_topk_pallas(index: jnp.ndarray, queries: jnp.ndarray, k: int,
     k_pad = min(k_pad, chunk_rows)
     num_chunks = n // chunk_rows
     q = queries.astype(index.dtype)
+    bound = _valid_bound(n, n_valid, n_valid_dyn)
+    nv = jnp.asarray([n if bound is None else bound], jnp.int32)
 
     grid_spec = pl.GridSpec(
         grid=(num_chunks,),
@@ -218,6 +235,7 @@ def mips_topk_pallas(index: jnp.ndarray, queries: jnp.ndarray, k: int,
             pl.BlockSpec((b, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk_rows, d), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec((b, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -226,8 +244,7 @@ def mips_topk_pallas(index: jnp.ndarray, queries: jnp.ndarray, k: int,
     )
     vals, idxs = pl.pallas_call(
         functools.partial(_mips_kernel, k=k_pad, chunk_rows=chunk_rows,
-                          n_valid=None if (n_valid is None or n_valid >= n)
-                          else n_valid, k_eff=k),
+                          mask_valid=bound is not None, k_eff=k),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((b, k_pad), jnp.float32),
@@ -239,7 +256,7 @@ def mips_topk_pallas(index: jnp.ndarray, queries: jnp.ndarray, k: int,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(q, index)
+    )(q, index, nv)
     return vals[:, :k], idxs[:, :k]
 
 
@@ -262,9 +279,9 @@ def quantize_rows(x: jnp.ndarray):
     return q, scale[:, 0]
 
 
-def _mips_kernel_int8(q_ref, qscale_ref, chunk_ref, dscale_ref,
+def _mips_kernel_int8(q_ref, qscale_ref, chunk_ref, dscale_ref, nv_ref,
                       vals_ref, idx_ref, k: int, chunk_rows: int,
-                      n_valid: int, k_eff: int = None):
+                      mask_valid: bool, k_eff: int = None):
     """Int8 variant of _mips_kernel: int8×int8→int32 on the MXU, then
     dequantize with per-query × per-doc scales before the running merge."""
     step = pl.program_id(0)
@@ -283,9 +300,9 @@ def _mips_kernel_int8(q_ref, qscale_ref, chunk_ref, dscale_ref,
               * qscale_ref[:]            # (B, 1)
               * dscale_ref[:].reshape(1, -1))  # (1, C)
 
-    if n_valid is not None:
+    if mask_valid:
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        scores = jnp.where(col + step * chunk_rows < n_valid, scores, NEG_INF)
+        scores = jnp.where(col + step * chunk_rows < nv_ref[0], scores, NEG_INF)
 
     k_eff = k if k_eff is None else k_eff
     chunk_best = jnp.max(scores, axis=1)
@@ -324,7 +341,8 @@ def _mips_kernel_int8(q_ref, qscale_ref, chunk_ref, dscale_ref,
 def mips_topk_pallas_int8(index_int8: jnp.ndarray, doc_scales: jnp.ndarray,
                           queries: jnp.ndarray, k: int,
                           chunk_rows: int = 4096, interpret: bool = False,
-                          n_valid: Optional[int] = None):
+                          n_valid: Optional[int] = None,
+                          n_valid_dyn=None):
     """Fused int8 MIPS: `index_int8` (N, D) int8 with per-row `doc_scales`
     (N,) f32; queries fp32/bf16 are quantized in-jit."""
     n, d = index_int8.shape
@@ -333,6 +351,8 @@ def mips_topk_pallas_int8(index_int8: jnp.ndarray, doc_scales: jnp.ndarray,
         raise ValueError(f"index rows {n} not a multiple of chunk {chunk_rows}")
     k_pad = min(max(8, -(-k // 8) * 8), chunk_rows)
     num_chunks = n // chunk_rows
+    bound = _valid_bound(n, n_valid, n_valid_dyn)
+    nv = jnp.asarray([n if bound is None else bound], jnp.int32)
 
     q_int8, q_scales = quantize_rows(queries)
     q_scales = q_scales.reshape(b, 1)
@@ -352,6 +372,7 @@ def mips_topk_pallas_int8(index_int8: jnp.ndarray, doc_scales: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk_rows // lanes, lanes), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec((b, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -360,8 +381,7 @@ def mips_topk_pallas_int8(index_int8: jnp.ndarray, doc_scales: jnp.ndarray,
     )
     vals, idxs = pl.pallas_call(
         functools.partial(_mips_kernel_int8, k=k_pad, chunk_rows=chunk_rows,
-                          n_valid=None if (n_valid is None or n_valid >= n)
-                          else n_valid, k_eff=k),
+                          mask_valid=bound is not None, k_eff=k),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((b, k_pad), jnp.float32),
@@ -373,18 +393,19 @@ def mips_topk_pallas_int8(index_int8: jnp.ndarray, doc_scales: jnp.ndarray,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(q_int8, q_scales, index_int8, dsc)
+    )(q_int8, q_scales, index_int8, dsc, nv)
     return vals[:, :k], idxs[:, :k]
 
 
 @functools.partial(jax.jit, static_argnames=("k", "chunk_rows", "n_valid"))
 def mips_topk_xla_int8(index_int8, doc_scales, queries, k: int,
                        chunk_rows: int = 65536,
-                       n_valid: Optional[int] = None):
+                       n_valid: Optional[int] = None,
+                       n_valid_dyn=None):
     """Portable int8 path (CPU tests / non-pallas fallback)."""
     n, d = index_int8.shape
     b = queries.shape[0]
-    n_valid = n if n_valid is None else n_valid
+    bound = _valid_bound(n, n_valid, n_valid_dyn)
     q_int8, q_scales = quantize_rows(queries)
     chunk_rows = min(chunk_rows, n)
     num_chunks = n // chunk_rows
@@ -403,9 +424,9 @@ def mips_topk_xla_int8(index_int8, doc_scales, queries, k: int,
         dsc = jax.lax.dynamic_slice(doc_scales, (i * chunk_rows,),
                                     (chunk_rows,))
         s = scores_of(chunk, dsc)
-        if n_valid < n:
+        if bound is not None:
             col = jax.lax.broadcasted_iota(jnp.int32, (1, chunk_rows), 1)
-            s = jnp.where(col + i * chunk_rows < n_valid, s, NEG_INF)
+            s = jnp.where(col + i * chunk_rows < bound, s, NEG_INF)
         c_vals, c_idx = jax.lax.top_k(s, min(k, chunk_rows))
         return _merge_topk(vals, idxs, c_vals, c_idx + i * chunk_rows, k), None
 
@@ -415,9 +436,9 @@ def mips_topk_xla_int8(index_int8, doc_scales, queries, k: int,
     if rem:
         s = scores_of(index_int8[num_chunks * chunk_rows:],
                       doc_scales[num_chunks * chunk_rows:])
-        if n_valid < n:
+        if bound is not None:
             col = jax.lax.broadcasted_iota(jnp.int32, (1, rem), 1)
-            s = jnp.where(col + num_chunks * chunk_rows < n_valid, s, NEG_INF)
+            s = jnp.where(col + num_chunks * chunk_rows < bound, s, NEG_INF)
         c_vals, c_idx = jax.lax.top_k(s, min(k, rem))
         vals, idxs = _merge_topk(vals, idxs, c_vals,
                                  c_idx + num_chunks * chunk_rows, k)
@@ -431,7 +452,8 @@ def mips_topk_xla_int8(index_int8, doc_scales, queries, k: int,
 
 def mips_topk(index, queries, k: int, *, use_pallas: bool = True,
               chunk_rows: int = 4096, interpret: bool = False,
-              n_valid: Optional[int] = None, doc_scales=None):
+              n_valid: Optional[int] = None, doc_scales=None,
+              n_valid_dyn=None):
     """Single-shard exact top-k; picks the Pallas kernel on TPU.
 
     Pass `doc_scales` with an int8 `index` for the quantized path.
@@ -447,15 +469,17 @@ def mips_topk(index, queries, k: int, *, use_pallas: bool = True,
         if use_pallas and (on_tpu or interpret) and index.shape[0] % chunk == 0:
             return mips_topk_pallas_int8(index, doc_scales, queries, k,
                                          chunk_rows=chunk, interpret=interpret,
-                                         n_valid=n_valid)
+                                         n_valid=n_valid,
+                                         n_valid_dyn=n_valid_dyn)
         return mips_topk_xla_int8(index, doc_scales, queries, k,
                                   chunk_rows=max(chunk_rows, 16384),
-                                  n_valid=n_valid)
+                                  n_valid=n_valid, n_valid_dyn=n_valid_dyn)
     if use_pallas and (on_tpu or interpret) and index.shape[0] % chunk == 0:
         return mips_topk_pallas(index, queries, k, chunk_rows=chunk,
-                                interpret=interpret, n_valid=n_valid)
+                                interpret=interpret, n_valid=n_valid,
+                                n_valid_dyn=n_valid_dyn)
     return mips_topk_xla(index, queries, k, chunk_rows=max(chunk_rows, 16384),
-                         n_valid=n_valid)
+                         n_valid=n_valid, n_valid_dyn=n_valid_dyn)
 
 
 def sharded_mips_topk(index: jnp.ndarray, queries: jnp.ndarray, k: int,
@@ -473,15 +497,21 @@ def sharded_mips_topk(index: jnp.ndarray, queries: jnp.ndarray, k: int,
     shard_rows = index.shape[0] // n_shards
 
     def local_search(idx_shard, q, scales_shard):
-        # per-shard validity: shards before the boundary are fully valid;
-        # n_valid masking is per-shard via a static python-level bound is not
-        # possible here (shard id is traced), so mask after the local search
+        # per-shard validity: padding is contiguous at the global tail, so
+        # shard s holds clip(n_valid - s*shard_rows, 0, shard_rows) valid
+        # rows.  The bound is traced (shard id is), so it flows into the
+        # kernels as a dynamic scalar and masks pad rows BEFORE the local
+        # top-k — zero-vector pads score 0.0 and would otherwise evict
+        # genuinely valid negative-score docs from the boundary shard.
         shard_id = jax.lax.axis_index(INDEX_AXIS)
-        vals, idxs = mips_topk(idx_shard, q, k, use_pallas=use_pallas,
-                               chunk_rows=chunk_rows, doc_scales=scales_shard)
-        idxs = idxs + shard_id * shard_rows
+        local_valid = None
         if n_valid is not None and n_valid < index.shape[0]:
-            vals = jnp.where(idxs < n_valid, vals, NEG_INF)
+            local_valid = jnp.clip(n_valid - shard_id * shard_rows,
+                                   0, shard_rows).astype(jnp.int32)
+        vals, idxs = mips_topk(idx_shard, q, k, use_pallas=use_pallas,
+                               chunk_rows=chunk_rows, doc_scales=scales_shard,
+                               n_valid_dyn=local_valid)
+        idxs = idxs + shard_id * shard_rows
         # gather all shards' candidates: (n_shards*k) per row, then merge
         all_vals = jax.lax.all_gather(vals, INDEX_AXIS, axis=1, tiled=True)
         all_idxs = jax.lax.all_gather(idxs, INDEX_AXIS, axis=1, tiled=True)

@@ -94,8 +94,11 @@ def assemble_pair_inputs(a_ids, a_lens, b_ids, b_lens, max_len: int,
 class BeamSearcher:
     """2-hop retrieval engine over a device-resident index.
 
-    encode_fn(params, input_ids, mask) -> (B, D) fp32 query vectors
-    (typically MhopRetriever.encode_seq via functools.partial).
+    encode_fn(params, input_ids, mask, token_type_ids=None) -> (B, D) fp32
+    query vectors (typically MhopRetriever.encode_seq via functools.partial).
+    token_type_ids matter for BERT-style tokenizers: hop-2 q⊕p pair inputs
+    carry segment ids (assemble_pair_inputs) and the corpus was encoded with
+    them (index/build.py), so queries must too.
     """
 
     encode_fn: callable
@@ -152,7 +155,8 @@ class BeamSearcher:
 
         # hop 1 ---------------------------------------------------------
         q_vec = self.encode_fn(params, q_inputs["input_ids"],
-                               q_inputs["attention_mask"])
+                               q_inputs["attention_mask"],
+                               q_inputs.get("token_type_ids"))
         d1, i1 = self._mips(store["vectors"], q_vec.astype(jnp.float32), beam1,
                             scales=store.get("scales"))
         # empty-text docs cannot start a chain (eval_mhop_retrieval.py:165)
@@ -165,7 +169,9 @@ class BeamSearcher:
         a_lens = jnp.repeat(q_raw_lens, beam1, axis=0)
         qsp = assemble_pair_inputs(a_ids, a_lens, doc_ids, doc_lens,
                                    cfg.max_q_sp_len, self.spec)
-        qsp_vec = self.encode_fn(params, qsp["input_ids"], qsp["attention_mask"])
+        qsp_vec = self.encode_fn(params, qsp["input_ids"],
+                                 qsp["attention_mask"],
+                                 qsp.get("token_type_ids"))
         d2, i2 = self._mips(store["vectors"], qsp_vec.astype(jnp.float32), beam2,
                             scales=store.get("scales"))
         d2 = d2.reshape(bsz, beam1, beam2)

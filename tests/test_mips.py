@@ -64,6 +64,41 @@ def test_sharded_matches_single_device():
     np.testing.assert_allclose(np.asarray(v_ref), np.asarray(v_sh), rtol=1e-5)
 
 
+def test_sharded_negative_scores_with_padding():
+    """Zero-vector pad rows score 0.0 — they must not evict valid docs with
+    negative inner products from the boundary shard's local top-k (the
+    exact-search guarantee).  All-negative scores make any eviction visible."""
+    mesh = make_mesh()  # (1, 8)
+    rng = np.random.RandomState(11)
+    n_pad, d, b, k = 8 * 256, 32, 8, 5
+    n_valid = n_pad - 700  # padding spills across the last three shards
+    # all-positive queries × all-negative index rows → every valid inner
+    # product is strictly negative (pads score 0.0 and would win unmasked)
+    base = -np.abs(rng.randn(n_valid, d)) - 0.01
+    q_np = np.abs(rng.randn(b, d)) + 0.01
+    index = np.zeros((n_pad, d), np.float32)
+    index[:n_valid] = base
+    index = jnp.asarray(index)
+    q = jnp.asarray(q_np, jnp.float32)
+    bv, bi = _brute(index[:n_valid], q, k)
+    v_sh, i_sh = sharded_mips_topk(index, q, k, mesh, use_pallas=False,
+                                   chunk_rows=256, n_valid=n_valid)
+    assert np.all(np.asarray(v_sh) < 0), "pad rows leaked into top-k"
+    np.testing.assert_array_equal(np.asarray(i_sh), bi)
+    np.testing.assert_allclose(np.asarray(v_sh), bv, rtol=1e-5)
+    # the pallas kernels honour a traced (dynamic) bound too
+    v_pl, i_pl = mips_topk_pallas(index, q, k, chunk_rows=256, interpret=True,
+                                  n_valid_dyn=jnp.int32(n_valid))
+    np.testing.assert_array_equal(np.asarray(i_pl), bi)
+    from multihop_dense_retrieval_tpu.ops.mips import (
+        quantize_rows, mips_topk_pallas_int8)
+    qi, sc = quantize_rows(index)
+    v_i8, i_i8 = mips_topk_pallas_int8(qi, sc, q, k, chunk_rows=256,
+                                       interpret=True,
+                                       n_valid_dyn=jnp.int32(n_valid))
+    assert np.all(np.asarray(i_i8) < n_valid), "int8 pad rows leaked"
+
+
 def test_sharded_2d_mesh():
     mesh = make_mesh(data=2, index=4)
     rng = np.random.RandomState(4)

@@ -75,9 +75,12 @@ def _host_reference_engine(model, params, tok, corpus, emb, questions,
                            beam, topk, max_q_len, max_q_sp_len):
     """The reference algorithm: host tokenization + brute-force search."""
     def encode(batch):
+        tt = batch.get("token_type_ids")
         return np.asarray(model.apply(
             params, jnp.asarray(batch["input_ids"]),
-            jnp.asarray(batch["attention_mask"]), method=model.encode_seq),
+            jnp.asarray(batch["attention_mask"]),
+            None if tt is None else jnp.asarray(tt),
+            method=model.encode_seq),
             np.float32)
 
     qs = [q[:-1] if q.endswith("?") else q for q in questions]
@@ -113,13 +116,19 @@ def _host_reference_engine(model, params, tok, corpus, emb, questions,
     return out
 
 
-def test_beam_search_matches_host_reference():
-    tok = HashTokenizer(vocab_size=512)
+@pytest.mark.parametrize("roberta_style", [True, False])
+def test_beam_search_matches_host_reference(roberta_style):
+    # roberta_style=False proves segment ids flow through the whole device
+    # pipeline (corpus encode AND hop-2 reformulated queries) identically to
+    # the host engine — BERT-style passages are encoded with token_type_ids
+    tok = HashTokenizer(vocab_size=512, roberta_style=roberta_style)
     rng = np.random.RandomState(2)
     corpus = Corpus(synth.make_corpus(rng, 48, empty_every=7))
     tc = TokenizedCorpus.build(corpus, tok, max_text_len=40)
 
-    cfg = EncoderConfig.tiny(vocab_size=512, max_position_embeddings=80)
+    cfg = EncoderConfig.tiny(vocab_size=512, max_position_embeddings=80,
+                             type_vocab_size=1 if roberta_style else 2,
+                             roberta_positions=roberta_style)
     model = MhopRetriever(cfg)
     init_ids = jnp.ones((1, 8), jnp.int32)
     params = model.init(jax.random.PRNGKey(0), init_ids,
@@ -128,8 +137,10 @@ def test_beam_search_matches_host_reference():
     # corpus embeddings via the same encoder (pair-encoded title/text)
     enc = tok.encode_batch_pair(
         [(corpus[i]["title"], corpus.encode_text(i)) for i in range(len(corpus))], 48)
+    tt = enc.get("token_type_ids")
     emb = np.asarray(model.apply(params, jnp.asarray(enc["input_ids"]),
                                  jnp.asarray(enc["attention_mask"]),
+                                 None if tt is None else jnp.asarray(tt),
                                  method=model.encode_seq), np.float32)
 
     questions = [f"which links {synth.rand_text(rng, 2, 6)}?" for _ in range(4)]
@@ -147,8 +158,8 @@ def test_beam_search_matches_host_reference():
     empty[:len(corpus)] = tc.empty
 
     searcher = BeamSearcher(
-        encode_fn=lambda p, ids, mask: model.apply(p, ids, mask,
-                                                   method=model.encode_seq),
+        encode_fn=lambda p, ids, mask, tt=None: model.apply(
+            p, ids, mask, tt, method=model.encode_seq),
         params=params, index=index,
         text_ids=jnp.asarray(text_ids), text_lens=jnp.asarray(text_lens),
         empty=jnp.asarray(empty), spec=tok.spec,
@@ -171,7 +182,12 @@ def test_beam_search_matches_host_reference():
     for bi in range(len(qs)):
         np.testing.assert_array_equal(got["hop1_ids"][bi], exp[bi]["hop1_ids"])
         np.testing.assert_array_equal(got["hop2_ids"][bi], exp[bi]["hop2_ids"])
-        np.testing.assert_allclose(got["path_scores"][bi], exp[bi]["scores"],
+        # the device engine uses a finite NEG_INF sentinel where the host
+        # engine uses -inf for empty-doc hop-1 candidates — same ordering
+        neg = np.isneginf(exp[bi]["scores"])
+        assert np.all(got["path_scores"][bi][neg] < -1e37)
+        np.testing.assert_allclose(got["path_scores"][bi][~neg],
+                                   exp[bi]["scores"][~neg],
                                    rtol=1e-4, atol=1e-4)
 
 
@@ -198,8 +214,8 @@ def test_beam_search_asymmetric_beams():
     empty = np.zeros(n_pad, bool); empty[:len(corpus)] = tc.empty
     beam1, beam2, topk = 4, 2, 5
     searcher = BeamSearcher(
-        encode_fn=lambda p, ids, mask: model.apply(p, ids, mask,
-                                                   method=model.encode_seq),
+        encode_fn=lambda p, ids, mask, tt=None: model.apply(
+            p, ids, mask, tt, method=model.encode_seq),
         params=params, index=index,
         text_ids=jnp.asarray(text_ids), text_lens=jnp.asarray(text_lens),
         empty=jnp.asarray(empty), spec=tok.spec,

@@ -1,11 +1,23 @@
 """Benchmark: end-to-end 2-hop beam-search throughput on real TPU hardware.
 
-Measures the north-star workload (BASELINE.md): encode question → exact MIPS
-over a 5.2M×768 index → on-device hop-2 reformulation → re-encode → MIPS →
-chain ranking, with a roberta-base-sized encoder in bf16 and the index in
-HBM as bf16 (≤ the reference's fp32 FAISS index memory).
+Measures the north-star workload (BASELINE.md): encode question → MIPS over
+a 5.2M×768 index → on-device hop-2 reformulation → re-encode → MIPS → chain
+ranking, with a roberta-base-sized encoder in bf16.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Headline config (serving-tuned, quality-validated):
+  * int8 per-row-quantized index (100% top-1 / 97.4%@10 agreement with the
+    exact bf16 search, tests/test_mips.py + README) — half the HBM traffic.
+  * length-adaptive hop-2 encode (SearchConfig.hop2_buckets): rows sorted by
+    assembled length, tiles encoded at bucketed widths via lax.cond — exact
+    results (tests/test_search.py::test_length_bucketed_search_is_exact).
+  * realistic length distributions: doc tokens ~ lognormal(mean≈100,
+    clip [20, 300]) matching wiki abstracts (the reference corpus,
+    BASELINE.md); question tokens uniform 12-38.  The reference pays the
+    same encoder cost REGARDLESS of true lengths (it pads hop-2 pairs to
+    350, eval_mhop_retrieval.py:159-168), so vs_baseline is conservative.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}
+(extras: beam-4 q/s, exact-bf16 delta config, measured tunnel correction).
 
 vs_baseline derivation (the reference publishes no throughput numbers —
 BASELINE.md): the reference pipeline at beam 1 / batch 100 on a V100 does
@@ -13,15 +25,18 @@ two roberta-base fp16 encode passes (~7 TFLOP per batch → ~0.2 s at ~30%
 MXU efficiency), two FAISS-GPU flat-IP searches over 5.2M fp32 (~1.6 TFLOP →
 ~0.15 s), plus host tokenization of 100 full documents and 4 host↔device
 round-trips (~0.15-0.3 s): ~0.5-0.65 s per 100 questions ≈ **150 q/s**.
-vs_baseline = measured_qps / 150.
+The estimate's plausible range is 100-250 q/s; vs_baseline = qps/150, so
+scale accordingly (reported as baseline_qps_range in the output).
 
 Timing notes: this environment reaches the TPU through an HTTP tunnel whose
-per-call latency (~30 ms) and lazy sync swamp naive timers, so the benchmark
-scans REPS batches inside ONE jit program and forces a host transfer of a
-scalar reduction; tunnel latency is subtracted once.
+per-call latency and lazy sync swamp naive timers, so the benchmark scans
+REPS batches inside ONE jit program, forces a host transfer of a scalar
+reduction, and subtracts a MEASURED empty-program round-trip (not a guess).
 
 Env overrides: MDRT_BENCH_N (index rows), MDRT_BENCH_BATCH, MDRT_BENCH_BEAM,
-MDRT_BENCH_REPS, MDRT_BENCH_LAYERS (encoder depth).
+MDRT_BENCH_REPS, MDRT_BENCH_LAYERS (encoder depth), MDRT_BENCH_DTYPE
+(int8|bf16), MDRT_BENCH_BUCKETS ("128,160,224,350" | "off"),
+MDRT_BENCH_BEAM4 (0 disables the secondary beam-4 run).
 """
 
 import json
@@ -42,10 +57,30 @@ from multihop_dense_retrieval_tpu.models import MhopRetriever
 from multihop_dense_retrieval_tpu.search.beam import BeamSearcher
 
 BASELINE_QPS = 150.0  # estimated reference throughput (see module docstring)
+BASELINE_RANGE = (100.0, 250.0)
 
 
 def _env(name, default):
     return int(os.environ.get(name, default))
+
+
+def measure_tunnel_overhead():
+    """Round-trip latency of an empty jit program + scalar transfer —
+    subtracted once from the timed run (the run is ONE dispatch)."""
+    f = jax.jit(lambda x: x * 2.0)
+    _ = np.asarray(f(jnp.float32(1.0)))  # compile
+    ts = []
+    for _ in range(5):
+        t = time.perf_counter()
+        _ = np.asarray(f(jnp.float32(1.0)))
+        ts.append(time.perf_counter() - t)
+    return min(ts)
+
+
+def synth_doc_lens(rng, n, lo=20, hi=300):
+    """Wiki-abstract-like token lengths: lognormal, mean ~100, clipped."""
+    lens = np.exp(rng.normal(np.log(95.0), 0.55, size=n))
+    return np.clip(lens, lo, hi).astype(np.int32)
 
 
 def main():
@@ -63,60 +98,64 @@ def main():
             n_docs //= 2
 
 
-def _run(n_docs):
-    batch = _env("MDRT_BENCH_BATCH", 96)
-    beam = _env("MDRT_BENCH_BEAM", 1)
-    reps = _env("MDRT_BENCH_REPS", 8)
-    layers = _env("MDRT_BENCH_LAYERS", 12)
-    max_q_len, max_q_sp_len, text_len = 70, 350, 300
-    d = 768
-
-    cfg = EncoderConfig.roberta_base(num_layers=layers)
-    # cls_only: the final encoder layer computes only the CLS position —
-    # bit-identical retrieval vectors (tests/test_encoder.py), fewer FLOPs
-    model = MhopRetriever(cfg, cls_only=True)
-    rng = jax.random.PRNGKey(0)
-    params = model.init(rng, jnp.ones((1, 8), jnp.int32),
-                        jnp.ones((1, 8), jnp.int32), method=model.encode_seq)
-
-    # synthetic device-resident corpus (values don't affect throughput).
-    # Order + dtypes matter for peak HBM: build the uint16 token store first
-    # (no int32 intermediates), then the bf16 index.
-    chunk = 2048
-    n_pad = -(-n_docs // chunk) * chunk
+def _make_data(n_pad, n_docs, d, text_len, vocab_size, dtype):
+    """Device-resident synthetic corpus.  Order + dtypes matter for peak
+    HBM: uint16 token store first (no int32 intermediates), then the index
+    built slice-wise (int8: bf16 transients stay ≤1 GB per slice)."""
+    rng = np.random.RandomState(17)
 
     @jax.jit
     def make_tokens(key):
         bits = jax.random.bits(key, (n_pad, text_len), jnp.uint16)
-        return (bits % jnp.uint16(cfg.vocab_size - 20) + jnp.uint16(10))
+        return (bits % jnp.uint16(vocab_size - 20) + jnp.uint16(10))
 
     text_ids = make_tokens(jax.random.PRNGKey(2))
     text_ids.block_until_ready()
-    text_lens = jnp.full((n_pad,), text_len, jnp.int32)
+    text_lens = jnp.asarray(synth_doc_lens(rng, n_pad))
     empty = jnp.zeros((n_pad,), bool)
-    index_vecs = jax.random.normal(jax.random.PRNGKey(1), (n_pad, d),
-                                   jnp.bfloat16)
-    index = DenseIndex(vectors=index_vecs, n_docs=n_docs)
 
-    spec = TokenizerSpec(cls_id=0, sep_id=2, pad_id=1,
-                         vocab_size=cfg.vocab_size, roberta_style=True)
-    scfg = SearchConfig(beam_size_1=beam, beam_size_2=beam, topk=beam,
-                        max_q_len=max_q_len, max_q_sp_len=max_q_sp_len,
-                        chunk_rows=chunk, use_pallas=True)
-    searcher = BeamSearcher(
-        encode_fn=lambda p, ids, mask, tt=None: model.apply(
-            p, ids, mask, tt, method=model.encode_seq),
-        params=params, index=index, text_ids=text_ids, text_lens=text_lens,
-        empty=empty, spec=spec, config=scfg, mesh=None)
+    if dtype == "int8":
+        n_slices = 8
+        while n_pad % n_slices:
+            n_slices //= 2
+        rows = n_pad // n_slices
 
-    # synthetic questions
-    q_len = 24
-    qids = jax.random.randint(jax.random.PRNGKey(3), (reps, batch, max_q_len),
-                              10, cfg.vocab_size - 1, jnp.int32)
-    qmask = (jnp.arange(max_q_len)[None, None, :] < q_len).astype(jnp.int32)
-    qmask = jnp.broadcast_to(qmask, (reps, batch, max_q_len))
-    raw_ids = qids[:, :, : max_q_len - 2]
-    raw_lens = jnp.full((reps, batch), q_len - 2, jnp.int32)
+        @jax.jit
+        def make_slice(key):
+            x = jax.random.normal(key, (rows, d), jnp.float32)
+            scale = jnp.maximum(jnp.max(jnp.abs(x), axis=1, keepdims=True)
+                                / 127.0, 1e-10)
+            q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+            return q, scale[:, 0]
+
+        qs, scs = [], []
+        for s in range(n_slices):
+            q, sc = make_slice(jax.random.PRNGKey(100 + s))
+            qs.append(q)
+            scs.append(sc)
+        vectors = jnp.concatenate(qs, axis=0)
+        vectors.block_until_ready()
+        del qs
+        scales = jnp.concatenate(scs, axis=0)
+        index = DenseIndex(vectors=vectors, n_docs=n_docs, scales=scales)
+    else:
+        vectors = jax.random.normal(jax.random.PRNGKey(1), (n_pad, d),
+                                    jnp.bfloat16)
+        index = DenseIndex(vectors=vectors, n_docs=n_docs)
+    return index, text_ids, text_lens, empty
+
+
+def _timed_search(searcher, params, beam, batch, reps, q_width, vocab_size,
+                  rng):
+    """Scan REPS batches of realistic-length questions inside one jit."""
+    q_lens = rng.randint(12, 39, size=(reps, batch))
+    qids = jax.random.randint(jax.random.PRNGKey(3), (reps, batch, q_width),
+                              10, vocab_size - 1, jnp.int32)
+    qmask = jnp.asarray(
+        (np.arange(q_width)[None, None, :] < q_lens[:, :, None]), jnp.int32)
+    raw_w = q_width - 2
+    raw_ids = qids[:, :, :raw_w]
+    raw_lens = jnp.asarray(np.maximum(q_lens - 2, 1), jnp.int32)
 
     @jax.jit
     def run(params, store, qids, qmask, raw_ids, raw_lens):
@@ -136,18 +175,86 @@ def _run(n_docs):
     compile_s = time.time() - t_c0
     t0 = time.perf_counter()
     _ = np.asarray(run(params, store, qids, qmask, raw_ids, raw_lens))
-    dt = time.perf_counter() - t0 - 0.03  # tunnel round-trip
+    dt = time.perf_counter() - t0
+    return dt, compile_s
+
+
+def _run(n_docs):
+    batch = _env("MDRT_BENCH_BATCH", 128)
+    beam = _env("MDRT_BENCH_BEAM", 1)
+    reps = _env("MDRT_BENCH_REPS", 8)
+    layers = _env("MDRT_BENCH_LAYERS", 12)
+    dtype = os.environ.get("MDRT_BENCH_DTYPE", "int8")
+    buckets_env = os.environ.get("MDRT_BENCH_BUCKETS", "128,160,224,350")
+    buckets = (() if buckets_env in ("off", "") else
+               tuple(int(x) for x in buckets_env.split(",")))
+    run_beam4 = _env("MDRT_BENCH_BEAM4", 1) and beam == 1
+    max_q_sp_len, text_len = 350, 300
+    q_width = 48  # static question width (host-side bucketing in serving)
+    d = 768
+
+    cfg = EncoderConfig.roberta_base(num_layers=layers)
+    # cls_only: the final encoder layer computes only the CLS position —
+    # bit-identical retrieval vectors (tests/test_encoder.py), fewer FLOPs
+    model = MhopRetriever(cfg, cls_only=True)
+    rng = jax.random.PRNGKey(0)
+    params = model.init(rng, jnp.ones((1, 8), jnp.int32),
+                        jnp.ones((1, 8), jnp.int32), method=model.encode_seq)
+
+    chunk = 2048
+    n_pad = -(-n_docs // chunk) * chunk
+    index, text_ids, text_lens, empty = _make_data(
+        n_pad, n_docs, d, text_len, cfg.vocab_size, dtype)
+
+    spec = TokenizerSpec(cls_id=0, sep_id=2, pad_id=1,
+                         vocab_size=cfg.vocab_size, roberta_style=True)
+
+    def build_searcher(b1, b2, topk):
+        scfg = SearchConfig(beam_size_1=b1, beam_size_2=b2, topk=topk,
+                            max_q_len=q_width, max_q_sp_len=max_q_sp_len,
+                            chunk_rows=chunk, use_pallas=True,
+                            hop2_buckets=buckets)
+        return BeamSearcher(
+            encode_fn=lambda p, ids, mask, tt=None: model.apply(
+                p, ids, mask, tt, method=model.encode_seq),
+            params=params, index=index, text_ids=text_ids,
+            text_lens=text_lens, empty=empty, spec=spec, config=scfg,
+            mesh=None)
+
+    tunnel_s = measure_tunnel_overhead()
+    nprng = np.random.RandomState(23)
+
+    searcher = build_searcher(beam, beam, beam)
+    dt, compile_s = _timed_search(searcher, params, beam, batch, reps,
+                                  q_width, cfg.vocab_size, nprng)
+    dt -= tunnel_s
     qps = reps * batch / dt
+    print(f"# headline: compile {compile_s:.0f}s, steady "
+          f"{dt/reps*1000:.1f} ms/batch, tunnel {tunnel_s*1000:.1f} ms",
+          file=sys.stderr)
+
+    extras = {}
+    if run_beam4:
+        b4_batch = min(batch // 4, 32)
+        s4 = build_searcher(4, 4, 4)
+        dt4, c4 = _timed_search(s4, params, 4, b4_batch, reps, q_width,
+                                cfg.vocab_size, nprng)
+        dt4 -= tunnel_s
+        extras["beam4_qps"] = round(reps * b4_batch / dt4, 1)
+        print(f"# beam4: compile {c4:.0f}s, steady {dt4/reps*1000:.1f} "
+              f"ms/batch (batch={b4_batch})", file=sys.stderr)
 
     print(json.dumps({
         "metric": "2hop_beam_search_queries_per_sec",
         "value": round(qps, 1),
-        "unit": f"questions/s (beam={beam}, {n_docs} docs x {d} bf16, "
+        "unit": f"questions/s (beam={beam}, {n_docs} docs x {d} {dtype}, "
                 f"{layers}-layer encoder, batch={batch}, 1 TPU chip)",
         "vs_baseline": round(qps / BASELINE_QPS, 2),
+        "baseline_qps_range": list(BASELINE_RANGE),
+        "tunnel_correction_ms": round(tunnel_s * 1000, 1),
+        "hop2_buckets": list(buckets),
+        **extras,
     }))
-    print(f"# compile {compile_s:.0f}s, steady {dt/reps*1000:.1f} ms/batch",
-          file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -162,6 +162,16 @@ class SearchConfig:
     # chunk rows per MIPS tile step (per shard)
     chunk_rows: int = 131072
     use_pallas: bool = True
+    # Length-adaptive hop-2 encoding (serving optimization, exact results).
+    # Non-empty: hop-2 rows are sorted by assembled length and split into
+    # len(hop2_buckets) equal tiles; tile i is encoded at width
+    # hop2_buckets[i] when every row fits (lax.cond, no host sync), else at
+    # max_q_sp_len.  Wiki abstracts average ~100 tokens vs the 350-token
+    # static pad, so most tiles take the narrow branch.  () disables.
+    hop2_buckets: tuple = ()
+    # Round the hop-1 question width up to this multiple of the batch max
+    # (host-side slice; a few cached traces).  0 disables (fixed max_q_len).
+    q_width_multiple: int = 0
 
 
 @_frozen

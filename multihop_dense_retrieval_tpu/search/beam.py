@@ -148,6 +148,55 @@ class BeamSearcher:
             chunk_rows=self.config.chunk_rows,
             n_valid=self.index.n_docs, doc_scales=scales)
 
+    def _encode_hop2(self, params, qsp):
+        """Encode hop-2 q⊕p rows, optionally length-adaptive.
+
+        With cfg.hop2_buckets set, rows are sorted by total length and split
+        into equal tiles; each tile is encoded at its bucket width when every
+        row fits (lax.cond — both branches compiled, one executed, no host
+        sync), else at the full static width.  Results are bit-compatible
+        with the full-width encode: trailing pad columns never influence
+        non-pad positions (attention is masked; positions are width-
+        independent), so narrowing is purely a FLOP/bandwidth saving.
+        """
+        ids, mask = qsp["input_ids"], qsp["attention_mask"]
+        tt = qsp.get("token_type_ids")
+        buckets = tuple(self.config.hop2_buckets or ())
+        n_rows, L = ids.shape
+        if not buckets or n_rows % len(buckets):
+            return self.encode_fn(params, ids, mask, tt)
+
+        n_tiles = len(buckets)
+        tile = n_rows // n_tiles
+        lens = jnp.sum(mask, axis=1).astype(jnp.int32)
+        order = jnp.argsort(lens)              # ascending by length
+        inv = jnp.argsort(order)
+        ids_s, mask_s = ids[order], mask[order]
+        tt_s = None if tt is None else tt[order]
+        lens_s = lens[order]
+
+        tiles = []
+        for t in range(n_tiles):
+            sl = slice(t * tile, (t + 1) * tile)
+            w = min(int(buckets[t]), L)
+            ids_t, mask_t = ids_s[sl], mask_s[sl]
+            tt_t = None if tt_s is None else tt_s[sl]
+            if w >= L:
+                tiles.append(self.encode_fn(params, ids_t, mask_t, tt_t))
+                continue
+            tile_max = lens_s[(t + 1) * tile - 1]  # sorted: last row is max
+
+            def narrow(ids_t=ids_t, mask_t=mask_t, tt_t=tt_t, w=w):
+                return self.encode_fn(
+                    params, ids_t[:, :w], mask_t[:, :w],
+                    None if tt_t is None else tt_t[:, :w])
+
+            def wide(ids_t=ids_t, mask_t=mask_t, tt_t=tt_t):
+                return self.encode_fn(params, ids_t, mask_t, tt_t)
+
+            tiles.append(jax.lax.cond(tile_max <= w, narrow, wide))
+        return jnp.concatenate(tiles, axis=0)[inv]
+
     def _search_impl(self, params, store, q_inputs, q_raw_ids, q_raw_lens,
                      *, beam1: int, beam2: int, topk: int):
         cfg = self.config
@@ -169,9 +218,7 @@ class BeamSearcher:
         a_lens = jnp.repeat(q_raw_lens, beam1, axis=0)
         qsp = assemble_pair_inputs(a_ids, a_lens, doc_ids, doc_lens,
                                    cfg.max_q_sp_len, self.spec)
-        qsp_vec = self.encode_fn(params, qsp["input_ids"],
-                                 qsp["attention_mask"],
-                                 qsp.get("token_type_ids"))
+        qsp_vec = self._encode_hop2(params, qsp)
         d2, i2 = self._mips(store["vectors"], qsp_vec.astype(jnp.float32), beam2,
                             scales=store.get("scales"))
         d2 = d2.reshape(bsz, beam1, beam2)
@@ -197,6 +244,14 @@ class BeamSearcher:
     def search(self, q_inputs: Dict[str, np.ndarray], q_raw_ids: np.ndarray,
                q_raw_lens: np.ndarray) -> Dict[str, np.ndarray]:
         """Host entry: fixed-shape tokenized questions → ranked chains."""
+        mult = self.config.q_width_multiple
+        if mult > 0:
+            # narrow the hop-1 question width to the batch max, rounded up —
+            # a few cached traces instead of always padding to max_q_len
+            max_len = int(np.asarray(q_inputs["attention_mask"]).sum(1).max())
+            w = max(mult, -(-max_len // mult) * mult)
+            if w < q_inputs["input_ids"].shape[1]:
+                q_inputs = {k: v[:, :w] for k, v in q_inputs.items()}
         out = self._jit(self.params,
                         {k: jnp.asarray(v) for k, v in q_inputs.items()},
                         jnp.asarray(q_raw_ids), jnp.asarray(q_raw_lens))

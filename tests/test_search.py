@@ -191,6 +191,64 @@ def test_beam_search_matches_host_reference(roberta_style):
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_length_bucketed_search_is_exact():
+    """hop2_buckets + q_width_multiple must not change ANY result: bucket
+    widths only drop trailing pad columns (masked out of attention), so the
+    adaptive path is a pure FLOP saving, never an approximation."""
+    tok = HashTokenizer(vocab_size=512)
+    rng = np.random.RandomState(12)
+    # strongly varied text lengths so tiles actually take different branches
+    docs = synth.make_corpus(rng, 48, empty_every=11)
+    for i, d in enumerate(docs):
+        if i % 3 == 0:
+            d["text"] = d["text"].split()[0] if d["text"] else d["text"]
+    corpus = Corpus(docs)
+    tc = TokenizedCorpus.build(corpus, tok, max_text_len=60)
+    cfg = EncoderConfig.tiny(vocab_size=512, max_position_embeddings=96)
+    model = MhopRetriever(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32),
+                        jnp.ones((1, 8), jnp.int32), method=model.encode_seq)
+    enc = tok.encode_batch_pair(
+        [(corpus[i]["title"], corpus.encode_text(i)) for i in range(len(corpus))], 72)
+    emb = np.asarray(model.apply(params, jnp.asarray(enc["input_ids"]),
+                                 jnp.asarray(enc["attention_mask"]),
+                                 method=model.encode_seq), np.float32)
+    index = DenseIndex.build(emb, chunk_rows=16, dtype=jnp.float32)
+    n_pad = index.vectors.shape[0]
+    text_ids = np.full((n_pad, 60), tok.spec.pad_id, np.int32)
+    text_ids[:len(corpus)] = tc.text_ids
+    text_lens = np.zeros(n_pad, np.int32); text_lens[:len(corpus)] = tc.text_lens
+    empty = np.zeros(n_pad, bool); empty[:len(corpus)] = tc.empty
+
+    def build(scfg):
+        return BeamSearcher(
+            encode_fn=lambda p, ids, mask, tt=None: model.apply(
+                p, ids, mask, tt, method=model.encode_seq),
+            params=params, index=index,
+            text_ids=jnp.asarray(text_ids), text_lens=jnp.asarray(text_lens),
+            empty=jnp.asarray(empty), spec=tok.spec, config=scfg, mesh=None)
+
+    base = dict(beam_size_1=4, beam_size_2=4, topk=4, max_q_len=24,
+                max_q_sp_len=88, chunk_rows=16, use_pallas=False)
+    plain = build(SearchConfig(**base))
+    bucketed = build(SearchConfig(**base, hop2_buckets=(32, 48, 64, 88),
+                                  q_width_multiple=8))
+
+    qs = ([f"short q{i}" for i in range(4)]
+          + [f"a much longer question about {synth.rand_text(rng, 8, 12)}"
+             for i in range(4)])
+    q_inputs = tok.encode_batch_one(qs, 24)
+    raw = [tok.raw_ids_padded(q, 20) for q in qs]
+    q_raw_ids = np.stack([r[0] for r in raw])
+    q_raw_lens = np.array([r[1] for r in raw])
+    a = plain.search(q_inputs, q_raw_ids, q_raw_lens)
+    b = bucketed.search(dict(q_inputs), q_raw_ids, q_raw_lens)
+    np.testing.assert_array_equal(a["hop1_ids"], b["hop1_ids"])
+    np.testing.assert_array_equal(a["hop2_ids"], b["hop2_ids"])
+    np.testing.assert_allclose(a["path_scores"], b["path_scores"],
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_beam_search_asymmetric_beams():
     """beam1 != beam2 (FEVER config): chain ranking indexes stay consistent."""
     tok = HashTokenizer(vocab_size=512)

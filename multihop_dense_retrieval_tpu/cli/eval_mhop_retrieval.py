@@ -242,6 +242,7 @@ def main(argv=None):
     dt = time.time() - t0
     logger.info("searched %d questions in %.2fs (%.1f q/s)", n_q, dt, n_q / dt)
 
+    agg = None
     if metrics:
         agg = aggregate_metrics(metrics)
         for scope, vals in agg.items():
@@ -257,6 +258,7 @@ def main(argv=None):
                 f.write(json.dumps(o) + "\n")
         logger.info("wrote %d candidate chains to %s", len(outputs),
                     args.save_path)
+    return agg, outputs
 
 
 if __name__ == "__main__":

@@ -57,6 +57,45 @@ def test_encode_then_eval(artifacts, capsys):
     assert {"title", "text"} <= set(chains[0]["candidate_chains"][0][0])
 
 
+def test_eval_mhop_fever(artifacts, tmp_path):
+    """FEVER claims path: asymmetric beams + the reference dump schema —
+    rows keyed id/claim with candidate_chains as (title, text) PAIRS
+    (eval_mhop_fever.py:160-170), not {title, text} dicts."""
+    tmp, corpus_path, qas_path, _ = artifacts
+    from multihop_dense_retrieval_tpu.cli import encode_corpus, eval_mhop_fever
+
+    out_dir = str(tmp / "index_fever")
+    encode_corpus.main([str(corpus_path), out_dir,
+                        "--tokenizer", "hash", "--model-name", "tiny",
+                        "--batch-size", "16", "--chunk-rows", "64",
+                        "--max-c-len", "64"])
+    claims_path = tmp_path / "claims.jsonl"
+    claims = [{"id": 1000 + i, "claim": f"claim number {i} about topic"}
+              for i in range(5)]
+    synth.write_jsonl(claims_path, claims)
+
+    dump_path = str(tmp_path / "fever_chains.jsonl")
+    eval_mhop_fever.main([str(claims_path), out_dir,
+                          "--tokenizer", "hash", "--model-name", "tiny",
+                          "--beam-size-1", "2", "--beam-size-2", "4",
+                          "--topk", "4", "--batch-size", "5",
+                          "--chunk-rows", "64",
+                          "--max-q-len", "24", "--max-q-sp-len", "96",
+                          "--save-path", dump_path])
+    with open(dump_path) as f:
+        rows = [json.loads(l) for l in f]
+    assert len(rows) == 5
+    r = rows[0]
+    assert set(r) == {"id", "claim", "candidate_chains"}
+    assert r["id"] == 1000 and r["claim"].startswith("claim number 0")
+    assert len(r["candidate_chains"]) == 4
+    chain = r["candidate_chains"][0]
+    assert len(chain) == 2           # (hop1, hop2)
+    for hop in chain:                # (title, text) pair, JSON -> list
+        assert isinstance(hop, list) and len(hop) == 2
+        assert all(isinstance(x, str) for x in hop)
+
+
 def test_train_cli(artifacts):
     tmp, _, qas_path, train_path = artifacts
     from multihop_dense_retrieval_tpu.cli import train_retriever

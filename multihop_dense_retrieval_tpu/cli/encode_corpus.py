@@ -35,6 +35,12 @@ def main(argv=None):
     p.add_argument("--max-docs", type=int, default=None)
     p.add_argument("--data-parallel", type=int, default=None,
                    help="devices on the data axis (default: all)")
+    p.add_argument("--multi-vector", type=int, default=1,
+                   help=">1: encode each passage into N grouped index rows "
+                        "(models/retriever.py::MultiVectorCtxEncoder); "
+                        "search collapses rows to docs by max-over-vectors")
+    p.add_argument("--mv-scheme", default="tokenwise",
+                   choices=["tokenwise", "layerwise"])
     args = p.parse_args(argv)
 
     logger = common.setup_logging(args.out_dir)
@@ -50,15 +56,31 @@ def main(argv=None):
     import jax
     mesh = make_mesh(data=args.data_parallel or len(jax.devices()), index=1)
 
-    def encode_fn(p_, ids, mask, *type_ids):
-        return model.apply(p_, ids, mask, *type_ids, method=model.encode_seq)
+    if args.multi_vector > 1:
+        from ..models.retriever import MultiVectorCtxEncoder
+
+        mv_model = MultiVectorCtxEncoder(cfg, multi_vector=args.multi_vector,
+                                         scheme=args.mv_scheme)
+        # the multi-vector encoder shares the retriever's transformer stack
+        # (the reference loads the same ckpt into its ctx encoder with
+        # exact=False, scripts/encode_corpus.py:74); no projection head.
+        # Passed as the jit ARGUMENT (never close over params in jit).
+        params = {"params": {"encoder": params["params"]["encoder"]}}
+
+        def encode_fn(p_, ids, mask, *type_ids):
+            return mv_model.apply(p_, ids, mask, *type_ids)
+    else:
+        def encode_fn(p_, ids, mask, *type_ids):
+            return model.apply(p_, ids, mask, *type_ids,
+                               method=model.encode_seq)
 
     logger.info("encoding on %s", mesh)
     import jax.numpy as jnp
     index = build_index(encode_fn, params, tc, tok.spec,
                         max_c_len=args.max_c_len, batch_size=args.batch_size,
                         chunk_rows=args.chunk_rows, mesh=mesh, progress=True,
-                        dtype=jnp.dtype(args.index_dtype))
+                        dtype=jnp.dtype(args.index_dtype),
+                        multi_vector=args.multi_vector)
 
     os.makedirs(args.out_dir, exist_ok=True)
     index.save(os.path.join(args.out_dir, "index.npz"))

@@ -27,8 +27,12 @@ from .store import DenseIndex
 def encode_corpus(encode_fn: Callable, params, tc: TokenizedCorpus,
                   spec: TokenizerSpec, *, max_c_len: int = 300,
                   batch_size: int = 256, mesh: Optional[Mesh] = None,
-                  progress: bool = False) -> np.ndarray:
-    """Returns (N, H) fp32 embeddings of all corpus passages."""
+                  progress: bool = False,
+                  multi_vector: int = 1) -> np.ndarray:
+    """Returns (N * multi_vector, H) fp32 embeddings of all corpus passages
+    (multi_vector > 1: encode_fn emits multiple grouped rows per passage,
+    models/retriever.py::MultiVectorCtxEncoder)."""
+    mv = max(multi_vector, 1)
 
     def encode_batch(p, title_ids, title_lens, text_ids, text_lens):
         inputs = assemble_pair_inputs(title_ids, title_lens,
@@ -65,7 +69,7 @@ def encode_corpus(encode_fn: Callable, params, tc: TokenizedCorpus,
         emb = fn(params,
                  jnp.asarray(pad0(tc.title_ids)), jnp.asarray(pad0(tc.title_lens)),
                  jnp.asarray(pad0(tc.text_ids)), jnp.asarray(pad0(tc.text_lens)))
-        chunks.append(np.asarray(emb[: e - s], np.float32))
+        chunks.append(np.asarray(emb[: (e - s) * mv], np.float32))
     return np.concatenate(chunks, axis=0)
 
 
@@ -74,8 +78,10 @@ def build_index(encode_fn: Callable, params, tc: TokenizedCorpus,
                 batch_size: int = 256, chunk_rows: int = 4096,
                 n_shards: int = 1, dtype=jnp.bfloat16,
                 mesh: Optional[Mesh] = None,
-                progress: bool = False) -> DenseIndex:
+                progress: bool = False,
+                multi_vector: int = 1) -> DenseIndex:
     emb = encode_corpus(encode_fn, params, tc, spec, max_c_len=max_c_len,
-                        batch_size=batch_size, mesh=mesh, progress=progress)
+                        batch_size=batch_size, mesh=mesh, progress=progress,
+                        multi_vector=multi_vector)
     return DenseIndex.build(emb, chunk_rows=chunk_rows, n_shards=n_shards,
-                            dtype=dtype, mesh=mesh)
+                            dtype=dtype, mesh=mesh, multi_vector=multi_vector)

@@ -35,12 +35,24 @@ class DenseIndex:
     vectors: jnp.ndarray  # (N_pad, D): bf16, fp32 (CPU tests), or int8
     n_docs: int           # true row count
     scales: Optional[jnp.ndarray] = None  # (N_pad,) f32, int8 indexes only
+    # rows per document (MultiVectorCtxEncoder output is grouped per
+    # passage: doc_id = row // multi_vector — the reference's idx→id map,
+    # utils/gen_index_id_map.py:6-14, by layout instead of a table)
+    multi_vector: int = 1
+
+    @property
+    def n_passages(self) -> int:
+        """Distinct documents in the index (= n_docs / multi_vector)."""
+        return self.n_docs // self.multi_vector
 
     @classmethod
     def build(cls, embeddings: np.ndarray, *, chunk_rows: int = 4096,
               n_shards: int = 1, dtype=jnp.bfloat16,
-              mesh: Optional[Mesh] = None) -> "DenseIndex":
+              mesh: Optional[Mesh] = None,
+              multi_vector: int = 1) -> "DenseIndex":
         n, d = embeddings.shape
+        assert n % max(multi_vector, 1) == 0, \
+            "embedding rows must be a whole number of documents"
         n_pad = _round_up(n, chunk_rows * n_shards)
         out = np.zeros((n_pad, d), dtype=np.float32)
         out[:n] = np.asarray(embeddings, np.float32)
@@ -58,18 +70,20 @@ class DenseIndex:
             arr = jax.device_put(arr, sh)
             if scales is not None:
                 scales = jax.device_put(scales, NamedSharding(mesh, P(INDEX_AXIS)))
-        return cls(vectors=arr, n_docs=n, scales=scales)
+        return cls(vectors=arr, n_docs=n, scales=scales,
+                   multi_vector=max(multi_vector, 1))
 
     def shard(self, mesh: Mesh) -> "DenseIndex":
         arr = jax.device_put(self.vectors, NamedSharding(mesh, P(INDEX_AXIS, None)))
         scales = None if self.scales is None else jax.device_put(
             self.scales, NamedSharding(mesh, P(INDEX_AXIS)))
-        return DenseIndex(vectors=arr, n_docs=self.n_docs, scales=scales)
+        return DenseIndex(vectors=arr, n_docs=self.n_docs, scales=scales,
+                          multi_vector=self.multi_vector)
 
     # ---- persistence -----------------------------------------------------
 
     def save(self, path: str):
-        extra = {}
+        extra = {"multi_vector": self.multi_vector}
         if self.scales is not None:
             extra["scales"] = np.asarray(jax.device_get(self.scales))
         if self.vectors.dtype == jnp.bfloat16:
@@ -91,7 +105,9 @@ class DenseIndex:
         else:
             arr = jnp.asarray(payload)
         scales = jnp.asarray(z["scales"]) if "scales" in z.files else None
-        idx = cls(vectors=arr, n_docs=int(z["n_docs"]), scales=scales)
+        mv = int(z["multi_vector"]) if "multi_vector" in z.files else 1
+        idx = cls(vectors=arr, n_docs=int(z["n_docs"]), scales=scales,
+                  multi_vector=mv)
         return idx.shard(mesh) if mesh is not None else idx
 
     @classmethod

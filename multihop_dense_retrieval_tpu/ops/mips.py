@@ -445,6 +445,30 @@ def mips_topk_xla_int8(index_int8, doc_scales, queries, k: int,
     return vals, idxs
 
 
+def merge_multivector(vals: jnp.ndarray, rows: jnp.ndarray, k: int, m: int):
+    """Collapse a (B, k*m) row-level top-k over a multi-vector index into a
+    (B, k) DOC-level top-k (max over each doc's vectors).
+
+    Rows are grouped per passage (doc = row // m, the layout
+    MultiVectorCtxEncoder emits and DenseIndex.build preserves), mirroring
+    the reference's idx→id map (utils/gen_index_id_map.py:6-14) done
+    on-device.  Fetching k*m rows guarantees ≥ k distinct docs (each doc
+    owns exactly m rows), so the doc-level result is exact.
+    """
+    if m <= 1:
+        return vals, rows
+    km = vals.shape[1]
+    docs = rows // m
+    # rows arrive sorted desc (ties by row asc): the FIRST occurrence of a
+    # doc is its best vector; mask later duplicates and re-rank
+    same = docs[:, :, None] == docs[:, None, :]          # (B, km, km)
+    earlier = jnp.tril(jnp.ones((km, km), bool), -1)     # j < i
+    dup = jnp.any(same & earlier[None], axis=-1)
+    vals = jnp.where(dup, NEG_INF, vals)
+    top_vals, pos = jax.lax.top_k(vals, k)
+    return top_vals, jnp.take_along_axis(docs, pos, axis=1)
+
+
 # --------------------------------------------------------------------------
 # Dispatcher + sharded search
 # --------------------------------------------------------------------------

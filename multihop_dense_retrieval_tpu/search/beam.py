@@ -32,7 +32,8 @@ from jax.sharding import Mesh
 from ..core.config import SearchConfig
 from ..data.tokenization import TokenizerSpec
 from ..index.store import DenseIndex
-from ..ops.mips import sharded_mips_topk, mips_topk, NEG_INF
+from ..ops.mips import (sharded_mips_topk, mips_topk, merge_multivector,
+                        NEG_INF)
 
 
 def truncate_longest_first(len_a: jnp.ndarray, len_b: jnp.ndarray, budget: int):
@@ -136,17 +137,23 @@ class BeamSearcher:
     # ------------------------------------------------------------------
 
     def _mips(self, vectors, queries, k, scales=None):
+        # multi-vector index: fetch k*m rows, then collapse to k DOCS via
+        # max-over-vectors (rows grouped per passage, ops/mips.py)
+        m = self.index.multi_vector
+        k_rows = k * m
         if self.mesh is not None and self.mesh.shape.get("index", 1) > 1:
-            return sharded_mips_topk(
-                vectors, queries, k, self.mesh,
+            vals, rows = sharded_mips_topk(
+                vectors, queries, k_rows, self.mesh,
                 use_pallas=self.config.use_pallas,
                 chunk_rows=self.config.chunk_rows,
                 n_valid=self.index.n_docs, doc_scales=scales)
-        return mips_topk(
-            vectors, queries, k,
-            use_pallas=self.config.use_pallas,
-            chunk_rows=self.config.chunk_rows,
-            n_valid=self.index.n_docs, doc_scales=scales)
+        else:
+            vals, rows = mips_topk(
+                vectors, queries, k_rows,
+                use_pallas=self.config.use_pallas,
+                chunk_rows=self.config.chunk_rows,
+                n_valid=self.index.n_docs, doc_scales=scales)
+        return merge_multivector(vals, rows, k, m)
 
     def _encode_hop2(self, params, qsp):
         """Encode hop-2 q⊕p rows, optionally length-adaptive.

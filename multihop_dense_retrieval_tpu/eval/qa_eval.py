@@ -20,23 +20,57 @@ from .hotpot_metrics import (exact_match_score, f1_score, update_sp,
                              joint_metrics, new_metrics)
 
 
-def _batches(dataset: QADataset, batch_size: int):
+def _row_len_proxy(row: Dict) -> int:
+    """Cheap (character-level) length estimate for length-sorted batching."""
+    n = len(row.get("question", ""))
+    for p in row.get("passages", []):
+        for s in p.get("sents", [p.get("text", "")]):
+            n += len(s)
+    return n
+
+
+def _batches(dataset: QADataset, batch_size: int, *,
+             length_sort: bool = False, width_multiple: int = 0):
     idxs = list(range(len(dataset)))
+    if length_sort:
+        # homogeneous-length batches: with width bucketing below, short
+        # chains stop paying for the 512-token static pad
+        idxs.sort(key=lambda i: _row_len_proxy(dataset.data[i]))
     for s in range(0, len(idxs), batch_size):
         chunk = idxs[s:s + batch_size]
         pad = batch_size - len(chunk)
-        yield qa_collate([dataset[i] for i in chunk + chunk[-1:] * pad]), len(chunk)
+        batch = qa_collate([dataset[i] for i in chunk + chunk[-1:] * pad])
+        if width_multiple:
+            ni = batch["net_inputs"]
+            max_len = int(ni["attention_mask"].sum(1).max())
+            w = max(width_multiple,
+                    -(-max_len // width_multiple) * width_multiple)
+            if w < ni["input_ids"].shape[1]:
+                for k in ("input_ids", "attention_mask", "token_type_ids",
+                          "paragraph_mask"):
+                    if k in ni:
+                        ni[k] = ni[k][:, :w]
+        yield batch, len(chunk)
 
 
 def predict(predict_step: Callable, params, dataset: QADataset, *,
             batch_size: int = 16, sp_pred: bool = True,
-            lambdas: Optional[List[float]] = None) -> Dict:
-    """Returns {"chain_em", "best": {...}, "per_lambda": {...}, "answers": ...}."""
+            lambdas: Optional[List[float]] = None,
+            length_sort: bool = True, width_multiple: int = 64) -> Dict:
+    """Returns {"chain_em", "best": {...}, "per_lambda": {...}, "answers": ...}.
+
+    length_sort + width_multiple: chains are batched by length and each
+    batch's static width is the batch max rounded up — exact results (pads
+    are masked out of attention; ELECTRA positions are width-independent),
+    a few cached traces instead of every chain paying the 512 pad.
+    """
     id2result = collections.defaultdict(list)
     id2answer = collections.defaultdict(list)
     id2gold, id2goldsp = {}, {}
 
-    for batch, n_real in _batches(dataset, batch_size):
+    for batch, n_real in _batches(dataset, batch_size,
+                                  length_sort=length_sort,
+                                  width_multiple=width_multiple):
         net = {k: jnp.asarray(v) for k, v in batch["net_inputs"].items()}
         out = predict_step(params, net)
         out = {k: np.asarray(v) for k, v in out.items()}

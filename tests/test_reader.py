@@ -226,3 +226,15 @@ def test_qa_train_and_predict_end_to_end():
     assert set(res["best"]["answers"]) == {"q0", "q1", "q2"}
     # every predicted answer is a string (possibly yes/no)
     assert all(isinstance(a, str) for a in res["best"]["answers"].values())
+
+    # length-sorted width-bucketed prediction is EXACT: identical answers,
+    # sp and metrics vs the fixed-width path (pads are masked out of
+    # attention, so narrowing is a pure FLOP saving)
+    plain = predict(pred_step, state.params, eval_ds, batch_size=4,
+                    length_sort=False, width_multiple=0)
+    bucketed = predict(pred_step, state.params, eval_ds, batch_size=2,
+                       length_sort=True, width_multiple=16)
+    assert plain["best"]["answers"] == bucketed["best"]["answers"]
+    assert plain["best"]["sp"] == bucketed["best"]["sp"]
+    for k in ("em", "f1", "sp_em", "sp_f1", "joint_em", "joint_f1"):
+        assert abs(plain["best"][k] - bucketed["best"][k]) < 1e-9

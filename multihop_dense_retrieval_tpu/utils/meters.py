@@ -33,11 +33,21 @@ class AverageMeter:
 
 
 class MetricWriter:
-    """TensorBoard scalars when tensorboardX is importable, else JSONL."""
+    """TensorBoard scalars when tensorboardX is importable, else JSONL.
+
+    Multi-process aware: on a pod (cli/pod.py), only process 0 writes —
+    every other process gets a no-op writer, matching the reference's
+    rank-0 SummaryWriter gating (train_mhop.py:108-110).
+    """
 
     def __init__(self, log_dir: str):
-        os.makedirs(log_dir, exist_ok=True)
         self._tb = None
+        self._jsonl = None
+        import jax
+
+        if jax.process_index() != 0:
+            return
+        os.makedirs(log_dir, exist_ok=True)
         try:
             from tensorboardX import SummaryWriter  # optional
 
@@ -48,7 +58,7 @@ class MetricWriter:
     def add_scalar(self, tag: str, value: float, step: int):
         if self._tb is not None:
             self._tb.add_scalar(tag, value, step)
-        else:
+        elif self._jsonl is not None:
             self._jsonl.write(json.dumps(
                 {"tag": tag, "value": float(value), "step": int(step),
                  "ts": time.time()}) + "\n")
@@ -57,5 +67,5 @@ class MetricWriter:
     def close(self):
         if self._tb is not None:
             self._tb.close()
-        else:
+        elif self._jsonl is not None:
             self._jsonl.close()

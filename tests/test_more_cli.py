@@ -1,6 +1,7 @@
 """CLI smoke tests for single-hop training, single-hop eval, demo pipeline,
 and the grid launcher."""
 
+import os
 import json
 
 import numpy as np
@@ -117,3 +118,39 @@ def test_eval_reranked_cli(tmp_path, capsys):
     assert out["overall"]["sp_em"] == 0.5
     assert out["bridge"]["em"] == 1.0
     assert out["comparison"]["em"] == 0.0
+
+
+def test_pod_runner_single_process(tmp_path):
+    """cli/pod: jax.distributed.initialize + dispatch to an entry point.
+    Run in a fresh subprocess (single-process rendezvous on localhost) so
+    the test process's already-initialized backend is untouched."""
+    import subprocess
+    import sys
+
+    code = (
+        "from multihop_dense_retrieval_tpu.cli import pod\n"
+        "import json, sys\n"
+        "import numpy as np\n"
+        "rows = [{'title': f'T{i}', 'text': f'body text {i}'} "
+        "for i in range(8)]\n"
+        "open(%r, 'w').write('\\n'.join(json.dumps(r) for r in rows))\n"
+        "pod.main(['--coordinator', 'localhost:18476', '--num-processes',"
+        " '1', '--process-id', '0', 'encode_corpus', %r, %r,"
+        " '--tokenizer', 'hash', '--model-name', 'tiny',"
+        " '--batch-size', '8', '--chunk-rows', '16', '--max-c-len', '32'])\n"
+        "import os; assert os.path.exists(%r)\n"
+        "print('POD OK')\n"
+    ) % (str(tmp_path / "c.jsonl"), str(tmp_path / "c.jsonl"),
+         str(tmp_path / "out"), str(tmp_path / "out/index.npz"))
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    proc = subprocess.run([sys.executable, "-c",
+                           "import jax; jax.config.update('jax_platforms',"
+                           " 'cpu')\n" + code],
+                          capture_output=True, text=True, timeout=300,
+                          env=env, cwd=os.path.dirname(os.path.dirname(
+                              os.path.abspath(__file__))))
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "POD OK" in proc.stdout
+    assert "process 0/1" in proc.stderr

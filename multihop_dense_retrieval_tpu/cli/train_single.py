@@ -42,6 +42,11 @@ def main(argv=None):
     p.add_argument("--fever", action="store_true")
     p.add_argument("--separate-encoders", action="store_true",
                    help="separate q/ctx towers (BertRetrieverSingle parity)")
+    p.add_argument("--momentum", action="store_true",
+                   help="token-queue memory bank re-encoded with the "
+                        "current encoder each step (MomentumRetriever "
+                        "parity, models/retriever.py:76-141)")
+    p.add_argument("--queue-size", type=int, default=256)
     p.add_argument("--data-parallel", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -79,8 +84,16 @@ def main(argv=None):
                                output_dir=args.output_dir or None,
                                log_fn=logger.info)
     # swap in single-hop steps
-    trainer.train_step = T.make_train_step(model, trainer.tx, task="single",
-                                           mesh=mesh)
+    if args.momentum:
+        trainer.state = T.TokenQueueTrainState.create(
+            params, trainer.tx, queue_size=args.queue_size,
+            max_c_len=args.max_c_len, cls_id=tok.spec.cls_id,
+            sep_id=tok.spec.sep_id)
+        trainer.train_step = T.make_single_momentum_train_step(
+            model, trainer.tx, mesh=mesh)
+    else:
+        trainer.train_step = T.make_train_step(model, trainer.tx,
+                                               task="single", mesh=mesh)
     trainer.eval_step = T.make_eval_step(model, task="single", mesh=mesh)
     result = trainer.run()
     logger.info("single-hop training finished: %s", result)

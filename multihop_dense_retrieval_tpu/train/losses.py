@@ -137,18 +137,23 @@ def unified_eval(outputs: Dict[str, jnp.ndarray],
     }
 
 
-def single_loss(outputs: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+def single_loss(outputs: Dict[str, jnp.ndarray],
+                queue_c: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Single-hop DPR loss: in-batch positives + per-sample hard negative.
 
     The reference's `loss_single` was deleted (criterions.py:10-110 commented
     out; train_single.py:106 imports it and crashes) — this is the standard
     formulation its surviving callers expect: scores = q · [c; neg]ᵀ with
-    target i.
+    target i.  `queue_c` (K, h) appends memory-bank negatives re-encoded
+    from the token queue (the momentum branch, criterions.py:19-23).
     """
     q = outputs["q"].astype(jnp.float32)
     c = outputs["c"].astype(jnp.float32)
     neg = outputs["neg"].astype(jnp.float32)
-    scores = jnp.concatenate([q @ c.T, q @ neg.T], axis=1)  # (B, 2B)
+    cols = [q @ c.T, q @ neg.T]
+    if queue_c is not None:
+        cols.append(q @ queue_c.astype(jnp.float32).T)
+    scores = jnp.concatenate(cols, axis=1)  # (B, 2B [+K])
     targets = jnp.arange(q.shape[0], dtype=jnp.int32)
     return cross_entropy(scores, targets)
 
@@ -162,12 +167,14 @@ def single_eval(outputs: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
     return {"rrs": _reciprocal_ranks(scores, targets)}
 
 
-def nq_mhop_loss(outputs: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+def nq_mhop_loss(outputs: Dict[str, jnp.ndarray],
+                 queue: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Error-recovery objective for the NQ variants (reconstruction of the
     dead `loss_nq_mhop`, criterions.py:10-110 / unified_retriever.py:59-111):
     both the original query and the recovery query q_neg1 (question ⊕ wrong
     passage) must rank the gold passage first against in-batch + dense
-    negatives."""
+    negatives.  `queue` (K, h) appends memory-bank negatives
+    (BertNQMomentumRetriever, unified_retriever.py:114-180)."""
     q = outputs["q"].astype(jnp.float32)
     q_neg1 = outputs["q_neg1"].astype(jnp.float32)
     c = outputs["c"].astype(jnp.float32)
@@ -176,7 +183,9 @@ def nq_mhop_loss(outputs: Dict[str, jnp.ndarray]) -> jnp.ndarray:
     for k in ("dense_neg1", "dense_neg2"):
         if k in outputs:
             ctx.append(outputs[k].astype(jnp.float32).T)
-    ctx = jnp.concatenate(ctx, axis=1)  # (h, >=2B)
+    if queue is not None:
+        ctx.append(queue.astype(jnp.float32).T)
+    ctx = jnp.concatenate(ctx, axis=1)  # (h, >=2B [+K])
     targets = jnp.arange(q.shape[0], dtype=jnp.int32)
     return (cross_entropy(q @ ctx, targets)
             + cross_entropy(q_neg1 @ ctx, targets))

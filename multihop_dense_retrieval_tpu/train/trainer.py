@@ -177,12 +177,18 @@ def make_train_step(model, tx, *, unified: bool = False, task: str = None,
 
 def make_momentum_train_step(model, tx, *, enable_ema: bool = False,
                              momentum_m: float = 0.999,
-                             mesh: Optional[Mesh] = None) -> Callable:
+                             mesh: Optional[Mesh] = None,
+                             task: str = "mhop") -> Callable:
     """Stage-2 memory-bank step (train_momentum.py + criterions.py:134-143).
 
     Queue scores use the PRE-update queue; the batch contexts are enqueued
     after.  `enable_ema=False` matches the shipped reference (the EMA call is
     commented out at criterions.py:144).
+
+    task="nq" is the BertNQMomentumRetriever composition
+    (unified_retriever.py:114-180): queries (q, q_neg1) through the trained
+    encoder, contexts (c, neg) through the frozen/EMA key encoder, queue
+    negatives in the recovery loss; `model` is then an NQRetriever.
     """
 
     def encode(params, batch, keys):
@@ -191,9 +197,18 @@ def make_momentum_train_step(model, tx, *, enable_ema: bool = False,
             method=model.encode_seq)
             for name, pref in keys}
 
-    q_keys = [("q", "q_"), ("q_sp1", "q_sp_")]
-    ctx_keys = [("c1", "c1_"), ("c2", "c2_"), ("neg_1", "neg1_"),
-                ("neg_2", "neg2_")]
+    if task == "nq":
+        q_keys = [("q", "q_"), ("q_neg1", "q_neg1_")]
+        ctx_keys = [("c", "c_"), ("neg", "neg_")]
+        loss_of = losses.nq_mhop_loss
+        enqueue_of = lambda ctx: ctx["c"]
+    else:
+        q_keys = [("q", "q_"), ("q_sp1", "q_sp_")]
+        ctx_keys = [("c1", "c1_"), ("c2", "c2_"), ("neg_1", "neg1_"),
+                    ("neg_2", "neg2_")]
+        loss_of = losses.mhop_loss
+        enqueue_of = lambda ctx: jnp.concatenate([ctx["c1"], ctx["c2"]],
+                                                 axis=0)
 
     def step(state: MomentumTrainState, batch):
         ctx = jax.lax.stop_gradient(encode(state.params_k, batch, ctx_keys))
@@ -201,12 +216,12 @@ def make_momentum_train_step(model, tx, *, enable_ema: bool = False,
         def loss_fn(params):
             outputs = dict(ctx)
             outputs.update(encode(params, batch, q_keys))
-            return losses.mhop_loss(outputs, queue=state.queue)
+            return loss_of(outputs, queue=state.queue)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        all_ctx = jnp.concatenate([ctx["c1"], ctx["c2"]], axis=0)
+        all_ctx = enqueue_of(ctx)
         queue, ptr = losses.enqueue(state.queue, state.queue_ptr, all_ctx)
         params_k = state.params_k
         if enable_ema:
@@ -214,6 +229,92 @@ def make_momentum_train_step(model, tx, *, enable_ema: bool = False,
         return MomentumTrainState(
             params=params, params_k=params_k, queue=queue, queue_ptr=ptr,
             opt_state=opt_state, step=state.step + 1), loss
+
+    shard = _batch_sharding(mesh)
+    if shard is None:
+        return jax.jit(step)
+    return jax.jit(step, in_shardings=(None, shard), donate_argnums=(0,))
+
+
+@flax.struct.dataclass
+class TokenQueueTrainState:
+    """Single-hop momentum state: a memory bank of raw TOKEN triples that is
+    re-encoded with the CURRENT encoder every step (the reference's
+    MomentumRetriever, models/retriever.py:76-141) — embeddings never go
+    stale, unlike the (K, h) embedding queue of the mhop momentum stage."""
+
+    params: Any
+    queue_ids: jnp.ndarray    # (K, L) int32
+    queue_mask: jnp.ndarray   # (K, L) int32
+    queue_type: jnp.ndarray   # (K, L) int32
+    queue_ptr: jnp.ndarray
+    opt_state: Any
+    step: jnp.ndarray
+
+    @classmethod
+    def create(cls, params, tx, queue_size: int, max_c_len: int,
+               cls_id: int = 101, sep_id: int = 102):
+        # slots start as empty-but-valid [CLS][SEP] rows: the reference's
+        # all-zero-mask init rows are softmax-over-nothing UB in fp16 —
+        # a minimal valid sequence keeps the warm-up numerics defined
+        ids = jnp.zeros((queue_size, max_c_len), jnp.int32)
+        ids = ids.at[:, 0].set(cls_id).at[:, 1].set(sep_id)
+        mask = jnp.zeros((queue_size, max_c_len), jnp.int32).at[:, :2].set(1)
+        return cls(params=params,
+                   queue_ids=ids, queue_mask=mask,
+                   queue_type=jnp.zeros_like(ids),
+                   queue_ptr=jnp.zeros((), jnp.int32),
+                   opt_state=tx.init(params),
+                   step=jnp.zeros((), jnp.int32))
+
+
+def _enqueue_tokens(state: TokenQueueTrainState, ids, mask, type_ids):
+    """Write the batch's context token rows into the queue at ptr (wrap
+    semantics, same rationale as losses.enqueue), width-aligned to the
+    queue's static max_c_len."""
+    K, L = state.queue_ids.shape
+    n, lb = ids.shape
+
+    def fit(x):
+        if lb >= L:
+            return x[:, :L]
+        return jnp.pad(x, ((0, 0), (0, L - lb)))
+
+    idx = (state.queue_ptr + jnp.arange(n, dtype=jnp.int32)) % K
+    return state.replace(
+        queue_ids=state.queue_ids.at[idx].set(fit(ids)),
+        queue_mask=state.queue_mask.at[idx].set(fit(mask)),
+        queue_type=state.queue_type.at[idx].set(fit(type_ids)),
+        queue_ptr=(state.queue_ptr + n) % K)
+
+
+def make_single_momentum_train_step(model, tx,
+                                    mesh: Optional[Mesh] = None) -> Callable:
+    """Single-hop momentum step (MomentumRetriever + the loss_single
+    momentum branch, criterions.py:10-23): the token queue is re-encoded
+    with the current encoder under stop_gradient (encode_queue_ctx,
+    retriever.py:98-112), its vectors appended as extra negatives, and the
+    batch's context TOKENS enqueued afterwards (dequeue_and_enqueue,
+    retriever.py:114-141).  `model` is a SingleRetriever."""
+
+    def step(state: TokenQueueTrainState, batch):
+        def loss_fn(params):
+            outputs = model.apply(params, batch)
+            queue_c = jax.lax.stop_gradient(model.apply(
+                params, state.queue_ids, state.queue_mask, state.queue_type,
+                method=model.encode_ctx))
+            return losses.single_loss(outputs, queue_c=queue_c)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        tt = batch.get("c_type_ids")
+        if tt is None:
+            tt = jnp.zeros_like(batch["c_input_ids"])
+        state = _enqueue_tokens(state, batch["c_input_ids"],
+                                batch["c_mask"], tt)
+        return state.replace(params=params, opt_state=opt_state,
+                             step=state.step + 1), loss
 
     shard = _batch_sharding(mesh)
     if shard is None:

@@ -27,6 +27,17 @@ def test_train_single_cli(tmp_path):
         "--max-q-len", "12", "--max-c-len", "24", "--data-parallel", "2"])
     assert res["best_mrr"] > 0
 
+    # token-queue momentum variant (MomentumRetriever parity)
+    res = train_single.main([
+        "--train-file", str(tmp_path / "sp.jsonl"),
+        "--predict-file", str(tmp_path / "sp.jsonl"),
+        "--tokenizer", "hash", "--model-name", "tiny",
+        "--train-batch-size", "4", "--predict-batch-size", "4",
+        "--num-epochs", "1", "--learning-rate", "1e-4",
+        "--momentum", "--queue-size", "8",
+        "--max-q-len", "12", "--max-c-len", "24", "--data-parallel", "2"])
+    assert res["best_mrr"] > 0
+
 
 def test_eval_retrieval_cli(tmp_path, capsys):
     from multihop_dense_retrieval_tpu.cli import encode_corpus, eval_retrieval

@@ -179,3 +179,119 @@ def test_gradient_accumulation(tmp_path):
                   for x, y in zip(jax.tree_util.tree_leaves(params),
                                   jax.tree_util.tree_leaves(state2.params)))
     assert changed
+
+
+def test_token_queue_momentum_step():
+    """Single-hop token-queue momentum (MomentumRetriever parity): the queue
+    stores raw context TOKENS, is re-encoded with the CURRENT encoder under
+    stop_gradient each step, and the batch's context tokens are enqueued
+    after the update."""
+    from multihop_dense_retrieval_tpu.models import SingleRetriever
+    from multihop_dense_retrieval_tpu.train import losses
+
+    cfg = EncoderConfig.tiny(vocab_size=256, hidden_size=32, num_heads=4,
+                             intermediate_size=64, max_position_embeddings=40)
+    model = SingleRetriever(cfg, shared=True)
+    rng = np.random.RandomState(0)
+    b, lb, lq = 4, 12, 20
+
+    def mk_batch(seed):
+        r = np.random.RandomState(seed)
+        out = {}
+        for k in ("q", "c", "neg"):
+            out[f"{k}_input_ids"] = jnp.asarray(
+                r.randint(5, 250, size=(b, lb)).astype(np.int32))
+            out[f"{k}_mask"] = jnp.ones((b, lb), jnp.int32)
+        return out
+
+    batch = mk_batch(1)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    tx = T.make_optimizer(RetrieverTrainConfig(warmup_ratio=0.0,
+                                               learning_rate=1e-3), 20)
+    state = T.TokenQueueTrainState.create(params, tx, queue_size=8,
+                                          max_c_len=lq, cls_id=0, sep_id=2)
+    step = T.make_single_momentum_train_step(model, tx)
+
+    # bit-check the first step's loss against a manual replication
+    queue_c = model.apply(params, state.queue_ids, state.queue_mask,
+                          state.queue_type, method=model.encode_ctx)
+    expected = float(losses.single_loss(model.apply(params, batch),
+                                        queue_c=queue_c))
+    state1, loss1 = step(state, batch)
+    assert float(loss1) == pytest.approx(expected, rel=1e-6)
+
+    # enqueue semantics: rows 0..3 now hold the batch c tokens, width-padded
+    assert int(state1.queue_ptr) == b
+    got_ids = np.asarray(state1.queue_ids[:b])
+    np.testing.assert_array_equal(got_ids[:, :lb],
+                                  np.asarray(batch["c_input_ids"]))
+    assert (got_ids[:, lb:] == 0).all()
+    np.testing.assert_array_equal(np.asarray(state1.queue_mask[:b, lb:]), 0)
+
+    # training progresses (re-encoded queue as negatives, loss finite + down)
+    losses_seen = [float(loss1)]
+    for i in range(5):
+        state1, loss = step(state1, mk_batch(1))
+        losses_seen.append(float(loss))
+    assert all(np.isfinite(losses_seen))
+    assert losses_seen[-1] < losses_seen[0]
+    # queue wrapped (8 slots, 4 enqueued per step)
+    assert int(state1.queue_ptr) == (b * 6) % 8
+
+
+def test_nq_momentum_composition():
+    """BertNQMomentumRetriever parity by composition
+    (unified_retriever.py:114-180): NQRetriever + MomentumTrainState +
+    make_momentum_train_step(task='nq') — queries through the trained
+    encoder, contexts through the FROZEN key encoder, embedding-queue
+    negatives in the recovery loss, c embeddings enqueued."""
+    from multihop_dense_retrieval_tpu.models import NQRetriever
+    from multihop_dense_retrieval_tpu.train import losses
+
+    cfg = EncoderConfig.tiny(vocab_size=256, hidden_size=32, num_heads=4,
+                             intermediate_size=64, max_position_embeddings=40)
+    model = NQRetriever(cfg)
+    rng = np.random.RandomState(0)
+    b, l = 4, 12
+    batch = {}
+    for k in ("q", "q_neg1", "c", "neg"):
+        batch[f"{k}_input_ids"] = jnp.asarray(
+            rng.randint(5, 250, size=(b, l)).astype(np.int32))
+        batch[f"{k}_mask"] = jnp.ones((b, l), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0),
+                        batch["q_input_ids"], batch["q_mask"],
+                        method=model.encode_seq)
+    tx = T.make_optimizer(RetrieverTrainConfig(warmup_ratio=0.0,
+                                               learning_rate=1e-3), 20)
+    state = T.MomentumTrainState.create(
+        jax.tree_util.tree_map(jnp.copy, params), tx, queue_size=16,
+        hidden=cfg.hidden_size)
+    step = T.make_momentum_train_step(model, tx, task="nq")
+
+    # bit-check the loss against a manual replication
+    ctx = {k: model.apply(state.params_k, batch[f"{k}_input_ids"],
+                          batch[f"{k}_mask"], method=model.encode_seq)
+           for k in ("c", "neg")}
+    qs = {k: model.apply(state.params, batch[f"{k}_input_ids"],
+                         batch[f"{k}_mask"], method=model.encode_seq)
+          for k in ("q", "q_neg1")}
+    expected = float(losses.nq_mhop_loss({**ctx, **qs}, queue=state.queue))
+    expected_c = np.asarray(ctx["c"])
+
+    state1, loss = step(state, batch)
+    assert float(loss) == pytest.approx(expected, rel=1e-5)
+    # key encoder frozen (no EMA by default)
+    for a, bb in zip(jax.tree_util.tree_leaves(params),
+                     jax.tree_util.tree_leaves(state1.params_k)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
+    # c embeddings (from the KEY encoder) enqueued at ptr 0
+    assert int(state1.queue_ptr) == b
+    np.testing.assert_allclose(np.asarray(state1.queue[:b]), expected_c,
+                               rtol=1e-4, atol=1e-5)
+    # second step trains (params moved, loss finite)
+    state2, loss2 = step(state1, batch)
+    assert np.isfinite(float(loss2))
+    moved = any(not np.array_equal(np.asarray(x), np.asarray(y))
+                for x, y in zip(jax.tree_util.tree_leaves(state1.params),
+                                jax.tree_util.tree_leaves(state2.params)))
+    assert moved

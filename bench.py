@@ -251,7 +251,9 @@ def _run(n_docs):
     q_width = 48  # static question width (host-side bucketing in serving)
     d = 768
 
-    cfg = EncoderConfig.roberta_base(num_layers=layers)
+    scores_dtype = os.environ.get("MDRT_BENCH_SCORES", "float32")
+    cfg = EncoderConfig.roberta_base(num_layers=layers,
+                                     attention_scores_dtype=scores_dtype)
     # cls_only: the final encoder layer computes only the CLS position —
     # bit-identical retrieval vectors (tests/test_encoder.py), fewer FLOPs
     model = MhopRetriever(cfg, cls_only=True)
@@ -295,7 +297,7 @@ def _run(n_docs):
     if _env("MDRT_BENCH_READER", 0):
         extras.update(_reader_bench(tunnel_s))
     if run_beam4:
-        b4_batch = min(batch // 4, 48)
+        b4_batch = _env("MDRT_BENCH_B4BATCH", min(batch // 4, 48))
         s4 = build_searcher(4, 4, 4)
         dt4, c4 = _timed_search(s4, params, 4, b4_batch, reps, q_width,
                                 cfg.vocab_size, nprng)

@@ -165,3 +165,48 @@ def test_pod_runner_single_process(tmp_path):
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "POD OK" in proc.stdout
     assert "process 0/1" in proc.stderr
+
+
+def test_prep_cli(tmp_path):
+    """cli/prep: the add_sp_label.sh workflow (raw hotpot + retrieved chains
+    -> reader rows with sentence-level SP supervision) and hotpot-to-mhop."""
+    from multihop_dense_retrieval_tpu.cli import prep as prep_cli
+
+    raw = [{
+        "_id": "x1", "question": "who did what?", "answer": "alice",
+        "type": "bridge",
+        "context": [["T1", ["s one.", "s two."]], ["T2", ["s three."]],
+                    ["T3", ["filler."]]],
+        "supporting_facts": [["T1", 1], ["T2", 0]],
+    }]
+    retrieved = [{
+        "_id": "x1", "question": "who did what?",
+        "candidate_chains": [[{"title": "T1", "text": "s one. s two."},
+                              {"title": "T3", "text": "filler."}]],
+    }]
+    (tmp_path / "raw.json").write_text(json.dumps(raw))
+    synth.write_jsonl(tmp_path / "retr.jsonl", retrieved)
+
+    out = tmp_path / "with_sp.jsonl"
+    prep_cli.main(["add-sp-label", str(tmp_path / "raw.json"),
+                   str(tmp_path / "retr.jsonl"), str(out)])
+    rows = [json.loads(l) for l in open(out)]
+    assert len(rows) == 1
+    sp = {p["title"]: p for p in rows[0]["sp"]}
+    assert sp["T1"]["sp_sent_ids"] == [1]
+    assert sp["T1"]["sents"] == ["s one.", "s two."]
+    assert sp["T2"]["sp_sent_ids"] == [0]
+    assert rows[0]["answer"] == ["alice"]
+
+    out2 = tmp_path / "mhop.jsonl"
+    prep_cli.main(["hotpot-to-mhop", str(tmp_path / "raw.json"), str(out2)])
+    mhop = [json.loads(l) for l in open(out2)]
+    assert mhop[0]["sp"] == ["T1", "T2"]
+    assert mhop[0]["pos_paras"][0]["text"] == "s one.s two."
+
+    id2doc = tmp_path / "id2doc.json"
+    id2doc.write_text(json.dumps({"abc": ["T1", "text", True],
+                                  "def": ["T2", "text", True]}))
+    out3 = tmp_path / "idmap.json"
+    prep_cli.main(["index-id-map", str(id2doc), str(out3)])
+    assert json.load(open(out3)) == {"0": "abc", "1": "def"}

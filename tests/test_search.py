@@ -249,6 +249,63 @@ def test_length_bucketed_search_is_exact():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_bucketed_search_on_sharded_index():
+    """hop2_buckets composed with index sharding over the 8-device mesh:
+    identical results to the plain single-device engine."""
+    from multihop_dense_retrieval_tpu.core.mesh import make_mesh
+
+    tok = HashTokenizer(vocab_size=512)
+    rng = np.random.RandomState(21)
+    corpus = Corpus(synth.make_corpus(rng, 40))
+    tc = TokenizedCorpus.build(corpus, tok, max_text_len=48)
+    cfg = EncoderConfig.tiny(vocab_size=512, max_position_embeddings=96)
+    model = MhopRetriever(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32),
+                        jnp.ones((1, 8), jnp.int32), method=model.encode_seq)
+    enc = tok.encode_batch_pair(
+        [(corpus[i]["title"], corpus.encode_text(i)) for i in range(len(corpus))], 64)
+    emb = np.asarray(model.apply(params, jnp.asarray(enc["input_ids"]),
+                                 jnp.asarray(enc["attention_mask"]),
+                                 method=model.encode_seq), np.float32)
+    mesh = make_mesh()  # (1, 8)
+    base = dict(beam_size_1=4, beam_size_2=4, topk=4, max_q_len=20,
+                max_q_sp_len=80, chunk_rows=8, use_pallas=False)
+
+    def build(index, scfg, m):
+        n_pad = index.vectors.shape[0]
+        text_ids = np.full((n_pad, 48), tok.spec.pad_id, np.int32)
+        text_ids[:len(corpus)] = tc.text_ids
+        text_lens = np.zeros(n_pad, np.int32)
+        text_lens[:len(corpus)] = tc.text_lens
+        empty = np.zeros(n_pad, bool)
+        empty[:len(corpus)] = tc.empty
+        return BeamSearcher(
+            encode_fn=lambda p, ids, mask, tt=None: model.apply(
+                p, ids, mask, tt, method=model.encode_seq),
+            params=params, index=index,
+            text_ids=jnp.asarray(text_ids), text_lens=jnp.asarray(text_lens),
+            empty=jnp.asarray(empty), spec=tok.spec, config=scfg, mesh=m)
+
+    plain = build(DenseIndex.build(emb, chunk_rows=8, dtype=jnp.float32),
+                  SearchConfig(**base), None)
+    sharded = build(
+        DenseIndex.build(emb, chunk_rows=8, n_shards=8, dtype=jnp.float32,
+                         mesh=mesh),
+        SearchConfig(**base, hop2_buckets=(32, 48, 64, 80)), mesh)
+
+    qs = [f"question about {synth.rand_text(rng, 2, 8)}" for _ in range(4)]
+    q_inputs = tok.encode_batch_one(qs, 20)
+    raw = [tok.raw_ids_padded(q, 18) for q in qs]
+    rid = np.stack([r[0] for r in raw])
+    rlen = np.array([r[1] for r in raw])
+    a = plain.search(q_inputs, rid, rlen)
+    b = sharded.search(dict(q_inputs), rid, rlen)
+    np.testing.assert_array_equal(a["hop1_ids"], b["hop1_ids"])
+    np.testing.assert_array_equal(a["hop2_ids"], b["hop2_ids"])
+    np.testing.assert_allclose(a["path_scores"], b["path_scores"],
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_beam_search_asymmetric_beams():
     """beam1 != beam2 (FEVER config): chain ranking indexes stay consistent."""
     tok = HashTokenizer(vocab_size=512)

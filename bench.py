@@ -15,6 +15,11 @@ Headline config (serving-tuned, quality-validated):
     BASELINE.md); question tokens uniform 12-38.  The reference pays the
     same encoder cost REGARDLESS of true lengths (it pads hop-2 pairs to
     350, eval_mhop_retrieval.py:159-168), so vs_baseline is conservative.
+  * bf16 attention scores (the reference runs apex O1, i.e. fp16 scores
+    with LESS dynamic range than bf16).  Measured vs fp32 scores at 256k
+    docs: query cosine 0.99996, 100% top-1 agreement, 97.5% top-10
+    overlap — comparable to the int8 tier.  MDRT_BENCH_SCORES=float32
+    reverts.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}
 (extras: beam-4 q/s, exact-bf16 delta config, measured tunnel correction).
@@ -251,7 +256,7 @@ def _run(n_docs):
     q_width = 48  # static question width (host-side bucketing in serving)
     d = 768
 
-    scores_dtype = os.environ.get("MDRT_BENCH_SCORES", "float32")
+    scores_dtype = os.environ.get("MDRT_BENCH_SCORES", "bfloat16")
     cfg = EncoderConfig.roberta_base(num_layers=layers,
                                      attention_scores_dtype=scores_dtype)
     # cls_only: the final encoder layer computes only the CLS position —

@@ -78,15 +78,17 @@ def load_retriever_params(checkpoint: str, config: EncoderConfig,
 
 
 def init_retriever(config: EncoderConfig, *, unified: bool = False,
-                   checkpoint: str = "", seed: int = 0):
+                   checkpoint: str = "", seed: int = 0, remat: bool = False):
     # cls_only: the last encoder layer computes the CLS position only —
     # bit-identical vectors (test_encoder.py::test_cls_only_last_layer...)
     # with ~1/num_layers fewer FLOPs; valid for training too (the loss only
-    # consumes CLS, so gradients are unchanged)
+    # consumes CLS, so gradients are unchanged).
+    # remat: per-layer rematerialization (jax.checkpoint) — required to
+    # train production batch sizes (activation memory + XLA program size).
     if unified:
         model = UnifiedRetriever(config)
     else:
-        model = MhopRetriever(config, cls_only=True)
+        model = MhopRetriever(config, cls_only=True, remat=remat)
     if checkpoint:
         params = load_retriever_params(checkpoint, config, unified=unified)
     else:

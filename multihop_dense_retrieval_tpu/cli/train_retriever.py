@@ -37,6 +37,11 @@ def add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--max-c-len", type=int, default=300)
     p.add_argument("--seed", type=int, default=3)
     p.add_argument("--data-parallel", type=int, default=None)
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize encoder layers in the backward pass "
+                        "(jax.checkpoint): ~33%% more FLOPs for "
+                        "O(num_layers) less activation memory — use for "
+                        "production batch sizes")
     p.add_argument("--unified", action="store_true",
                    help="variable-hop training with the stop head "
                         "(UnifiedRetriever + UnifiedDataset)")
@@ -58,7 +63,7 @@ def build(args, unified: bool = None):
     tok = common.resolve_tokenizer(args.tokenizer)
     model, params = common.init_retriever(enc_cfg, unified=unified,
                                           checkpoint=args.init_checkpoint,
-                                          seed=args.seed)
+                                          seed=args.seed, remat=args.remat)
     kw = dict(max_q_len=cfg.max_q_len, max_q_sp_len=cfg.max_q_sp_len,
               max_c_len=cfg.max_c_len)
     if unified:

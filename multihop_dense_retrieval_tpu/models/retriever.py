@@ -60,10 +60,17 @@ class MhopRetriever(nn.Module):
     # cls_only: final encoder layer computes position 0 only — bit-identical
     # CLS vector, ~1/num_layers fewer FLOPs (see encoder.TransformerEncoder)
     cls_only: bool = False
+    # remat: rematerialize each encoder layer in the backward pass
+    # (jax.checkpoint) — trades ~33% more FLOPs for O(num_layers) less
+    # activation memory AND a much smaller XLA program, which is what lets
+    # production-size training batches compile on this environment's remote
+    # compiler (B=16 full-budget compiles without it; B>=32 needs it)
+    remat: bool = False
 
     def setup(self):
         self.encoder = TransformerEncoder(self.config, name="encoder",
-                                          cls_only=self.cls_only)
+                                          cls_only=self.cls_only,
+                                          remat=self.remat)
         self.project = ProjectionHead(self.config, name="project")
 
     def encode_seq(self, input_ids, mask, token_type_ids=None):

@@ -295,3 +295,38 @@ def test_nq_momentum_composition():
                 for x, y in zip(jax.tree_util.tree_leaves(state1.params),
                                 jax.tree_util.tree_leaves(state2.params)))
     assert moved
+
+
+def test_remat_train_step_matches_plain():
+    """--remat (per-layer jax.checkpoint) changes memory, not math: same
+    loss and same updated params as the plain step."""
+    cfg = EncoderConfig.tiny(vocab_size=256, hidden_size=32, num_heads=4,
+                             intermediate_size=64, max_position_embeddings=40)
+    rng = np.random.RandomState(0)
+    ids = rng.randint(5, 250, size=(4, 16)).astype(np.int32)
+    batch = {}
+    for k in ("q", "q_sp", "c1", "c2", "neg1", "neg2"):
+        batch[f"{k}_input_ids"] = jnp.asarray(ids)
+        batch[f"{k}_mask"] = jnp.ones((4, 16), jnp.int32)
+    tx = T.make_optimizer(RetrieverTrainConfig(warmup_ratio=0.0,
+                                               learning_rate=1e-3), 10)
+    results = []
+    for remat in (False, True):
+        model = MhopRetriever(cfg, remat=remat)
+        params = model.init(jax.random.PRNGKey(0), batch)
+        state = T.TrainState.create(params, tx)
+        state, loss = T.make_train_step(model, tx)(state, batch)
+        results.append((float(loss), state.params))
+    assert results[0][0] == pytest.approx(results[1][0], rel=1e-6)
+    # key biases: true gradient exactly 0 (softmax shift-invariance), so
+    # Adam amplifies remat's reduction-order ulps to +-lr — bound by the
+    # update magnitude there, tight elsewhere (same as the TP test)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(results[0][1]),
+            jax.tree_util.tree_leaves_with_path(results[1][1])):
+        key_bias = ("key" in jax.tree_util.keystr(path)
+                    and "bias" in jax.tree_util.keystr(path))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5,
+                                   atol=2.5e-3 if key_bias else 1e-6,
+                                   err_msg=jax.tree_util.keystr(path))

@@ -145,6 +145,8 @@ def main(argv=None):
                    help="qa_electra.pt (optional QA parity block)")
     p.add_argument("--qa-predict-file", default="",
                    help="dev_retrieval_top100_sp.json (optional QA block)")
+    p.add_argument("--qa-model", default="electra-large",
+                   help="reader preset (tests use 'tiny')")
     args = p.parse_args(argv)
 
     from . import common
@@ -210,7 +212,7 @@ def run_qa_block(args, logger):
     from .train_qa import init_reader
 
     q_tok = common.resolve_tokenizer(args.tokenizer, roberta_style=False)
-    _, model, params = init_reader("electra-large", args.qa_checkpoint,
+    _, model, params = init_reader(args.qa_model, args.qa_checkpoint,
                                    sp_pred=True)
     with open(args.qa_predict_file) as f:
         head = f.read(1)

@@ -88,3 +88,30 @@ def test_prepare_index_dir_from_reference_artifacts(tmp_path):
     # idempotent: a second call reuses the cache (no rebuild crash)
     parity.prepare_index_dir(paths, cache, HashTokenizer(vocab_size=512),
                              max_c_len=32, logger=logging.getLogger("t"))
+
+
+def test_parity_qa_block_runs(tmp_path):
+    """The optional QA parity block scores a retrieved-chains predict file
+    with a (tiny) reader and returns exactly the EXPECTED_QA metric keys."""
+    import logging
+    from types import SimpleNamespace
+
+    rows = []
+    for i in range(2):
+        sp = [{"title": f"G{i}a", "sents": ["the answer is paris ."],
+               "sp_sent_ids": [0]},
+              {"title": f"G{i}b", "sents": ["another sentence here ."],
+               "sp_sent_ids": []}]
+        neg = [{"title": f"N{i}a", "sents": ["noise text one ."]},
+               {"title": f"N{i}b", "sents": ["noise text two ."]}]
+        rows.append({"question": f"where is it {i}?", "_id": f"q{i}",
+                     "answer": ["paris"], "type": "bridge", "sp": sp,
+                     "candidate_chains": [sp, neg]})
+    pred_file = tmp_path / "retrieved_sp.json"
+    pred_file.write_text(json.dumps(rows))
+
+    args = SimpleNamespace(tokenizer="hash", qa_checkpoint="",
+                           qa_predict_file=str(pred_file), qa_model="tiny")
+    m = parity.run_qa_block(args, logging.getLogger("t"))
+    assert set(m) == set(parity.EXPECTED_QA)
+    assert all(np.isfinite(v) and 0.0 <= v <= 1.0 for v in m.values())

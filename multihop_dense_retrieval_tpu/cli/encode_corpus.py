@@ -41,12 +41,16 @@ def main(argv=None):
                         "search collapses rows to docs by max-over-vectors")
     p.add_argument("--mv-scheme", default="tokenwise",
                    choices=["tokenwise", "layerwise"])
+    p.add_argument("--unified", action="store_true",
+                   help="encode with a UnifiedRetriever checkpoint "
+                        "(variable-hop serving, see eval --unified)")
     args = p.parse_args(argv)
 
     logger = common.setup_logging(args.out_dir)
     cfg = common.resolve_encoder_config(args.model_name)
     tok = common.resolve_tokenizer(args.tokenizer)
-    model, params = common.init_retriever(cfg, checkpoint=args.checkpoint)
+    model, params = common.init_retriever(cfg, unified=args.unified,
+                                          checkpoint=args.checkpoint)
 
     logger.info("loading corpus %s", args.corpus)
     corpus = Corpus.from_jsonl(args.corpus, max_docs=args.max_docs)

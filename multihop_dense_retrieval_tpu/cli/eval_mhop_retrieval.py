@@ -27,7 +27,8 @@ from ..search.beam import BeamSearcher
 from . import common
 
 
-def load_searcher(index_dir, tok, model, params, cfg, mesh=None):
+def load_searcher(index_dir, tok, model, params, cfg, mesh=None,
+                  unified=False):
     import jax.numpy as jnp
 
     index = DenseIndex.load(os.path.join(index_dir, "index.npz"),
@@ -42,9 +43,15 @@ def load_searcher(index_dir, tok, model, params, cfg, mesh=None):
         out[: x.shape[0]] = x
         return out
 
+    encode_qsp_fn = None
+    if unified:
+        # variable-hop serving: the q⊕p encode also yields the stop head
+        encode_qsp_fn = lambda p, ids, mask, tt=None: model.apply(
+            p, ids, mask, tt, method=model.encode_qsp)
     return BeamSearcher(
         encode_fn=lambda p, ids, mask, tt=None: model.apply(
             p, ids, mask, tt, method=model.encode_seq),
+        encode_qsp_fn=encode_qsp_fn,
         params=params, index=index,
         text_ids=jnp.asarray(padrows(tc.text_ids, spec.pad_id)),
         text_lens=jnp.asarray(padrows(tc.text_lens, 0)),
@@ -179,13 +186,22 @@ def main(argv=None):
                         "HNSW index (reference --hnsw parity); builds and "
                         "caches <index_dir>/index.hnsw")
     p.add_argument("--ef-search", type=int, default=128)
+    p.add_argument("--unified", action="store_true",
+                   help="variable-hop serving with a UnifiedRetriever "
+                        "checkpoint: the stop head decides whether the top "
+                        "chain is a single passage (the reference trained "
+                        "this head but shipped no eval for it)")
+    p.add_argument("--stop-threshold", type=float, default=0.5,
+                   help="P(single-hop) above which the top chain is emitted "
+                        "as one passage (--unified only)")
     p.add_argument("--save-path", default="")
     args = p.parse_args(argv)
 
     logger = common.setup_logging()
     enc_cfg = common.resolve_encoder_config(args.model_name)
     tok = common.resolve_tokenizer(args.tokenizer)
-    model, params = common.init_retriever(enc_cfg, checkpoint=args.checkpoint)
+    model, params = common.init_retriever(enc_cfg, unified=args.unified,
+                                          checkpoint=args.checkpoint)
 
     with open(args.raw_data) as f:
         ds_items = [json.loads(l) for l in f if l.strip()]
@@ -202,7 +218,8 @@ def main(argv=None):
     else:
         mesh = (make_mesh(index=args.index_shards)
                 if args.index_shards > 1 else None)
-        searcher = load_searcher(args.index_dir, tok, model, params, cfg, mesh)
+        searcher = load_searcher(args.index_dir, tok, model, params, cfg,
+                                 mesh, unified=args.unified)
 
     metrics, outputs = [], []
     bs = args.batch_size
@@ -224,21 +241,34 @@ def main(argv=None):
                               np.array([r[1] for r in raw]))
         n_q += len(batch)
         for i, row in enumerate(batch):
-            path_titles = [[corpus[int(h1)]["title"], corpus[int(h2)]["title"]]
-                           for h1, h2 in zip(res["hop1_ids"][i],
-                                             res["hop2_ids"][i])]
+            # variable-hop: a chain whose stop head fires is one passage
+            stops = [False] * len(res["hop1_ids"][i])
+            if args.unified and "top_stop_probs" in res:
+                stops = [p > args.stop_threshold
+                         for p in res["top_stop_probs"][i]]
+            path_titles = [
+                [corpus[int(h1)]["title"]] if stop
+                else [corpus[int(h1)]["title"], corpus[int(h2)]["title"]]
+                for h1, h2, stop in zip(res["hop1_ids"][i],
+                                        res["hop2_ids"][i], stops)]
             hop1_titles = [corpus[int(j)]["title"]
                            for j in res["hop1_cand_ids"][i]]
             if "sp" in row:
                 metrics.append(chain_metrics(row["sp"], row.get("type", "single"),
                                              path_titles, hop1_titles))
-            outputs.append({
+            out_row = {
                 "_id": row.get("_id"),
                 "question": row["question"],
                 "candidate_chains": [
-                    [corpus[int(h1)], corpus[int(h2)]]
-                    for h1, h2 in zip(res["hop1_ids"][i], res["hop2_ids"][i])],
-            })
+                    [corpus[int(h1)]] if stop
+                    else [corpus[int(h1)], corpus[int(h2)]]
+                    for h1, h2, stop in zip(res["hop1_ids"][i],
+                                            res["hop2_ids"][i], stops)],
+            }
+            if args.unified and "top_stop_probs" in res:
+                out_row["stop_probs"] = [float(p)
+                                         for p in res["top_stop_probs"][i]]
+            outputs.append(out_row)
     dt = time.time() - t0
     logger.info("searched %d questions in %.2fs (%.1f q/s)", n_q, dt, n_q / dt)
 

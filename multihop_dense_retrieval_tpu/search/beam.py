@@ -111,6 +111,16 @@ class BeamSearcher:
     spec: TokenizerSpec
     config: SearchConfig
     mesh: Optional[Mesh] = None
+    # Variable-hop (UnifiedRetriever) serving: encode_qsp_fn(params, ids,
+    # mask, tt) -> (vectors, stop_logits).  When set, the search output
+    # additionally carries stop_probs (B, beam1) = P(single-hop answer |
+    # q ⊕ p1) from the stop head (class 0 = stop; training target 1 means a
+    # second hop exists, data/unified_dataset.py:98).  The reference trained
+    # this head but never shipped an eval for it (the UnifiedRetriever line
+    # in eval_mhop_fever.py:88 is commented out) — the host layer decides
+    # whether to emit a single-passage chain (cli/eval_mhop_retrieval
+    # --unified --stop-threshold).
+    encode_qsp_fn: Optional[callable] = None
 
     def __post_init__(self):
         cfg = self.config
@@ -225,7 +235,17 @@ class BeamSearcher:
         a_lens = jnp.repeat(q_raw_lens, beam1, axis=0)
         qsp = assemble_pair_inputs(a_ids, a_lens, doc_ids, doc_lens,
                                    cfg.max_q_sp_len, self.spec)
-        qsp_vec = self._encode_hop2(params, qsp)
+        stop_probs = None
+        if self.encode_qsp_fn is not None:
+            # unified serving: stop head rides the same q⊕p encode (the
+            # length-bucketed path is bypassed — tuple outputs)
+            qsp_vec, stop_logits = self.encode_qsp_fn(
+                params, qsp["input_ids"], qsp["attention_mask"],
+                qsp.get("token_type_ids"))
+            stop_probs = jax.nn.softmax(
+                stop_logits.astype(jnp.float32), axis=-1)[:, 0]
+        else:
+            qsp_vec = self._encode_hop2(params, qsp)
         d2, i2 = self._mips(store["vectors"], qsp_vec.astype(jnp.float32), beam2,
                             scales=store.get("scales"))
         d2 = d2.reshape(bsz, beam1, beam2)
@@ -238,13 +258,18 @@ class BeamSearcher:
         hop1_ids = jnp.take_along_axis(i1, hop1_slot, axis=1)
         hop2_ids = jnp.take_along_axis(
             i2.reshape(bsz, -1), flat, axis=1)
-        return {
+        out = {
             "path_scores": top_scores,        # (B, topk)
             "hop1_ids": hop1_ids,             # (B, topk)
             "hop2_ids": hop2_ids,             # (B, topk)
             "hop1_cand_ids": i1,              # (B, beam1) for 1-Recall
             "hop1_cand_scores": d1,
         }
+        if stop_probs is not None:
+            sp = stop_probs.reshape(bsz, beam1)
+            out["stop_probs"] = sp                      # per hop-1 candidate
+            out["top_stop_probs"] = jnp.take_along_axis(sp, hop1_slot, axis=1)
+        return out
 
     # ------------------------------------------------------------------
 

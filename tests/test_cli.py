@@ -155,3 +155,37 @@ def test_encode_corpus_bert_style_and_int8(tmp_path):
                       batch_size=8, chunk_rows=16, dtype=jnp.int8)
     assert idx.vectors.dtype == jnp.int8
     assert idx.scales is not None and idx.n_docs == 24
+
+
+def test_unified_variable_hop_eval(artifacts, tmp_path, capsys):
+    """--unified serving: the stop head can emit single-passage chains; the
+    chain dump carries stop_probs and 1- or 2-passage candidate chains."""
+    tmp, corpus_path, qas_path, _ = artifacts
+    from multihop_dense_retrieval_tpu.cli import encode_corpus, eval_mhop_retrieval
+
+    out_dir = str(tmp_path / "index_unified")
+    encode_corpus.main([str(corpus_path), out_dir,
+                        "--tokenizer", "hash", "--model-name", "tiny",
+                        "--unified",
+                        "--batch-size", "16", "--chunk-rows", "64",
+                        "--max-c-len", "64"])
+    chains_path = str(tmp_path / "chains_u.jsonl")
+    # threshold 0 forces every top chain to stop -> all single-passage;
+    # threshold 1 forbids stopping -> all pairs
+    for thr, want_len in (("1.1", 2), ("-0.1", 1)):
+        eval_mhop_retrieval.main([str(qas_path), out_dir,
+                                  "--tokenizer", "hash", "--model-name",
+                                  "tiny", "--unified",
+                                  "--stop-threshold", thr,
+                                  "--beam-size", "3", "--topk", "3",
+                                  "--batch-size", "6", "--chunk-rows", "64",
+                                  "--max-q-len", "24", "--max-q-sp-len", "96",
+                                  "--save-path", chains_path])
+        with open(chains_path) as f:
+            rows = [json.loads(l) for l in f]
+        assert len(rows) == 12
+        for r in rows:
+            assert len(r["stop_probs"]) == 3
+            assert all(0.0 <= p <= 1.0 for p in r["stop_probs"])
+            for chain in r["candidate_chains"]:
+                assert len(chain) == want_len

@@ -355,3 +355,60 @@ def test_beam_search_asymmetric_beams():
         # covered by the symmetric test; here we check the flat-index
         # consistency: top chain score >= every other returned score
         assert res["path_scores"][b, 0] == res["path_scores"][b].max()
+
+
+def test_unified_stop_head_serving():
+    """Variable-hop serving: UnifiedRetriever's encode_qsp drives hop-2 —
+    identical chain ranking to encode_seq (same projection), plus stop
+    probabilities per hop-1 candidate."""
+    from multihop_dense_retrieval_tpu.models import UnifiedRetriever
+
+    tok = HashTokenizer(vocab_size=512)
+    rng = np.random.RandomState(31)
+    corpus = Corpus(synth.make_corpus(rng, 24))
+    tc = TokenizedCorpus.build(corpus, tok, max_text_len=32)
+    cfg = EncoderConfig.tiny(vocab_size=512, max_position_embeddings=80)
+    model = UnifiedRetriever(cfg)
+    ids8 = jnp.ones((1, 8), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids8, ids8,
+                        method=model.encode_qsp)
+    enc = tok.encode_batch_pair(
+        [(corpus[i]["title"], corpus.encode_text(i)) for i in range(len(corpus))], 40)
+    emb = np.asarray(model.apply(params, jnp.asarray(enc["input_ids"]),
+                                 jnp.asarray(enc["attention_mask"]),
+                                 method=model.encode_seq), np.float32)
+    index = DenseIndex.build(emb, chunk_rows=8, dtype=jnp.float32)
+    n_pad = index.vectors.shape[0]
+    text_ids = np.full((n_pad, 32), tok.spec.pad_id, np.int32)
+    text_ids[:len(corpus)] = tc.text_ids
+    text_lens = np.zeros(n_pad, np.int32); text_lens[:len(corpus)] = tc.text_lens
+    empty = np.zeros(n_pad, bool); empty[:len(corpus)] = tc.empty
+    beam, topk = 3, 3
+
+    def build(qsp_fn):
+        return BeamSearcher(
+            encode_fn=lambda p, i, m, tt=None: model.apply(
+                p, i, m, tt, method=model.encode_seq),
+            encode_qsp_fn=qsp_fn,
+            params=params, index=index,
+            text_ids=jnp.asarray(text_ids), text_lens=jnp.asarray(text_lens),
+            empty=jnp.asarray(empty), spec=tok.spec,
+            config=SearchConfig(beam_size_1=beam, beam_size_2=beam, topk=topk,
+                                max_q_len=16, max_q_sp_len=64, chunk_rows=8,
+                                use_pallas=False), mesh=None)
+
+    plain = build(None)
+    unified = build(lambda p, i, m, tt=None: model.apply(
+        p, i, m, tt, method=model.encode_qsp))
+    qs = [f"unified query {i}" for i in range(3)]
+    q_inputs = tok.encode_batch_one(qs, 16)
+    raw = [tok.raw_ids_padded(q, 14) for q in qs]
+    rid, rlen = np.stack([r[0] for r in raw]), np.array([r[1] for r in raw])
+    a = plain.search(q_inputs, rid, rlen)
+    b = unified.search(dict(q_inputs), rid, rlen)
+    np.testing.assert_array_equal(a["hop1_ids"], b["hop1_ids"])
+    np.testing.assert_array_equal(a["hop2_ids"], b["hop2_ids"])
+    assert "stop_probs" not in a
+    assert b["stop_probs"].shape == (3, beam)
+    assert b["top_stop_probs"].shape == (3, topk)
+    assert np.all((b["stop_probs"] >= 0) & (b["stop_probs"] <= 1))

@@ -237,9 +237,12 @@ def _reader_bench(tunnel_s, b=32, reps=8):
     import collections
     hist = collections.Counter(widths)
     total = sum(time_width(b, w) * cnt for w, cnt in sorted(hist.items()))
-    fixed = time_width(16, 512)
+    # fixed-width baseline at the SAME batch size, so the reported gain is
+    # the width bucketing alone (measured: b=16 and b=32 fixed-512 are
+    # within 1% of each other — 285.4 vs 287.9 chains/s)
+    fixed = time_width(b, 512)
     return {"reader_chains_per_sec": round(n / total, 1),
-            "reader_fixed512_chains_per_sec": round(16 / fixed, 1)}
+            "reader_fixed512_chains_per_sec": round(b / fixed, 1)}
 
 
 def _run(n_docs):

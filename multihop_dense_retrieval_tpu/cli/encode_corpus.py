@@ -66,10 +66,11 @@ def main(argv=None):
         mv_model = MultiVectorCtxEncoder(cfg, multi_vector=args.multi_vector,
                                          scheme=args.mv_scheme)
         # the multi-vector encoder shares the retriever's transformer stack
-        # (the reference loads the same ckpt into its ctx encoder with
-        # exact=False, scripts/encode_corpus.py:74); no projection head.
+        # AND projection head (corpus rows must live in the same projected
+        # space as the query vectors they are scored against).
         # Passed as the jit ARGUMENT (never close over params in jit).
-        params = {"params": {"encoder": params["params"]["encoder"]}}
+        params = {"params": {"encoder": params["params"]["encoder"],
+                             "project": params["params"]["project"]}}
 
         def encode_fn(p_, ids, mask, *type_ids):
             return mv_model.apply(p_, ids, mask, *type_ids)

@@ -3,8 +3,10 @@
 Differences from cli/eval_mhop_retrieval (mirroring the reference):
   * input rows are claims: {"id", "claim"} (eval_mhop_fever.py:97,165-168);
     claims are fed verbatim (no trailing-"?" strip);
-  * asymmetric beams by default (the published FEVER configs run
-    --beam-size-1 1..2 with --beam-size-2 10..20, eval_mhop_fever.py:8-14);
+  * separate --beam-size-1/--beam-size-2 flags (argparse defaults 5/5
+    exactly as the reference's, eval_mhop_fever.py:60-61; the PUBLISHED
+    FEVER configs pass asymmetric values — beam1 1..2 with beam2 10..20,
+    eval_mhop_fever.py:8-14);
   * fever defaults: max_q_len=45, max_q_sp_len=400 (eval_mhop_fever.py:55-57);
   * the dump schema is keyed "id"/"claim" with candidate_chains as
     [(title, text), (title, text)] pairs (eval_mhop_fever.py:160-170), one

@@ -214,6 +214,9 @@ def main(argv=None):
                        use_pallas=not args.no_pallas)
     corpus = Corpus.from_id2doc(os.path.join(args.index_dir, "id2doc.json"))
     if args.hnsw:
+        if args.unified:
+            p.error("--unified is not supported with --hnsw (the host HNSW "
+                    "engine has no stop-head path); use the device engine")
         searcher = _hnsw_searcher(args, logger, tok, model, params, cfg, corpus)
     else:
         mesh = (make_mesh(index=args.index_shards)

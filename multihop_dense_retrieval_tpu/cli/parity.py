@@ -147,6 +147,11 @@ def main(argv=None):
                    help="dev_retrieval_top100_sp.json (optional QA block)")
     p.add_argument("--qa-model", default="electra-large",
                    help="reader preset (tests use 'tiny')")
+    p.add_argument("--qa-tokenizer", default="",
+                   help="LOCAL tokenizer path for the READER (ELECTRA uses "
+                        "wordpiece, not the retriever's roberta BPE); "
+                        "defaults to --tokenizer, which is only correct for "
+                        "the hash test tokenizer")
     args = p.parse_args(argv)
 
     from . import common
@@ -176,6 +181,10 @@ def main(argv=None):
                         "--checkpoint", paths["checkpoint"],
                         "--beam-size", "1", "--topk", "1",
                         "--batch-size", str(args.batch_size)])
+    if agg is None:
+        print("PARITY: the eval produced no metrics — the qas file's rows "
+              "carry no 'sp' annotations (is this hotpot_qas_val.json?).")
+        sys.exit(2)
 
     rows = []
     for scope, block in EXPECTED_RETRIEVAL.items():
@@ -211,7 +220,12 @@ def run_qa_block(args, logger):
     from . import common
     from .train_qa import init_reader
 
-    q_tok = common.resolve_tokenizer(args.tokenizer, roberta_style=False)
+    qa_tok_spec = getattr(args, "qa_tokenizer", "") or args.tokenizer
+    if qa_tok_spec == args.tokenizer and args.tokenizer != "hash":
+        logger.warning("QA block tokenizing with the retriever tokenizer "
+                       "(%s); pass --qa-tokenizer for the reader's own "
+                       "(ELECTRA wordpiece) vocabulary", args.tokenizer)
+    q_tok = common.resolve_tokenizer(qa_tok_spec, roberta_style=False)
     _, model, params = init_reader(args.qa_model, args.qa_checkpoint,
                                    sp_pred=True)
     with open(args.qa_predict_file) as f:

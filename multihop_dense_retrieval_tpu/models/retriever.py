@@ -238,22 +238,34 @@ class MultiVectorCtxEncoder(nn.Module):
     scheme="tokenwise" — first `multi_vector` token reps of the last layer
     multi_vector=1     — plain CLS
     Returns (B * multi_vector, H) fp32, rows grouped per passage.
+
+    project=True (default) runs every vector through the retriever's
+    ProjectionHead so corpus rows live in the SAME embedding space as the
+    projected query vectors (MhopRetriever.encode_seq) they are scored
+    against.  project=False matches the reference's raw-hidden-state
+    CtxEncoder, which it only ever pairs with unprojected query encoders.
     """
 
     config: EncoderConfig
     multi_vector: int = 1
     scheme: str = "tokenwise"
+    project: bool = True
 
     def setup(self):
         self.encoder = TransformerEncoder(
             self.config, name="encoder",
             return_all_hiddens=(self.scheme == "layerwise"))
+        if self.project:
+            self.proj = ProjectionHead(self.config, name="project")
+
+    def _head(self, x):
+        return self.proj(x) if self.project else x.astype(jnp.float32)
 
     def __call__(self, input_ids, mask, token_type_ids=None):
         out = self.encoder(input_ids, mask, token_type_ids)
         if self.multi_vector <= 1:
             h = out[-1] if isinstance(out, list) else out
-            return h[:, 0, :].astype(jnp.float32)
+            return self._head(h[:, 0, :]).astype(jnp.float32)
         if self.scheme == "layerwise":
             cls = jnp.stack([h[:, 0, :] for h in out[::-1][: self.multi_vector]],
                             axis=1)
@@ -261,7 +273,8 @@ class MultiVectorCtxEncoder(nn.Module):
             cls = out[:, : self.multi_vector, :]
         else:
             raise ValueError(f"unknown scheme {self.scheme}")
-        return cls.reshape(-1, cls.shape[-1]).astype(jnp.float32)
+        flat = cls.reshape(-1, cls.shape[-1])
+        return self._head(flat).astype(jnp.float32)
 
 
 # Corpus encoding reuses MhopRetriever.encode_seq with the same checkpoint

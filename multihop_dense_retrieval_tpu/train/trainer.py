@@ -271,8 +271,13 @@ class TokenQueueTrainState:
 def _enqueue_tokens(state: TokenQueueTrainState, ids, mask, type_ids):
     """Write the batch's context token rows into the queue at ptr (wrap
     semantics, same rationale as losses.enqueue), width-aligned to the
-    queue's static max_c_len."""
+    queue's static max_c_len.  Batches larger than the queue keep their
+    LAST K rows — with duplicate scatter indices the winner would be
+    unspecified (the reference instead truncates to the remaining slots,
+    retriever.py:114-141)."""
     K, L = state.queue_ids.shape
+    if ids.shape[0] > K:
+        ids, mask, type_ids = ids[-K:], mask[-K:], type_ids[-K:]
     n, lb = ids.shape
 
     def fit(x):

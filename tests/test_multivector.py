@@ -122,3 +122,29 @@ def test_mv_cli_encode_then_search(tmp_path, capsys):
         for chain in o["candidate_chains"]:
             for hop in chain:
                 assert hop["title"] in titles  # doc ids resolved, not rows
+
+
+def test_mv_encoder_projected_space_matches_query_encoder():
+    """With project=True (default), a multi_vector=1 corpus vector is
+    IDENTICAL to MhopRetriever.encode_seq under the same weights — corpus
+    rows and query vectors share one embedding space (the round-2 advisor
+    found the unprojected variant silently mismatched spaces)."""
+    from multihop_dense_retrieval_tpu.models import MhopRetriever
+
+    cfg = EncoderConfig.tiny(vocab_size=512, max_position_embeddings=64)
+    retriever = MhopRetriever(cfg)
+    ids = jnp.asarray(np.random.RandomState(0).randint(5, 500, (4, 12)),
+                      jnp.int32)
+    mask = jnp.ones((4, 12), jnp.int32)
+    params = retriever.init(jax.random.PRNGKey(0), ids, mask,
+                            method=retriever.encode_seq)
+    q_vec = retriever.apply(params, ids, mask, method=retriever.encode_seq)
+
+    mv = MultiVectorCtxEncoder(cfg, multi_vector=1)
+    c_vec = mv.apply(params, ids, mask)   # same param tree: encoder+project
+    np.testing.assert_allclose(np.asarray(q_vec), np.asarray(c_vec),
+                               rtol=1e-6)
+    # tokenwise m=3: row 0 of each passage group == the projected CLS
+    mv3 = MultiVectorCtxEncoder(cfg, multi_vector=3)
+    c3 = np.asarray(mv3.apply(params, ids, mask))
+    np.testing.assert_allclose(c3[::3], np.asarray(q_vec), rtol=1e-6)

@@ -256,7 +256,9 @@ def _run(n_docs):
                tuple(int(x) for x in buckets_env.split(",")))
     run_beam4 = _env("MDRT_BENCH_BEAM4", 1) and beam == 1
     max_q_sp_len, text_len = 350, 300
-    q_width = 48  # static question width (host-side bucketing in serving)
+    q_width = 40  # static question width: fits the 12-38-token question
+    # distribution + specials (host-side q_width_multiple bucketing serves
+    # arbitrary lengths in production)
     d = 768
 
     scores_dtype = os.environ.get("MDRT_BENCH_SCORES", "bfloat16")

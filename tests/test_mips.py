@@ -166,3 +166,4 @@ def test_sharded_int8_matches_unsharded():
                                    chunk_rows=256, doc_scales=sc)
     np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_sh))
     np.testing.assert_allclose(np.asarray(v_ref), np.asarray(v_sh), rtol=1e-5)
+

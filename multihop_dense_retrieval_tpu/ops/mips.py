@@ -19,6 +19,12 @@ PARITY.md for the experiments):
   * `mips_topk_pallas_int8` — per-row symmetric int8: half the bytes, int8
                                MXU; 8.4 ms/5.2M at 97.4% recall@10 vs exact
                                (100% top-1 agreement).
+  * `mips_topk_two_phase`   — exact large-k search: chunk-max scan at the
+                               k=1 rate + scalar-prefetch rescan of each
+                               query's top-k chunks (k=8: 9.6 vs 28.6 ms at
+                               B=192 over 5.2M int8 rows).  Dispatched for
+                               k >= 8 (at k<=4 the pipeline-context win
+                               evaporates — see dispatcher comment).
   * `sharded_mips_topk`     — shard_map wrapper: per-shard top-k, global row
                                ids, all-gather of the (B, k) candidates over
                                ICI and a final cheap merge.
@@ -445,6 +451,262 @@ def mips_topk_xla_int8(index_int8, doc_scales, queries, k: int,
     return vals, idxs
 
 
+# --------------------------------------------------------------------------
+# Two-phase exact top-k (k > 1): chunk-max scan + pallas sparse rescan
+# --------------------------------------------------------------------------
+#
+# The running-merge kernels above degrade for k > 1 at large batch: with B
+# independent queries SOME row improves its top-k on almost every chunk, so
+# the gated merge fires constantly (measured: int8 k=8 at B=192 runs 4.4x
+# slower than k=1).  Two-phase search removes the merge from the streaming
+# pass entirely:
+#
+#   phase 1 — stream the index once computing only per-chunk row maxima:
+#             pure matmul + max, runs at the k=1 rate;
+#   phase 2 — rescan each query's top-k chunks BY MAX with a scalar-
+#             prefetch pallas kernel whose chunk DMA is driven by the
+#             selected chunk ids (XLA-level gather + batched matvec was
+#             measured 0.2-0.5x the single-pass kernel — DMA-granularity
+#             matters).
+#
+# Exactness: if value v is among a query's global top-k, its chunk's max is
+# >= v >= (global k-th value); every chunk ranked above that chunk by max
+# contributes its own max, itself a top-k value — so the top-k chunks by
+# max cover all top-k values.  (With EXACT score ties across more than k
+# chunks the covering-chunk choice may differ from the single-pass kernels;
+# the returned values are still an exact top-k set.)
+
+_MAXBLOCK = 128  # Mosaic wants >=8x128-aligned (or full) output blocks
+
+
+def _chunk_max_kernel(q_ref, chunk_ref, nv_ref, out_ref, chunk_rows: int,
+                      mask_valid: bool):
+    step = pl.program_id(0)
+    scores = jax.lax.dot_general(
+        q_ref[:], chunk_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if mask_valid:
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(col + step * chunk_rows < nv_ref[0], scores,
+                           NEG_INF)
+    # transposed layout: each step stores its (1, B) row into a 128-row
+    # block revisited by 128 consecutive steps
+    out_ref[pl.ds(step % _MAXBLOCK, 1), :] = jnp.max(scores, axis=1)[None, :]
+
+
+def _chunk_max_kernel_int8(q_ref, chunk_ref, dscale_ref, nv_ref, out_ref,
+                           chunk_rows: int, mask_valid: bool):
+    step = pl.program_id(0)
+    raw = jax.lax.dot_general(
+        q_ref[:], chunk_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    # per-doc scales only: the per-QUERY scale is a positive per-row
+    # constant (ranking-invariant), folded in during phase 2
+    scores = raw.astype(jnp.float32) * dscale_ref[:].reshape(1, -1)
+    if mask_valid:
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(col + step * chunk_rows < nv_ref[0], scores,
+                           NEG_INF)
+    out_ref[pl.ds(step % _MAXBLOCK, 1), :] = jnp.max(scores, axis=1)[None, :]
+
+
+def _select_row(block, row):
+    """(1, C) row of an (8, C) block via mask+reduce: Mosaic cannot prove
+    alignment for dynamic sublane loads (int8 tiles especially)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, block.shape, 0)
+    return jnp.sum(jnp.where(lane == row, block, 0.0), axis=0,
+                   keepdims=True)
+
+
+def _rescan_kernel(ids_ref, nv_ref, q_ref, chunk_ref, out_ref,
+                   chunk_rows: int, k_chunks: int, mask_valid: bool):
+    """Grid (B, k_chunks): score query b against its kk-th selected chunk.
+    `ids_ref` is scalar-prefetched, so the chunk block DMA follows it.
+    The whole 8-query block is scored (the kernel is DMA-bound; a single
+    dynamic sublane load does not lower) and query b's row selected."""
+    b = pl.program_id(0)
+    kk = pl.program_id(1)
+    scores8 = jax.lax.dot_general(
+        q_ref[:], chunk_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                    # (8, C)
+    scores = _select_row(scores8, b % 8)                 # (1, C)
+    if mask_valid:
+        row0 = ids_ref[b, kk] * chunk_rows
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(col + row0 < nv_ref[0], scores, NEG_INF)
+    step = b * k_chunks + kk
+    out_ref[pl.ds(step % 8, 1), :] = scores
+
+
+def _rescan_kernel_int8(ids_ref, nv_ref, q_ref, chunk_ref, dscale_ref,
+                        out_ref, chunk_rows: int, k_chunks: int,
+                        mask_valid: bool):
+    b = pl.program_id(0)
+    kk = pl.program_id(1)
+    raw8 = jax.lax.dot_general(
+        q_ref[:], chunk_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )                                                    # (8, C) int32
+    raw = _select_row(raw8.astype(jnp.float32), b % 8)
+    dsc = _select_row(dscale_ref[:], ids_ref[b, kk] % 8)
+    scores = raw * dsc
+    if mask_valid:
+        row0 = ids_ref[b, kk] * chunk_rows
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(col + row0 < nv_ref[0], scores, NEG_INF)
+    step = b * k_chunks + kk
+    out_ref[pl.ds(step % 8, 1), :] = scores
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "chunk_rows", "interpret", "n_valid"))
+def mips_topk_two_phase(index: jnp.ndarray, queries: jnp.ndarray, k: int,
+                        chunk_rows: int = 2048, interpret: bool = False,
+                        n_valid: Optional[int] = None,
+                        n_valid_dyn=None,
+                        doc_scales: Optional[jnp.ndarray] = None):
+    """Exact top-k for k > 1 via chunk-max scan + scalar-prefetch rescan
+    (see section comment).  bf16/fp32 and int8 (+doc_scales) indexes.
+    Requires B % 8 == 0 (query blocks are 8-row tiles)."""
+    n, d = index.shape
+    b = queries.shape[0]
+    if n % chunk_rows:
+        raise ValueError(f"index rows {n} not a multiple of chunk {chunk_rows}")
+    if b % 8:
+        raise ValueError(f"two-phase search needs batch % 8 == 0, got {b}")
+    num_chunks = n // chunk_rows
+    k_chunks = min(k, num_chunks)
+    bound = _valid_bound(n, n_valid, n_valid_dyn)
+    mask_valid = bound is not None
+    nv = jnp.asarray([n if bound is None else bound], jnp.int32)
+    is_int8 = index.dtype == jnp.int8
+    nc_pad = -(-num_chunks // _MAXBLOCK) * _MAXBLOCK
+    max_out_spec = pl.BlockSpec((_MAXBLOCK, b), lambda i: (i // _MAXBLOCK, 0),
+                                memory_space=pltpu.VMEM)
+    max_out_shape = jax.ShapeDtypeStruct((nc_pad, b), jnp.float32)
+
+    # ---- phase 1: per-chunk row maxima, stored (num_chunks, B) ----------
+    if is_int8:
+        assert doc_scales is not None, "int8 index requires doc_scales"
+        q_int8, q_scales = quantize_rows(queries)
+        lanes = 128
+        dsc_packed = doc_scales.astype(jnp.float32).reshape(n // lanes, lanes)
+        maxima_t = pl.pallas_call(
+            functools.partial(_chunk_max_kernel_int8, chunk_rows=chunk_rows,
+                              mask_valid=mask_valid),
+            grid_spec=pl.GridSpec(
+                grid=(num_chunks,),
+                in_specs=[
+                    pl.BlockSpec((b, d), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((chunk_rows, d), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((chunk_rows // lanes, lanes),
+                                 lambda i: (i, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                ],
+                out_specs=max_out_spec),
+            out_shape=max_out_shape,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * n * d, bytes_accessed=n * d + b * d * 4,
+                transcendentals=0),
+            interpret=interpret,
+        )(q_int8, index, dsc_packed, nv)
+    else:
+        q = queries.astype(index.dtype)
+        maxima_t = pl.pallas_call(
+            functools.partial(_chunk_max_kernel, chunk_rows=chunk_rows,
+                              mask_valid=mask_valid),
+            grid_spec=pl.GridSpec(
+                grid=(num_chunks,),
+                in_specs=[
+                    pl.BlockSpec((b, d), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((chunk_rows, d), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                ],
+                out_specs=max_out_spec),
+            out_shape=max_out_shape,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * n * d,
+                bytes_accessed=n * d * index.dtype.itemsize + b * d * 4,
+                transcendentals=0),
+            interpret=interpret,
+        )(q, index, nv)
+    maxima = maxima_t[:num_chunks].T                    # (B, num_chunks)
+
+    # ---- phase 2: rescan each query's top-k chunks ----------------------
+    _, chunk_ids = jax.lax.top_k(maxima, k_chunks)      # (B, k_chunks)
+    chunk_ids = chunk_ids.astype(jnp.int32)
+    rows_out = b * k_chunks
+    rows_pad = -(-rows_out // 8) * 8
+    out_spec = pl.BlockSpec(
+        (8, chunk_rows),
+        lambda bb, kk, *_: ((bb * k_chunks + kk) // 8, 0),
+        memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((rows_pad, chunk_rows), jnp.float32)
+    if is_int8:
+        dsc_rows = doc_scales.astype(jnp.float32).reshape(num_chunks,
+                                                          chunk_rows)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # chunk_ids, nv
+            grid=(b, k_chunks),
+            in_specs=[
+                pl.BlockSpec((8, d), lambda bb, kk, ids, nv_: (bb // 8, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((chunk_rows, d),
+                             lambda bb, kk, ids, nv_: (ids[bb, kk], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, chunk_rows),
+                             lambda bb, kk, ids, nv_: (ids[bb, kk] // 8, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_spec)
+        scores = pl.pallas_call(
+            functools.partial(_rescan_kernel_int8, chunk_rows=chunk_rows,
+                              k_chunks=k_chunks, mask_valid=mask_valid),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(chunk_ids, nv, q_int8, index, dsc_rows)
+        scores = scores[:rows_out].reshape(b, k_chunks * chunk_rows)
+        scores = scores * q_scales.reshape(b, 1)
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, k_chunks),
+            in_specs=[
+                pl.BlockSpec((8, d), lambda bb, kk, ids, nv_: (bb // 8, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((chunk_rows, d),
+                             lambda bb, kk, ids, nv_: (ids[bb, kk], 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_spec)
+        scores = pl.pallas_call(
+            functools.partial(_rescan_kernel, chunk_rows=chunk_rows,
+                              k_chunks=k_chunks, mask_valid=mask_valid),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(chunk_ids, nv, q, index)
+        scores = scores[:rows_out].reshape(b, k_chunks * chunk_rows)
+
+    row_ids = (chunk_ids[:, :, None] * chunk_rows
+               + jnp.arange(chunk_rows, dtype=jnp.int32)[None, None, :]
+               ).reshape(b, k_chunks * chunk_rows)
+    vals, pos = jax.lax.top_k(scores, k)
+    return vals, jnp.take_along_axis(row_ids, pos, axis=1)
+
+
 def merge_multivector(vals: jnp.ndarray, rows: jnp.ndarray, k: int, m: int):
     """Collapse a (B, k*m) row-level top-k over a multi-vector index into a
     (B, k) DOC-level top-k (max over each doc's vectors).
@@ -488,9 +750,28 @@ def mips_topk(index, queries, k: int, *, use_pallas: bool = True,
     chunk = min(chunk_rows,
                 auto_chunk_rows(queries.shape[0], index.shape[1],
                                 jnp.dtype(index.dtype).itemsize))
+    pallas_ok = use_pallas and (on_tpu or interpret) \
+        and index.shape[0] % chunk == 0
+    # Large k: the two-phase search beats the running-merge kernel, whose
+    # merge fires on almost every chunk at large batch.  Standalone kernel
+    # timings overstate the win (a benign scan harness overlaps phase 2's
+    # DMA latency across iterations); measured IN the full pipeline, k=4 is
+    # a ~2 ms wash-to-loss while k=8 keeps a ~3x standalone margin (28.6 vs
+    # 9.6 ms at B=192 / 5.2M int8), so dispatch only from k >= 8 — e.g. the
+    # published FEVER configs with --beam-size-2 10..20.
+    # MDRT_DISABLE_TWO_PHASE=1 forces the single-pass kernel.
+    import os
+
+    two_phase = (pallas_ok and k >= 8 and queries.shape[0] % 8 == 0
+                 and not os.environ.get("MDRT_DISABLE_TWO_PHASE"))
     if index.dtype == jnp.int8:
         assert doc_scales is not None, "int8 index requires doc_scales"
-        if use_pallas and (on_tpu or interpret) and index.shape[0] % chunk == 0:
+        if two_phase:
+            return mips_topk_two_phase(index, queries, k, chunk_rows=chunk,
+                                       interpret=interpret, n_valid=n_valid,
+                                       n_valid_dyn=n_valid_dyn,
+                                       doc_scales=doc_scales)
+        if pallas_ok:
             return mips_topk_pallas_int8(index, doc_scales, queries, k,
                                          chunk_rows=chunk, interpret=interpret,
                                          n_valid=n_valid,
@@ -498,7 +779,11 @@ def mips_topk(index, queries, k: int, *, use_pallas: bool = True,
         return mips_topk_xla_int8(index, doc_scales, queries, k,
                                   chunk_rows=max(chunk_rows, 16384),
                                   n_valid=n_valid, n_valid_dyn=n_valid_dyn)
-    if use_pallas and (on_tpu or interpret) and index.shape[0] % chunk == 0:
+    if two_phase:
+        return mips_topk_two_phase(index, queries, k, chunk_rows=chunk,
+                                   interpret=interpret, n_valid=n_valid,
+                                   n_valid_dyn=n_valid_dyn)
+    if pallas_ok:
         return mips_topk_pallas(index, queries, k, chunk_rows=chunk,
                                 interpret=interpret, n_valid=n_valid,
                                 n_valid_dyn=n_valid_dyn)

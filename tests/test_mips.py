@@ -167,3 +167,52 @@ def test_sharded_int8_matches_unsharded():
     np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_sh))
     np.testing.assert_allclose(np.asarray(v_ref), np.asarray(v_sh), rtol=1e-5)
 
+
+
+@pytest.mark.parametrize("k", [2, 5, 8])
+def test_two_phase_matches_bruteforce(k):
+    """Two-phase exact search (chunk-max scan + scalar-prefetch rescan):
+    identical results to brute force, including with index padding."""
+    from multihop_dense_retrieval_tpu.ops.mips import mips_topk_two_phase
+
+    rng = np.random.RandomState(13)
+    n_pad, d, b = 1024, 32, 8
+    n_valid = n_pad - 100
+    index = np.zeros((n_pad, d), np.float32)
+    index[:n_valid] = rng.randn(n_valid, d)
+    q = jnp.asarray(rng.randn(b, d), jnp.float32)
+    bv, bi = _brute(index[:n_valid], q, k)
+    v, i = mips_topk_two_phase(jnp.asarray(index), q, k, chunk_rows=64,
+                               interpret=True, n_valid=n_valid)
+    np.testing.assert_array_equal(np.asarray(i), bi)
+    np.testing.assert_allclose(np.asarray(v), bv, rtol=1e-5)
+
+
+def test_two_phase_int8_matches_single_pass():
+    from multihop_dense_retrieval_tpu.ops.mips import (
+        mips_topk_two_phase, mips_topk_xla_int8, quantize_rows)
+
+    rng = np.random.RandomState(14)
+    n, d, b, k = 2048, 64, 8, 5
+    emb = rng.randn(n, d).astype(np.float32)
+    qi, sc = quantize_rows(jnp.asarray(emb))
+    q = jnp.asarray(rng.randn(b, d), jnp.float32)
+    v1, i1 = mips_topk_xla_int8(qi, sc, q, k, chunk_rows=512)
+    v2, i2 = mips_topk_two_phase(qi, q, k, chunk_rows=128, interpret=True,
+                                 doc_scales=sc)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-4)
+
+
+def test_two_phase_dynamic_bound():
+    from multihop_dense_retrieval_tpu.ops.mips import mips_topk_two_phase
+
+    rng = np.random.RandomState(15)
+    n, d, b, k = 512, 16, 8, 3
+    index = np.zeros((n, d), np.float32)
+    index[:300] = -np.abs(rng.randn(300, d)) - 0.01
+    q = jnp.asarray(np.abs(rng.randn(b, d)) + 0.01, jnp.float32)
+    v, i = mips_topk_two_phase(jnp.asarray(index), q, k, chunk_rows=64,
+                               interpret=True, n_valid_dyn=jnp.int32(300))
+    assert np.asarray(i).max() < 300
+    assert np.all(np.asarray(v) < 0)

@@ -251,7 +251,7 @@ def _run(n_docs):
     reps = _env("MDRT_BENCH_REPS", 8)
     layers = _env("MDRT_BENCH_LAYERS", 12)
     dtype = os.environ.get("MDRT_BENCH_DTYPE", "int8")
-    buckets_env = os.environ.get("MDRT_BENCH_BUCKETS", "128,160,224,350")
+    buckets_env = os.environ.get("MDRT_BENCH_BUCKETS", "128,160,192,350")
     buckets = (() if buckets_env in ("off", "") else
                tuple(int(x) for x in buckets_env.split(",")))
     run_beam4 = _env("MDRT_BENCH_BEAM4", 1) and beam == 1

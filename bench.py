@@ -40,7 +40,7 @@ reduction, and subtracts a MEASURED empty-program round-trip (not a guess).
 
 Env overrides: MDRT_BENCH_N (index rows), MDRT_BENCH_BATCH, MDRT_BENCH_BEAM,
 MDRT_BENCH_REPS, MDRT_BENCH_LAYERS (encoder depth), MDRT_BENCH_DTYPE
-(int8|bf16), MDRT_BENCH_BUCKETS ("128,160,224,350" | "off"),
+(int8|bf16), MDRT_BENCH_BUCKETS ("128,160,192,350" | "off"),
 MDRT_BENCH_BEAM4 (0 disables the secondary beam-4 run).
 """
 

@@ -40,7 +40,7 @@ reduction, and subtracts a MEASURED empty-program round-trip (not a guess).
 
 Env overrides: MDRT_BENCH_N (index rows), MDRT_BENCH_BATCH, MDRT_BENCH_BEAM,
 MDRT_BENCH_REPS, MDRT_BENCH_LAYERS (encoder depth), MDRT_BENCH_DTYPE
-(int8|bf16), MDRT_BENCH_BUCKETS ("128,160,192,350" | "off"),
+(int8|bf16), MDRT_BENCH_BUCKETS + MDRT_BENCH_TILE_FRACS ("off" disables),
 MDRT_BENCH_BEAM4 (0 disables the secondary beam-4 run).
 """
 
@@ -251,9 +251,13 @@ def _run(n_docs):
     reps = _env("MDRT_BENCH_REPS", 8)
     layers = _env("MDRT_BENCH_LAYERS", 12)
     dtype = os.environ.get("MDRT_BENCH_DTYPE", "int8")
-    buckets_env = os.environ.get("MDRT_BENCH_BUCKETS", "128,160,192,350")
+    buckets_env = os.environ.get("MDRT_BENCH_BUCKETS", "128,160,192,256,350")
     buckets = (() if buckets_env in ("off", "") else
                tuple(int(x) for x in buckets_env.split(",")))
+    fracs_env = os.environ.get("MDRT_BENCH_TILE_FRACS",
+                               "0.25,0.25,0.25,0.125,0.125")
+    tile_fracs = (tuple(float(x) for x in fracs_env.split(","))
+                  if fracs_env else ())
     run_beam4 = _env("MDRT_BENCH_BEAM4", 1) and beam == 1
     max_q_sp_len, text_len = 350, 300
     q_width = 40  # static question width: fits the 12-38-token question
@@ -283,7 +287,8 @@ def _run(n_docs):
         scfg = SearchConfig(beam_size_1=b1, beam_size_2=b2, topk=topk,
                             max_q_len=q_width, max_q_sp_len=max_q_sp_len,
                             chunk_rows=chunk, use_pallas=True,
-                            hop2_buckets=buckets)
+                            hop2_buckets=buckets,
+                            hop2_tile_fracs=tile_fracs)
         return BeamSearcher(
             encode_fn=lambda p, ids, mask, tt=None: model.apply(
                 p, ids, mask, tt, method=model.encode_seq),

@@ -169,6 +169,11 @@ class SearchConfig:
     # max_q_sp_len.  Wiki abstracts average ~100 tokens vs the 350-token
     # static pad, so most tiles take the narrow branch.  () disables.
     hop2_buckets: tuple = ()
+    # Optional per-tile row fractions (same length as hop2_buckets, summing
+    # to 1).  Uneven tiles let the expensive wide buckets stay SMALL — e.g.
+    # (0.25, 0.25, 0.25, 0.125, 0.125) puts only 1/8 of rows in the full-
+    # width fallback tile.  () = equal tiles.
+    hop2_tile_fracs: tuple = ()
     # Round the hop-1 question width up to this multiple of the batch max
     # (host-side slice; a few cached traces).  0 disables (fixed max_q_len).
     q_width_multiple: int = 0

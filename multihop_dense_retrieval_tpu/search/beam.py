@@ -180,11 +180,23 @@ class BeamSearcher:
         tt = qsp.get("token_type_ids")
         buckets = tuple(self.config.hop2_buckets or ())
         n_rows, L = ids.shape
-        if not buckets or n_rows % len(buckets):
+        if not buckets:
             return self.encode_fn(params, ids, mask, tt)
-
         n_tiles = len(buckets)
-        tile = n_rows // n_tiles
+        fracs = tuple(self.config.hop2_tile_fracs or ())
+        if fracs and len(fracs) == n_tiles:
+            sizes = [int(round(f * n_rows)) for f in fracs]
+            sizes[-1] = n_rows - sum(sizes[:-1])
+        elif n_rows % n_tiles == 0:
+            sizes = [n_rows // n_tiles] * n_tiles
+        else:
+            return self.encode_fn(params, ids, mask, tt)
+        if min(sizes) <= 0:
+            return self.encode_fn(params, ids, mask, tt)
+        bounds = [0]
+        for s in sizes:
+            bounds.append(bounds[-1] + s)
+
         lens = jnp.sum(mask, axis=1).astype(jnp.int32)
         order = jnp.argsort(lens)              # ascending by length
         inv = jnp.argsort(order)
@@ -194,14 +206,14 @@ class BeamSearcher:
 
         tiles = []
         for t in range(n_tiles):
-            sl = slice(t * tile, (t + 1) * tile)
+            sl = slice(bounds[t], bounds[t + 1])
             w = min(int(buckets[t]), L)
             ids_t, mask_t = ids_s[sl], mask_s[sl]
             tt_t = None if tt_s is None else tt_s[sl]
             if w >= L:
                 tiles.append(self.encode_fn(params, ids_t, mask_t, tt_t))
                 continue
-            tile_max = lens_s[(t + 1) * tile - 1]  # sorted: last row is max
+            tile_max = lens_s[bounds[t + 1] - 1]  # sorted: last row is max
 
             def narrow(ids_t=ids_t, mask_t=mask_t, tt_t=tt_t, w=w):
                 return self.encode_fn(

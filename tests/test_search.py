@@ -233,6 +233,9 @@ def test_length_bucketed_search_is_exact():
     plain = build(SearchConfig(**base))
     bucketed = build(SearchConfig(**base, hop2_buckets=(32, 48, 64, 88),
                                   q_width_multiple=8))
+    uneven = build(SearchConfig(**base,
+                                hop2_buckets=(32, 48, 64, 88),
+                                hop2_tile_fracs=(0.25, 0.375, 0.25, 0.125)))
 
     qs = ([f"short q{i}" for i in range(4)]
           + [f"a much longer question about {synth.rand_text(rng, 8, 12)}"
@@ -242,11 +245,12 @@ def test_length_bucketed_search_is_exact():
     q_raw_ids = np.stack([r[0] for r in raw])
     q_raw_lens = np.array([r[1] for r in raw])
     a = plain.search(q_inputs, q_raw_ids, q_raw_lens)
-    b = bucketed.search(dict(q_inputs), q_raw_ids, q_raw_lens)
-    np.testing.assert_array_equal(a["hop1_ids"], b["hop1_ids"])
-    np.testing.assert_array_equal(a["hop2_ids"], b["hop2_ids"])
-    np.testing.assert_allclose(a["path_scores"], b["path_scores"],
-                               rtol=1e-5, atol=1e-5)
+    for other in (bucketed, uneven):
+        b = other.search(dict(q_inputs), q_raw_ids, q_raw_lens)
+        np.testing.assert_array_equal(a["hop1_ids"], b["hop1_ids"])
+        np.testing.assert_array_equal(a["hop2_ids"], b["hop2_ids"])
+        np.testing.assert_allclose(a["path_scores"], b["path_scores"],
+                                   rtol=1e-5, atol=1e-5)
 
 
 def test_bucketed_search_on_sharded_index():

@@ -47,11 +47,13 @@ class EncoderConfig:
     # Compute dtype.  Params are always fp32; activations run in this dtype
     # (bf16 feeds the MXU at full rate; the reference needed apex amp for this).
     dtype: str = "bfloat16"
-    # "xla" (default) or "flash" (fused pallas flash-attention, TPU-only,
-    # seq len must divide 128).  MEASURED on v5e at L<=512: XLA's fused
-    # attention is FASTER (69.7 vs 125.7 ms for a 96x384 encode) — keep
-    # "xla" for MDR shapes; "flash" exists for long-context variants where
-    # the (B,H,L,L) score matrix would dominate HBM.
+    # "xla" (default), "fused" (ops/fused_attention.py: whole-sequence
+    # pallas kernel, scores never leave VMEM — the fast serving path for
+    # MDR shapes, fp32 softmax), or "flash" (stock pallas flash-attention,
+    # TPU-only, seq len must divide 128).  MEASURED on v5e at L<=512: XLA
+    # beats stock flash (69.7 vs 125.7 ms for a 96x384 encode) — its
+    # online-softmax tiling targets long sequences; the short-sequence
+    # "fused" kernel removes the score-matrix HBM round-trips instead.
     attention_impl: str = "xla"
     # Attention score accumulation dtype.  "float32" (default) matches the
     # reference's numerics; "bfloat16" halves score-matrix HBM traffic

@@ -34,10 +34,23 @@ from ..core.config import EncoderConfig
 NEG_INF = -1e9  # bf16-safe large negative for masking
 
 
+def _gelu_exact(x):
+    """Exact (erf) gelu, computed in fp32 with a single downcast.
+
+    HF BERT/RoBERTa use erf gelu.  MEASURED (v5e, 12x FFN at B*W=36.9k,
+    F=3072): `nn.gelu(approximate=False)` on bf16 costs 13.3 ms/encode —
+    XLA's bf16 erf path round-trips precision op-by-op — while this
+    upcast-once formula costs 2.8 ms for the SAME function with strictly
+    fewer bf16 roundings (one, at the end).  No-op for fp32 inputs.
+    """
+    xf = x.astype(jnp.float32)
+    out = xf * 0.5 * (1.0 + jax.lax.erf(xf * 0.7071067811865476))
+    return out.astype(x.dtype)
+
+
 def _act(name: str):
     if name == "gelu":
-        # HF BERT/RoBERTa use exact (erf) gelu
-        return lambda x: nn.gelu(x, approximate=False)
+        return _gelu_exact
     if name == "gelu_new":
         return lambda x: nn.gelu(x, approximate=True)
     if name == "relu":
@@ -95,7 +108,21 @@ class SelfAttention(nn.Module):
                      and q_positions is None
                      and attention_mask is not None
                      and jax.default_backend() == "tpu")
-        if use_flash:
+        if c.attention_impl == "fused" and attention_mask is not None:
+            # fused short-sequence attention (ops/fused_attention.py): heads
+            # stay lane slices of the (B, L, H) projection layout, the
+            # (Lq, L) score matrix never leaves VMEM.  Interpret mode keeps
+            # the same code path testable off-TPU.
+            from ..ops.fused_attention import fused_attention
+
+            B_ = x.shape[0]
+            Lq = q.shape[1]
+            out = fused_attention(
+                q.reshape(B_, Lq, h * d), k.reshape(B_, L, h * d),
+                v.reshape(B_, L, h * d), attention_mask, h,
+                interpret=jax.default_backend() != "tpu")
+            out = out.reshape(B_, Lq, h, d)
+        elif use_flash:
             from jax.experimental.pallas.ops.tpu import flash_attention as fa
 
             seg = attention_mask.astype(jnp.int32)

@@ -316,17 +316,27 @@ def test_remat_train_step_matches_plain():
         params = model.init(jax.random.PRNGKey(0), batch)
         state = T.TrainState.create(params, tx)
         state, loss = T.make_train_step(model, tx)(state, batch)
-        results.append((float(loss), state.params))
+        results.append((float(loss), state.params, model, params))
     assert results[0][0] == pytest.approx(results[1][0], rel=1e-6)
-    # key biases: true gradient exactly 0 (softmax shift-invariance), so
-    # Adam amplifies remat's reduction-order ulps to +-lr — bound by the
-    # update magnitude there, tight elsewhere (same as the TP test)
-    for (path, a), (_, b) in zip(
+    # Adam's FIRST step moves every parameter by ~±lr·sign(g): where the
+    # true gradient is ~0 (key biases exactly, by softmax shift-invariance;
+    # scattered elements elsewhere), remat-vs-plain jit fusion ulps can flip
+    # the sign and shift the update by up to 2·lr.  Gradients themselves
+    # agree bitwise outside jit (verified), so bound those ELEMENTS by the
+    # update magnitude and stay tight everywhere else.
+    from multihop_dense_retrieval_tpu.train.losses import mhop_loss
+    model0, params0 = results[0][2], results[0][3]
+    ref_grads = jax.grad(lambda p: mhop_loss(model0.apply(p, batch)))(params0)
+    lr = 1e-3
+    for (path, a), (_, b), g in zip(
             jax.tree_util.tree_leaves_with_path(results[0][1]),
-            jax.tree_util.tree_leaves_with_path(results[1][1])):
-        key_bias = ("key" in jax.tree_util.keystr(path)
-                    and "bias" in jax.tree_util.keystr(path))
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-5,
-                                   atol=2.5e-3 if key_bias else 1e-6,
-                                   err_msg=jax.tree_util.keystr(path))
+            jax.tree_util.tree_leaves_with_path(results[1][1]),
+            jax.tree_util.tree_leaves(ref_grads)):
+        a, b, g = np.asarray(a), np.asarray(b), np.abs(np.asarray(g))
+        diff = np.abs(a - b)
+        tiny = g < 1e-6
+        name = jax.tree_util.keystr(path)
+        assert diff[tiny].max(initial=0.0) <= 2.5 * lr, name
+        np.testing.assert_allclose(np.where(tiny, 0.0, a),
+                                   np.where(tiny, 0.0, b),
+                                   rtol=1e-5, atol=1e-6, err_msg=name)

@@ -190,7 +190,8 @@ def _reader_bench(tunnel_s, b=32, reps=8):
     wiki-like distribution as the retrieval bench; per-width ms/batch are
     measured with a scan-in-one-jit and combined by the batch-width
     histogram.  Opt-in (MDRT_BENCH_READER=1): ~4 extra 24-layer compiles.
-    Measured 2026-08: 603.9 chains/s vs 285.4 fixed-512 (2.1x)."""
+    Measured 2026-08 (fp32-erf gelu): 692.4 chains/s vs 346.3 fixed-512
+    (2.0x)."""
     from multihop_dense_retrieval_tpu.models.reader import QAReader
 
     cfg = EncoderConfig.electra_large()

@@ -149,6 +149,28 @@ def test_retriever_ckpt_roundtrip():
     np.testing.assert_allclose(np.asarray(vec), expected, atol=1e-3, rtol=1e-3)
 
 
+def test_gelu_exact_fp32_semantics():
+    """The serving gelu (fp32 erf, single downcast) is the exact erf gelu:
+    identical to flax's exact gelu in fp32 (up to fp32 op-order ulps), and
+    for bf16 inputs within 1e-4 of round_to_bf16(gelu_fp32(x)) — i.e. fully
+    fp32-accurate, unlike a bf16-computed gelu whose intermediate roundings
+    err at the 1e-2 scale (the 5x-slower path it replaces,
+    encoder._gelu_exact)."""
+    import flax.linen as nn
+    from multihop_dense_retrieval_tpu.models.encoder import _gelu_exact
+
+    x = jnp.linspace(-6.0, 6.0, 4001, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(_gelu_exact(x)),
+                               np.asarray(nn.gelu(x, approximate=False)),
+                               atol=1e-6, rtol=1e-6)
+    xb = x.astype(jnp.bfloat16)
+    ref = nn.gelu(xb.astype(jnp.float32),
+                  approximate=False).astype(jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(_gelu_exact(xb)).astype(np.float32),
+                               np.asarray(ref).astype(np.float32),
+                               atol=1e-4, rtol=0)
+
+
 def test_cls_only_last_layer_bit_identical():
     """cls_only encoder output position 0 == full encoder's position 0."""
     cfg = EncoderConfig.tiny()

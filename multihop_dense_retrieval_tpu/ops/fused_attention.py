@@ -18,14 +18,21 @@ sequences), this kernel exploits that the WHOLE sequence fits in VMEM:
 The contraction dim is head_dim=64 (half an MXU tile), but score FLOPs are
 <10% of the layer, so the bandwidth win was expected to dominate.
 
-MEASURED (v5e, 12-layer roberta-base encode, B=192): W=192 58.7 ms vs
-46.5 ms XLA; W=40 19.7 vs 10.5 — the per-head 64-lane slices of the
-768-wide rows trigger Mosaic register relayouts that cost MORE than the
-score-matrix HBM round-trips they avoid (XLA's whole head-handling
-overhead is only ~8 ms/12 layers).  Kept as a tested experimental impl
-(`attention_impl="fused"`); the serving default remains "xla".  A faster
-variant would need a head-major layout end-to-end, which re-introduces
-the relayout at the projection boundaries.
+MEASURED (v5e, 12-layer roberta-base encode, B=192):
+
+  * v1 per-head kernel (64-lane slices): W=192 58.7 ms vs 46.5 XLA — the
+    sub-128-lane slices relayout through registers.
+  * v2 head-PAIR kernel (aligned 128-lane groups, one head's half of q
+    zero-masked per matmul so the full-width contraction runs at full MXU
+    rate): W=192 53.8 ms, W=40 13.6 — better, still behind XLA (46.2 /
+    10.0).  The per-head dot→softmax→dot chains serialize MXU and VPU
+    inside the kernel, while XLA's fusion pipeline overlaps them across
+    the layer graph — at W<=350 that scheduling freedom is worth more
+    than the score-matrix HBM traffic this kernel avoids.
+
+Kept as a tested experimental impl (`attention_impl="fused"`, auto-picks
+the pair kernel when 2*head_dim == 128); the serving default remains
+"xla".
 
 Supports q_len != kv_len for the retriever's cls_only last layer
 (q_len == 1).
@@ -53,6 +60,9 @@ VMEM_BUDGET = 12 * 1024 * 1024
 
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, nh: int, d: int,
                  scale: float, bb: int):
+    """Per-head strategy (v1): 64-lane slices.  MEASURED SLOWER than XLA —
+    Mosaic relayouts the sub-128-lane slices through registers.  Kept for
+    head dims that don't pair to 128 lanes; see _attn_kernel_paired."""
     for b in range(bb):
         bias = bias_ref[b, 0].astype(jnp.float32).reshape(1, -1)  # (1, W)
         for h in range(nh):
@@ -70,6 +80,44 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, nh: int, d: int,
                 p.astype(q_ref.dtype), vh, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)            # (Wq, d)
             o_ref[b, :, h * d:(h + 1) * d] = o.astype(o_ref.dtype)
+
+
+def _attn_kernel_paired(q_ref, k_ref, v_ref, bias_ref, o_ref, *, nh: int,
+                        d: int, scale: float, bb: int):
+    """Head-PAIR strategy (v2) for 2*d == 128: slice aligned 128-lane
+    groups (no register relayout), zero one head's half of q so the full
+    128-lane contraction yields a single head's scores at full MXU rate,
+    and combine the two heads' p·v outputs with lane masks.  2x the
+    attention-einsum FLOPs of the ideal 64-contraction, but the MXU runs
+    128-contractions at 2x the rate, so matmul TIME is unchanged while the
+    score matrix and all head handling stay in VMEM."""
+    lanes = 2 * d
+    lane_id = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
+    mlo = (lane_id < d)
+    dt = q_ref.dtype
+    for b in range(bb):
+        bias = bias_ref[b, 0].astype(jnp.float32).reshape(1, -1)  # (1, W)
+        for g in range(nh // 2):
+            sl = slice(g * lanes, (g + 1) * lanes)
+            qg = q_ref[b, :, sl]                                # (Wq, 128)
+            kg = k_ref[b, :, sl]                                # (W, 128)
+            vg = v_ref[b, :, sl]
+            outs = []
+            for lo in (True, False):
+                qh = jnp.where(mlo if lo else ~mlo, qg, jnp.zeros_like(qg))
+                s = jax.lax.dot_general(
+                    qh, kg, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)         # (Wq, W)
+                s = s * scale + bias
+                m = jnp.max(s, axis=1, keepdims=True)
+                e = jnp.exp(s - m)
+                p = e / jnp.sum(e, axis=1, keepdims=True)
+                o = jax.lax.dot_general(
+                    p.astype(dt), vg, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)         # (Wq, 128)
+                outs.append(o)
+            out = jnp.where(mlo, outs[0], outs[1])
+            o_ref[b, :, sl] = out.astype(o_ref.dtype)
 
 
 def _pick_block(batch: int, wq: int, w: int, h: int, itemsize: int) -> int:
@@ -106,6 +154,11 @@ def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         .astype(jnp.float32)[:, None, :]
     bb = block_b or _pick_block(b, wq, w, hsz, jnp.dtype(q.dtype).itemsize)
 
+    # head-pair kernel when two heads tile exactly one 128-lane group;
+    # fall back to the per-head kernel otherwise
+    paired = (num_heads % 2 == 0 and 2 * d == 128)
+    kernel = _attn_kernel_paired if paired else _attn_kernel
+
     grid_spec = pl.GridSpec(
         grid=(b // bb,),
         in_specs=[
@@ -122,8 +175,7 @@ def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        functools.partial(_attn_kernel, nh=num_heads, d=d, scale=scale,
-                          bb=bb),
+        functools.partial(kernel, nh=num_heads, d=d, scale=scale, bb=bb),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, wq, hsz), q.dtype),
         cost_estimate=pl.CostEstimate(

@@ -31,6 +31,8 @@ def _ref(q, k, v, mask, nh):
     (4, 1, 24, 4, 8, 0),     # cls_only last layer (q_len=1)
     (8, 16, 16, 2, 8, 2),    # explicit batch block
     (3, 8, 8, 2, 8, 0),      # batch not divisible by 2 → bb=1
+    (2, 16, 16, 2, 64, 0),   # head-pair kernel (2*d == 128 lanes)
+    (2, 1, 16, 4, 64, 0),    # head-pair kernel, cls_only q_len=1
 ])
 def test_fused_attention_matches_einsum(b, wq, w, nh, d, bb):
     h = nh * d

@@ -175,6 +175,14 @@ class SearchConfig:
     # to 1).  Uneven tiles let the expensive wide buckets stay SMALL — e.g.
     # (0.25, 0.25, 0.25, 0.125, 0.125) puts only 1/8 of rows in the full-
     # width fallback tile.  () = equal tiles.
+    # Tuning guidance (measured on v5e, B=192, wiki-like lengths, vs the
+    # 2680 q/s {128,160,192,256,350}@{.25,.25,.25,.125,.125} default):
+    #   * widths MUST be multiples of 32 — {112,144,176,224,350} (same tile
+    #     structure, 8% fewer tokens) ran 31% SLOWER (1853 q/s): odd
+    #     16-multiples hit bad XLA attention tilings;
+    #   * prefer FEW, LARGE tiles — a 6-tile {112,...,350} split with
+    #     12-36-row tiles ran 23% slower (2064 q/s): per-tile fixed costs
+    #     beat the token savings.
     hop2_tile_fracs: tuple = ()
     # Round the hop-1 question width up to this multiple of the batch max
     # (host-side slice; a few cached traces).  0 disables (fixed max_q_len).

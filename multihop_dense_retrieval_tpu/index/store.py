@@ -16,6 +16,7 @@ On disk: .npz with a uint16 view of the bf16 payload (numpy has no bf16).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -28,6 +29,20 @@ from ..core.mesh import INDEX_AXIS
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+# Donated updaters: on TPU the buffer is updated in place (no multi-GB
+# copy per append/replace); donation is ignored (plain copy) on CPU.
+@functools.partial(jax.jit, donate_argnums=0)
+def _update_rows(buf, rows, start):
+    return jax.lax.dynamic_update_slice(buf, rows.astype(buf.dtype),
+                                        (start, 0))
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def _update_scales(buf, scales, start):
+    return jax.lax.dynamic_update_slice(buf, scales.astype(buf.dtype),
+                                        (start,))
 
 
 @dataclasses.dataclass
@@ -79,6 +94,90 @@ class DenseIndex:
             self.scales, NamedSharding(mesh, P(INDEX_AXIS)))
         return DenseIndex(vectors=arr, n_docs=self.n_docs, scales=scales,
                           multi_vector=self.multi_vector)
+
+    # ---- online updates (serving) ----------------------------------------
+    #
+    # FAISS-parity `add` (eval_mhop_retrieval.py:121-122) plus the
+    # `remove_ids` story a production serving index needs, TPU-native:
+    # updates are donated jitted dynamic_update_slice calls, so appends
+    # into existing padding and in-place replacements never copy the
+    # multi-GB buffer on TPU (donation is a no-op copy on CPU tests).
+    # Consequence: the PREVIOUS index object is consumed — use only the
+    # returned index afterwards.  All row arithmetic is in DOCUMENT units
+    # of `multi_vector` rows.
+
+    def _quantize_like(self, rows: np.ndarray):
+        rows32 = jnp.asarray(np.asarray(rows, np.float32))
+        if self.scales is not None:
+            from ..ops.mips import quantize_rows
+
+            return quantize_rows(rows32)
+        return rows32.astype(self.vectors.dtype), None
+
+    def append(self, embeddings: np.ndarray, *, chunk_rows: int = 4096,
+               n_shards: int = 1) -> "DenseIndex":
+        """Add documents; returns the updated index.  New rows land in the
+        existing tail padding when they fit (in-place slice update); the
+        buffer grows to the next (chunk_rows × n_shards) multiple otherwise.
+        """
+        rows, scales_new = self._quantize_like(embeddings)
+        m = rows.shape[0]
+        assert m % self.multi_vector == 0, \
+            "appended rows must be whole documents"
+        n_pad = self.vectors.shape[0]
+        if self.n_docs + m > n_pad:
+            grow_to = _round_up(self.n_docs + m, chunk_rows * n_shards)
+            pad = grow_to - n_pad
+            vec = jnp.concatenate(
+                [self.vectors,
+                 jnp.zeros((pad, self.vectors.shape[1]),
+                           self.vectors.dtype)], axis=0)
+            scales = None if self.scales is None else jnp.concatenate(
+                [self.scales, jnp.zeros((pad,), self.scales.dtype)])
+        else:
+            vec, scales = self.vectors, self.scales
+        vec = _update_rows(vec, rows, self.n_docs)
+        if scales is not None:
+            scales = _update_scales(scales, scales_new, self.n_docs)
+        return DenseIndex(vectors=vec, n_docs=self.n_docs + m,
+                          scales=scales, multi_vector=self.multi_vector)
+
+    def replace(self, doc_id: int, embeddings: np.ndarray) -> "DenseIndex":
+        """Overwrite one document's vector(s) in place (donated update)."""
+        rows, scales_new = self._quantize_like(embeddings)
+        assert rows.shape[0] == self.multi_vector
+        start = doc_id * self.multi_vector
+        assert 0 <= start < self.n_docs
+        vec = _update_rows(self.vectors, rows, start)
+        scales = self.scales
+        if scales is not None:
+            scales = _update_scales(scales, scales_new, start)
+        return DenseIndex(vectors=vec, n_docs=self.n_docs, scales=scales,
+                          multi_vector=self.multi_vector)
+
+    def delete_swap(self, doc_id: int):
+        """Swap-delete a document: the LAST document moves into its slot and
+        n_docs shrinks (padding stays masked via n_valid in ops/mips.py —
+        deleted rows can never surface in results).  Returns
+        (index, moved_doc_id): the caller must move the same row of its doc
+        table (text ids / titles) — or None when the last doc was deleted.
+        """
+        last = self.n_passages - 1
+        assert 0 <= doc_id <= last
+        mv = self.multi_vector
+        vec, scales = self.vectors, self.scales
+        moved = None
+        if doc_id != last:
+            rows = jax.lax.dynamic_slice(
+                vec, (last * mv, 0), (mv, vec.shape[1]))
+            vec = _update_rows(vec, rows, doc_id * mv)
+            if scales is not None:
+                sc = jax.lax.dynamic_slice(scales, (last * mv,), (mv,))
+                scales = _update_scales(scales, sc, doc_id * mv)
+            moved = last
+        idx = DenseIndex(vectors=vec, n_docs=self.n_docs - mv,
+                         scales=scales, multi_vector=mv)
+        return idx, moved
 
     # ---- persistence -----------------------------------------------------
 

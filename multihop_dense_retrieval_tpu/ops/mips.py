@@ -794,7 +794,8 @@ def mips_topk(index, queries, k: int, *, use_pallas: bool = True,
 def sharded_mips_topk(index: jnp.ndarray, queries: jnp.ndarray, k: int,
                       mesh: Mesh, *, use_pallas: bool = True,
                       chunk_rows: int = 4096, n_valid: Optional[int] = None,
-                      doc_scales: Optional[jnp.ndarray] = None):
+                      doc_scales: Optional[jnp.ndarray] = None,
+                      n_valid_dyn=None):
     """Distributed exact MIPS: the index is row-sharded over the mesh `index`
     axis; each chip searches its shard, converts local row ids to global ids,
     and the (B, k) candidate sets are all-gathered over ICI and merged.
@@ -805,17 +806,22 @@ def sharded_mips_topk(index: jnp.ndarray, queries: jnp.ndarray, k: int,
     n_shards = mesh.shape[INDEX_AXIS]
     shard_rows = index.shape[0] // n_shards
 
-    def local_search(idx_shard, q, scales_shard):
+    use_dyn = n_valid_dyn is not None
+
+    def local_search(idx_shard, q, scales_shard, nv):
         # per-shard validity: padding is contiguous at the global tail, so
         # shard s holds clip(n_valid - s*shard_rows, 0, shard_rows) valid
         # rows.  The bound is traced (shard id is), so it flows into the
         # kernels as a dynamic scalar and masks pad rows BEFORE the local
         # top-k — zero-vector pads score 0.0 and would otherwise evict
         # genuinely valid negative-score docs from the boundary shard.
+        # nv (a traced global bound — live online updates) wins over the
+        # static n_valid.
         shard_id = jax.lax.axis_index(INDEX_AXIS)
         local_valid = None
-        if n_valid is not None and n_valid < index.shape[0]:
-            local_valid = jnp.clip(n_valid - shard_id * shard_rows,
+        bound = nv if use_dyn else n_valid
+        if bound is not None and (use_dyn or n_valid < index.shape[0]):
+            local_valid = jnp.clip(bound - shard_id * shard_rows,
                                    0, shard_rows).astype(jnp.int32)
         vals, idxs = mips_topk(idx_shard, q, k, use_pallas=use_pallas,
                                chunk_rows=chunk_rows, doc_scales=scales_shard,
@@ -832,15 +838,17 @@ def sharded_mips_topk(index: jnp.ndarray, queries: jnp.ndarray, k: int,
         # placeholder sized one element per shard (the wrapper drops it)
         doc_scales = jnp.zeros((n_shards,), jnp.float32)
     scales_spec = P(INDEX_AXIS)
+    nv_arr = (jnp.asarray(n_valid_dyn, jnp.int32) if use_dyn
+              else jnp.int32(0))
 
-    def wrapper(idx_shard, q, scales_shard):
+    def wrapper(idx_shard, q, scales_shard, nv):
         return local_search(idx_shard, q,
-                            scales_shard if use_scales else None)
+                            scales_shard if use_scales else None, nv)
 
     fn = shard_map(
         wrapper, mesh=mesh,
-        in_specs=(P(INDEX_AXIS, None), P(), scales_spec),
+        in_specs=(P(INDEX_AXIS, None), P(), scales_spec, P()),
         out_specs=(P(), P()),
         check_vma=False,  # the scan carry inside mips_topk is shard-local
     )
-    return fn(index, queries, doc_scales)
+    return fn(index, queries, doc_scales, nv_arr)

@@ -36,6 +36,17 @@ from ..ops.mips import (sharded_mips_topk, mips_topk, merge_multivector,
                         NEG_INF)
 
 
+@functools.partial(jax.jit, donate_argnums=0)
+def _update2d(buf, rows, start):
+    return jax.lax.dynamic_update_slice(buf, rows.astype(buf.dtype),
+                                        (start, 0))
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def _update1d(buf, vals, start):
+    return jax.lax.dynamic_update_slice(buf, vals.astype(buf.dtype), (start,))
+
+
 def truncate_longest_first(len_a: jnp.ndarray, len_b: jnp.ndarray, budget: int):
     """Final (len_a', len_b') after HF longest-first pair truncation.
 
@@ -133,6 +144,13 @@ class BeamSearcher:
             "text_lens": self.text_lens,
             "empty": self.empty,
         }
+        if self.index.n_docs < self.index.vectors.shape[0]:
+            # traced row-validity bound: online updates change it without
+            # invalidating the compiled program.  Omitted when there is no
+            # padding (no masking work in the kernels); the first online
+            # update adds it via _refresh_store — the store-structure
+            # change retraces once.
+            self._store["n_valid"] = jnp.int32(self.index.n_docs)
         if self.index.scales is not None:
             self._store["scales"] = self.index.scales
         impl = functools.partial(
@@ -144,11 +162,94 @@ class BeamSearcher:
         self._jit = lambda params, q_inputs, q_raw_ids, q_raw_lens: \
             self._jit_impl(params, self._store, q_inputs, q_raw_ids, q_raw_lens)
 
+    # ---- online corpus updates (serving) ------------------------------
+    #
+    # FAISS-`add`-style serving updates, end to end: the dense index AND
+    # the on-device token store move together so hop-2 reformulation sees
+    # the new documents immediately.  Shapes are unchanged while updates
+    # fit the tail padding (donated in-place slice updates, no retrace);
+    # growth re-pads to the chunk grid and recompiles once.
+
+    def _refresh_store(self):
+        self._store["vectors"] = self.index.vectors
+        self._store["text_ids"] = self.text_ids
+        self._store["text_lens"] = self.text_lens
+        self._store["empty"] = self.empty
+        self._store["n_valid"] = jnp.int32(self.index.n_docs)
+        if self.index.scales is not None:
+            self._store["scales"] = self.index.scales
+
+    def add_docs(self, embeddings: np.ndarray, text_ids: np.ndarray,
+                 text_lens: np.ndarray, empty: Optional[np.ndarray] = None):
+        """Append documents to the live engine.  `text_ids` (M, <=Lt) raw
+        doc token ids (no specials), padded host-side to the store width.
+        Returns the doc ids assigned to the new documents."""
+        assert self.index.multi_vector == 1, \
+            "online updates support single-vector indexes"
+        from ..core.mesh import INDEX_AXIS
+
+        m = len(text_lens)
+        start = self.index.n_docs
+        n_shards = (1 if self.mesh is None
+                    else self.mesh.shape.get(INDEX_AXIS, 1))
+        old_pad = self.index.vectors.shape[0]
+        self.index = self.index.append(
+            embeddings, chunk_rows=self.config.chunk_rows,
+            n_shards=n_shards)
+        n_pad = self.index.vectors.shape[0]
+        if n_pad != old_pad:
+            grow = n_pad - self.text_ids.shape[0]
+            self.text_ids = jnp.concatenate(
+                [self.text_ids,
+                 jnp.full((grow, self.text_ids.shape[1]), self.spec.pad_id,
+                          self.text_ids.dtype)], axis=0)
+            self.text_lens = jnp.concatenate(
+                [self.text_lens, jnp.zeros((grow,), self.text_lens.dtype)])
+            self.empty = jnp.concatenate(
+                [self.empty, jnp.zeros((grow,), self.empty.dtype)])
+            if self.mesh is not None:
+                self.index = self.index.shard(self.mesh)
+        width = self.text_ids.shape[1]
+        rows = np.full((m, width), self.spec.pad_id, np.int64)
+        tin = np.asarray(text_ids)
+        rows[:, :tin.shape[1]] = tin
+        self.text_ids = _update2d(self.text_ids,
+                                  jnp.asarray(rows, self.text_ids.dtype),
+                                  start)
+        self.text_lens = _update1d(
+            self.text_lens, jnp.asarray(text_lens, self.text_lens.dtype),
+            start)
+        emp = (np.zeros((m,), bool) if empty is None else np.asarray(empty))
+        self.empty = _update1d(self.empty, jnp.asarray(emp, self.empty.dtype),
+                               start)
+        self._refresh_store()
+        return list(range(start, start + m))
+
+    def delete_doc(self, doc_id: int):
+        """Swap-delete a document from the live engine (index + token
+        store).  Returns the doc id that MOVED into the freed slot (the
+        caller updates its host doc table the same way), or None."""
+        assert self.index.multi_vector == 1
+        self.index, moved = self.index.delete_swap(doc_id)
+        if moved is not None:
+            row = jax.lax.dynamic_slice(
+                self.text_ids, (moved, 0), (1, self.text_ids.shape[1]))
+            self.text_ids = _update2d(self.text_ids, row, doc_id)
+            ln = jax.lax.dynamic_slice(self.text_lens, (moved,), (1,))
+            self.text_lens = _update1d(self.text_lens, ln, doc_id)
+            em = jax.lax.dynamic_slice(self.empty, (moved,), (1,))
+            self.empty = _update1d(self.empty, em, doc_id)
+        self._refresh_store()
+        return moved
+
     # ------------------------------------------------------------------
 
-    def _mips(self, vectors, queries, k, scales=None):
+    def _mips(self, vectors, queries, k, scales=None, n_valid_dyn=None):
         # multi-vector index: fetch k*m rows, then collapse to k DOCS via
-        # max-over-vectors (rows grouped per passage, ops/mips.py)
+        # max-over-vectors (rows grouped per passage, ops/mips.py).
+        # n_valid rides the store as a TRACED scalar so online add/delete
+        # (add_docs/delete_doc) take effect without retracing — a static
+        # bound would stay baked into the cached program.
         m = self.index.multi_vector
         k_rows = k * m
         if self.mesh is not None and self.mesh.shape.get("index", 1) > 1:
@@ -156,13 +257,15 @@ class BeamSearcher:
                 vectors, queries, k_rows, self.mesh,
                 use_pallas=self.config.use_pallas,
                 chunk_rows=self.config.chunk_rows,
-                n_valid=self.index.n_docs, doc_scales=scales)
+                n_valid=self.index.n_docs, doc_scales=scales,
+                n_valid_dyn=n_valid_dyn)
         else:
             vals, rows = mips_topk(
                 vectors, queries, k_rows,
                 use_pallas=self.config.use_pallas,
                 chunk_rows=self.config.chunk_rows,
-                n_valid=self.index.n_docs, doc_scales=scales)
+                n_valid=self.index.n_docs, doc_scales=scales,
+                n_valid_dyn=n_valid_dyn)
         return merge_multivector(vals, rows, k, m)
 
     def _encode_hop2(self, params, qsp):
@@ -236,7 +339,8 @@ class BeamSearcher:
                                q_inputs["attention_mask"],
                                q_inputs.get("token_type_ids"))
         d1, i1 = self._mips(store["vectors"], q_vec.astype(jnp.float32), beam1,
-                            scales=store.get("scales"))
+                            scales=store.get("scales"),
+                            n_valid_dyn=store.get("n_valid"))
         # empty-text docs cannot start a chain (eval_mhop_retrieval.py:165)
         d1 = jnp.where(store["empty"][i1], NEG_INF, d1)
 
@@ -259,7 +363,8 @@ class BeamSearcher:
         else:
             qsp_vec = self._encode_hop2(params, qsp)
         d2, i2 = self._mips(store["vectors"], qsp_vec.astype(jnp.float32), beam2,
-                            scales=store.get("scales"))
+                            scales=store.get("scales"),
+                            n_valid_dyn=store.get("n_valid"))
         d2 = d2.reshape(bsz, beam1, beam2)
         i2 = i2.reshape(bsz, beam1, beam2)
 

@@ -4,11 +4,19 @@ the FAISS `index.add` / `remove_ids` serving story
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
+from multihop_dense_retrieval_tpu.core.config import (EncoderConfig,
+                                                      SearchConfig)
+from multihop_dense_retrieval_tpu.data import (HashTokenizer, Corpus,
+                                               TokenizedCorpus)
 from multihop_dense_retrieval_tpu.index.store import DenseIndex
+from multihop_dense_retrieval_tpu.models import MhopRetriever
 from multihop_dense_retrieval_tpu.ops.mips import mips_topk
+from multihop_dense_retrieval_tpu.search import BeamSearcher
+from tests import synth
 
 D = 16
 
@@ -95,3 +103,169 @@ def test_multivector_group_updates():
 
     with pytest.raises(AssertionError):
         idx.append(_vecs(rng, 3), chunk_rows=16)   # not whole documents
+
+
+def _build_searcher(model, params, tok, corpus_rows, chunk_rows=16):
+    corpus = Corpus(corpus_rows)
+    tc = TokenizedCorpus.build(corpus, tok, max_text_len=40)
+    enc = tok.encode_batch_pair(
+        [(corpus[i]["title"], corpus.encode_text(i))
+         for i in range(len(corpus))], 48)
+    emb = np.asarray(model.apply(params, jnp.asarray(enc["input_ids"]),
+                                 jnp.asarray(enc["attention_mask"]),
+                                 method=model.encode_seq), np.float32)
+    index = DenseIndex.build(emb, chunk_rows=chunk_rows, dtype=jnp.float32)
+    n_pad = index.vectors.shape[0]
+    text_ids = np.full((n_pad, tc.text_ids.shape[1]), tok.spec.pad_id,
+                       np.int32)
+    text_ids[:len(corpus)] = tc.text_ids
+    text_lens = np.zeros(n_pad, np.int32)
+    text_lens[:len(corpus)] = tc.text_lens
+    empty = np.zeros(n_pad, bool)
+    empty[:len(corpus)] = tc.empty
+    searcher = BeamSearcher(
+        encode_fn=lambda p, ids, mask, tt=None: model.apply(
+            p, ids, mask, tt, method=model.encode_seq),
+        params=params, index=index,
+        text_ids=jnp.asarray(text_ids), text_lens=jnp.asarray(text_lens),
+        empty=jnp.asarray(empty), spec=tok.spec,
+        config=SearchConfig(beam_size_1=3, beam_size_2=3, topk=3,
+                            max_q_len=24, max_q_sp_len=72,
+                            chunk_rows=chunk_rows, use_pallas=False),
+        mesh=None)
+    return searcher, emb, tc
+
+
+def test_live_engine_add_and_delete_matches_rebuild():
+    """add_docs/delete_doc on a LIVE BeamSearcher produce exactly the same
+    2-hop results as an engine rebuilt from scratch on the updated corpus —
+    the new documents are searchable in hop 1 AND readable by the hop-2
+    on-device reformulation."""
+    tok = HashTokenizer(vocab_size=512)
+    rng = np.random.RandomState(5)
+    cfg = EncoderConfig.tiny(vocab_size=512, max_position_embeddings=80)
+    model = MhopRetriever(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32),
+                        jnp.ones((1, 8), jnp.int32), method=model.encode_seq)
+
+    rows = synth.make_corpus(rng, 30, empty_every=7)
+    new_rows = synth.make_corpus(rng, 4)
+    for i, r in enumerate(new_rows):
+        r["title"] = f"fresh doc {i}"
+
+    live, emb, _ = _build_searcher(model, params, tok, rows)
+
+    # encode + tokenize the new docs the same way the builder does
+    nc = Corpus(new_rows)
+    ntc = TokenizedCorpus.build(nc, tok, max_text_len=40)
+    enc = tok.encode_batch_pair(
+        [(nc[i]["title"], nc.encode_text(i)) for i in range(len(nc))], 48)
+    nemb = np.asarray(model.apply(params, jnp.asarray(enc["input_ids"]),
+                                  jnp.asarray(enc["attention_mask"]),
+                                  method=model.encode_seq), np.float32)
+    new_ids = live.add_docs(nemb, ntc.text_ids, ntc.text_lens, ntc.empty)
+    assert new_ids == [30, 31, 32, 33]
+
+    rebuilt, _, _ = _build_searcher(model, params, tok, rows + new_rows)
+
+    qs = [synth.rand_text(rng, 3, 8) for _ in range(4)]
+    q_inputs = tok.encode_batch_one(qs, 24)
+    raw = [tok.raw_ids_padded(q, 22) for q in qs]
+    q_raw_ids = np.stack([r[0] for r in raw])
+    q_raw_lens = np.array([r[1] for r in raw])
+
+    got = live.search(q_inputs, q_raw_ids, q_raw_lens)
+    exp = rebuilt.search(q_inputs, q_raw_ids, q_raw_lens)
+    np.testing.assert_array_equal(got["hop1_ids"], exp["hop1_ids"])
+    np.testing.assert_array_equal(got["hop2_ids"], exp["hop2_ids"])
+    np.testing.assert_allclose(got["path_scores"], exp["path_scores"],
+                               rtol=1e-5, atol=1e-5)
+
+    # delete doc 1; rebuild with the swap applied (last doc moves to slot 1)
+    moved = live.delete_doc(1)
+    assert moved == 33
+    swapped = list(rows + new_rows)
+    swapped[1] = swapped[33]
+    swapped = swapped[:33]
+    rebuilt2, _, _ = _build_searcher(model, params, tok, swapped)
+    got = live.search(q_inputs, q_raw_ids, q_raw_lens)
+    exp = rebuilt2.search(q_inputs, q_raw_ids, q_raw_lens)
+    np.testing.assert_array_equal(got["hop1_ids"], exp["hop1_ids"])
+    np.testing.assert_array_equal(got["hop2_ids"], exp["hop2_ids"])
+
+
+def test_live_updates_on_sharded_index():
+    """add_docs/delete_doc on a mesh-sharded engine (index axis): results
+    agree with an unsharded engine holding the same updated corpus — the
+    traced n_valid bound flows through shard_map to every shard."""
+    from multihop_dense_retrieval_tpu.core.mesh import make_mesh
+
+    tok = HashTokenizer(vocab_size=512)
+    rng = np.random.RandomState(9)
+    cfg = EncoderConfig.tiny(vocab_size=512, max_position_embeddings=80)
+    model = MhopRetriever(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32),
+                        jnp.ones((1, 8), jnp.int32), method=model.encode_seq)
+    rows = synth.make_corpus(rng, 30)
+    new_rows = synth.make_corpus(rng, 3)
+
+    mesh = make_mesh()  # (1, 8)
+
+    def build(corpus_rows, m):
+        corpus = Corpus(corpus_rows)
+        tc = TokenizedCorpus.build(corpus, tok, max_text_len=40)
+        enc = tok.encode_batch_pair(
+            [(corpus[i]["title"], corpus.encode_text(i))
+             for i in range(len(corpus))], 48)
+        emb = np.asarray(model.apply(params, jnp.asarray(enc["input_ids"]),
+                                     jnp.asarray(enc["attention_mask"]),
+                                     method=model.encode_seq), np.float32)
+        index = DenseIndex.build(emb, chunk_rows=8,
+                                 n_shards=8 if m is not None else 1,
+                                 dtype=jnp.float32, mesh=m)
+        n_pad = index.vectors.shape[0]
+        text_ids = np.full((n_pad, tc.text_ids.shape[1]), tok.spec.pad_id,
+                           np.int32)
+        text_ids[:len(corpus)] = tc.text_ids
+        text_lens = np.zeros(n_pad, np.int32)
+        text_lens[:len(corpus)] = tc.text_lens
+        empty = np.zeros(n_pad, bool)
+        empty[:len(corpus)] = tc.empty
+        return BeamSearcher(
+            encode_fn=lambda p, ids, mask, tt=None: model.apply(
+                p, ids, mask, tt, method=model.encode_seq),
+            params=params, index=index,
+            text_ids=jnp.asarray(text_ids), text_lens=jnp.asarray(text_lens),
+            empty=jnp.asarray(empty), spec=tok.spec,
+            config=SearchConfig(beam_size_1=3, beam_size_2=3, topk=3,
+                                max_q_len=24, max_q_sp_len=72,
+                                chunk_rows=8, use_pallas=False),
+            mesh=m), tc
+
+    live, _ = build(rows, mesh)
+    nc = Corpus(new_rows)
+    ntc = TokenizedCorpus.build(nc, tok, max_text_len=40)
+    enc = tok.encode_batch_pair(
+        [(nc[i]["title"], nc.encode_text(i)) for i in range(len(nc))], 48)
+    nemb = np.asarray(model.apply(params, jnp.asarray(enc["input_ids"]),
+                                  jnp.asarray(enc["attention_mask"]),
+                                  method=model.encode_seq), np.float32)
+    live.add_docs(nemb, ntc.text_ids, ntc.text_lens, ntc.empty)
+    live.delete_doc(0)  # last doc (32) moves into slot 0
+
+    swapped = list(rows + new_rows)
+    swapped[0] = swapped[32]
+    swapped = swapped[:32]
+    ref, _ = build(swapped, None)
+
+    qs = [synth.rand_text(rng, 3, 8) for _ in range(4)]
+    q_inputs = tok.encode_batch_one(qs, 24)
+    raw = [tok.raw_ids_padded(q, 22) for q in qs]
+    rid = np.stack([r[0] for r in raw])
+    rlen = np.array([r[1] for r in raw])
+    got = live.search(q_inputs, rid, rlen)
+    exp = ref.search(q_inputs, rid, rlen)
+    np.testing.assert_array_equal(got["hop1_ids"], exp["hop1_ids"])
+    np.testing.assert_array_equal(got["hop2_ids"], exp["hop2_ids"])
+    np.testing.assert_allclose(got["path_scores"], exp["path_scores"],
+                               rtol=1e-5, atol=1e-5)

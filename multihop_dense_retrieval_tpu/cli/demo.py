@@ -48,7 +48,46 @@ class DemoPipeline:
             args.reader_model, args.reader_checkpoint, sp_pred=True)
         self.pred_step = TQA.make_qa_predict_step(
             self.reader, max_ans_len=args.max_ans_len)
+        self.max_c_len = getattr(args, "max_c_len", 300)
         self.args = args
+
+    # ---- live corpus updates (serving) --------------------------------
+
+    def add_document(self, title: str, text: str) -> int:
+        """Add one document to the LIVE engine (index + token store + host
+        doc table) — searchable by the next request.  Returns its doc id."""
+        import jax.numpy as jnp
+        from ..data.corpus import Corpus as _Corpus, TokenizedCorpus
+        import unicodedata
+
+        row = {"title": unicodedata.normalize("NFD", title.strip()),
+               "text": text.strip()}
+        nc = _Corpus([row])
+        width = int(self.searcher.text_ids.shape[1])
+        ntc = TokenizedCorpus.build(nc, self.r_tok, max_text_len=width)
+        # passage view title ⊕ text, exactly as index/build.py encodes it
+        enc = self.r_tok.encode_batch_pair(
+            [(row["title"], nc.encode_text(0))], self.max_c_len)
+        tt = enc.get("token_type_ids")
+        vec = np.asarray(self.searcher.encode_fn(
+            self.searcher.params, jnp.asarray(enc["input_ids"]),
+            jnp.asarray(enc["attention_mask"]),
+            None if tt is None else jnp.asarray(tt)), np.float32)
+        ids = self.searcher.add_docs(vec, ntc.text_ids, ntc.text_lens,
+                                     ntc.empty)
+        self.corpus.docs.append(row)
+        return ids[0]
+
+    def delete_document(self, doc_id: int):
+        """Swap-delete a document from the live engine; keeps the host doc
+        table in the same order as the device store."""
+        if not 0 <= doc_id < len(self.corpus.docs):
+            raise IndexError(f"doc_id {doc_id} out of range")
+        moved = self.searcher.delete_doc(doc_id)
+        if moved is not None:
+            self.corpus.docs[doc_id] = self.corpus.docs[moved]
+        self.corpus.docs.pop()
+        return moved
 
     def answer(self, question: str):
         t0 = time.time()
@@ -87,6 +126,8 @@ def main(argv=None):
     p.add_argument("--max-seq-len", type=int, default=512)
     p.add_argument("--max-ans-len", type=int, default=30)
     p.add_argument("--chunk-rows", type=int, default=4096)
+    p.add_argument("--max-c-len", type=int, default=300,
+                   help="passage budget when encoding live-added documents")
     p.add_argument("--lambda", dest="lam", type=float, default=0.8)
     p.add_argument("--question", default="",
                    help="answer one question and exit (non-interactive)")

@@ -3,9 +3,11 @@
 Production-facing counterpart of the streamlit demo (scripts/demo.py): a
 stdlib HTTP server exposing
 
-  POST /answer   {"question": "..."}            → answer + chains + sp
-  POST /retrieve {"question": "...", "topk": k} → ranked chains only
-  GET  /healthz                                 → liveness + model info
+  POST /answer     {"question": "..."}            → answer + chains + sp
+  POST /retrieve   {"question": "...", "topk": k} → ranked chains only
+  POST /add_doc    {"title": "...", "text": "..."} → live corpus add
+  POST /delete_doc {"doc_id": i}                   → live swap-delete
+  GET  /healthz                                    → liveness + model info
 
 Single-threaded by design: the TPU executes one program at a time, so the
 natural scaling unit is one server per chip with an external load balancer
@@ -50,6 +52,27 @@ def make_handler(pipe: DemoPipeline):
                 req = json.loads(self.rfile.read(n) or b"{}")
             except (ValueError, json.JSONDecodeError):
                 self._send(400, {"error": "invalid JSON body"})
+                return
+            if self.path == "/add_doc":
+                title = req.get("title", "").strip()
+                if not title:
+                    self._send(400, {"error": "missing 'title'"})
+                    return
+                doc_id = pipe.add_document(title, req.get("text", ""))
+                self._send(200, {"doc_id": doc_id,
+                                 "n_docs": pipe.searcher.index.n_docs})
+                return
+            if self.path == "/delete_doc":
+                if "doc_id" not in req:
+                    self._send(400, {"error": "missing 'doc_id'"})
+                    return
+                try:
+                    moved = pipe.delete_document(int(req["doc_id"]))
+                except IndexError as e:
+                    self._send(400, {"error": str(e)})
+                    return
+                self._send(200, {"moved_doc_id": moved,
+                                 "n_docs": pipe.searcher.index.n_docs})
                 return
             question = req.get("question", "").strip()
             if not question:

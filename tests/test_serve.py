@@ -71,3 +71,30 @@ def test_retrieve_endpoint_and_errors(server):
     assert code == 400 and "question" in out["error"]
     code, out = _post(f"{server}/nope", {"question": "x"})
     assert code == 404
+
+
+def test_live_document_updates(server):
+    """/add_doc makes a document searchable by the running server;
+    /delete_doc swap-removes it — n_docs tracks both."""
+    code, out = _post(f"{server}/add_doc",
+                      {"title": "brand new topic",
+                       "text": "some fresh words about the new topic"})
+    assert code == 200
+    new_id = out["doc_id"]
+    assert out["n_docs"] == new_id + 1
+
+    # serving continues over the updated engine
+    code, out = _post(f"{server}/retrieve", {"question": "brand new topic?"})
+    assert code == 200 and len(out["chains"]) == 2
+
+    code, out = _post(f"{server}/delete_doc", {"doc_id": 0})
+    assert code == 200
+    assert out["moved_doc_id"] == new_id
+    assert out["n_docs"] == new_id
+    code, out = _post(f"{server}/delete_doc", {"doc_id": 10**6})
+    assert code == 400
+    code, out = _post(f"{server}/add_doc", {"text": "no title"})
+    assert code == 400
+    # engine is still consistent after the churn
+    code, out = _post(f"{server}/retrieve", {"question": "still alive?"})
+    assert code == 200 and len(out["chains"]) == 2

@@ -89,26 +89,37 @@ class DemoPipeline:
         self.corpus.docs.pop()
         return moved
 
-    def answer(self, question: str):
+    def answer_batch(self, questions, pad_to=None):
+        """Answer a LIST of questions in one 2-hop search + one reader
+        pass — the unit the serving micro-batcher (cli/serve.py) feeds.
+        `pad_to` fixes the search batch shape (ONE compiled program for all
+        micro-batch sizes up to it; retrieve_chains pads the tail).
+        Returns one result dict per question."""
         t0 = time.time()
-        chains = retrieve_chains(self.searcher, self.r_tok, self.corpus,
-                                 [question], 1, self.args.max_q_len)[0]
+        all_chains = retrieve_chains(self.searcher, self.r_tok, self.corpus,
+                                     questions, pad_to or len(questions),
+                                     self.args.max_q_len)
         t1 = time.time()
-        rows = [{"question": question, "_id": "demo", "answer": [],
-                 "candidate_chains": chains}]
+        rows = [{"question": q, "_id": f"q{i}", "answer": [],
+                 "candidate_chains": ch}
+                for i, (q, ch) in enumerate(zip(questions, all_chains))]
         ds = QADataset(self.q_tok, rows, max_seq_len=self.args.max_seq_len,
                        train=False)
+        n_chains = sum(len(c) for c in all_chains)
         res = predict(self.pred_step, self.reader_params, ds,
-                      batch_size=max(len(chains), 1),
+                      batch_size=max(min(n_chains, 32), 1),
                       lambdas=[self.args.lam])
         t2 = time.time()
-        return {
-            "answer": res["best"]["answers"].get("demo", ""),
-            "supporting": res["best"]["sp"].get("demo", []),
+        return [{
+            "answer": res["best"]["answers"].get(f"q{i}", ""),
+            "supporting": res["best"]["sp"].get(f"q{i}", []),
             "chains": [[p["title"] for p in c] for c in chains],
             "retrieval_s": t1 - t0,
             "reading_s": t2 - t1,
-        }
+        } for i, chains in enumerate(all_chains)]
+
+    def answer(self, question: str):
+        return self.answer_batch([question])[0]
 
 
 def main(argv=None):

@@ -9,23 +9,113 @@ stdlib HTTP server exposing
   POST /delete_doc {"doc_id": i}                   → live swap-delete
   GET  /healthz                                    → liveness + model info
 
-Single-threaded by design: the TPU executes one program at a time, so the
-natural scaling unit is one server per chip with an external load balancer
-(batching across requests is future work — the engine itself is batched).
+Concurrency model: requests are accepted on a thread pool
+(ThreadingHTTPServer) but ALL engine work runs on ONE EngineWorker thread.
+Concurrent questions are micro-batched into a single 2-hop search + reader
+pass (the engine is batched; `answer_batch` pads to a fixed shape so one
+compiled program serves every micro-batch size), and live corpus updates
+are serialized against searches on the same thread — updates donate the
+HBM buffers in place, so nothing may search while they run.  The natural
+scaling unit remains one server per chip behind an external balancer.
 
 Usage:
   python -m multihop_dense_retrieval_tpu.cli.serve INDEX_DIR --port 8080 \
-      --tokenizer hash --retriever-model tiny --reader-model tiny
+      --tokenizer hash --retriever-model tiny --reader-model tiny \
+      --max-batch 16 --batch-wait-ms 8
 """
 
 import argparse
 import json
-from http.server import BaseHTTPRequestHandler, HTTPServer
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from http.server import (BaseHTTPRequestHandler, HTTPServer,
+                         ThreadingHTTPServer)
 
 from .demo import DemoPipeline
 
 
-def make_handler(pipe: DemoPipeline):
+class EngineWorker(threading.Thread):
+    """Single engine thread: micro-batches question ops, serializes updates.
+
+    Ops: ("answer", {"question"}), ("add", {"title","text"}),
+    ("delete", {"doc_id"}).  A question op opens a batching window of
+    `batch_wait_ms` (or until `max_batch` items); an update op arriving
+    mid-window flushes the batch first, preserving arrival order across
+    op kinds.
+    """
+
+    def __init__(self, pipe, max_batch: int = 16, batch_wait_ms: float = 8.0):
+        super().__init__(daemon=True, name="engine-worker")
+        self.pipe = pipe
+        self.q = queue.Queue()
+        self.max_batch = max(1, max_batch)
+        self.max_wait = batch_wait_ms / 1e3
+        self.batches_run = 0
+        self.questions_run = 0
+
+    def submit(self, kind: str, payload: dict) -> Future:
+        f = Future()
+        self.q.put((kind, payload, f))
+        return f
+
+    # ---- internals -----------------------------------------------------
+
+    def _run_batch(self, batch):
+        qs = [p["question"] for p, _ in batch]
+        try:
+            outs = self.pipe.answer_batch(qs, pad_to=self.max_batch)
+            for (_, f), out in zip(batch, outs):
+                f.set_result(out)
+        except Exception as e:  # noqa: BLE001 — surfaced per request
+            for _, f in batch:
+                f.set_exception(e)
+        self.batches_run += 1
+        self.questions_run += len(batch)
+
+    def _run_op(self, kind, payload, f):
+        try:
+            if kind == "add":
+                doc_id = self.pipe.add_document(payload.get("title", ""),
+                                                payload.get("text", ""))
+                f.set_result({"doc_id": doc_id})
+            elif kind == "delete":
+                moved = self.pipe.delete_document(int(payload["doc_id"]))
+                f.set_result({"moved_doc_id": moved})
+            else:
+                raise ValueError(f"unknown op {kind}")
+        except Exception as e:  # noqa: BLE001
+            f.set_exception(e)
+
+    def run(self):
+        pending = None
+        while True:
+            item = pending if pending is not None else self.q.get()
+            pending = None
+            kind, payload, f = item
+            if kind != "answer":
+                self._run_op(kind, payload, f)
+                continue
+            batch = [(payload, f)]
+            deadline = time.monotonic() + self.max_wait
+            while len(batch) < self.max_batch:
+                timeout = deadline - time.monotonic()
+                if timeout <= 0:
+                    break
+                try:
+                    nxt = self.q.get(timeout=timeout)
+                except queue.Empty:
+                    break
+                if nxt[0] == "answer":
+                    batch.append((nxt[1], nxt[2]))
+                else:
+                    pending = nxt  # flush the batch, then run the update
+                    break
+            self._run_batch(batch)
+
+
+def make_handler(pipe: DemoPipeline, worker: EngineWorker):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):
             pass  # quiet
@@ -40,9 +130,14 @@ def make_handler(pipe: DemoPipeline):
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._send(200, {"status": "ok",
-                                 "n_docs": pipe.searcher.index.n_docs
-                                 if hasattr(pipe.searcher, "index") else None})
+                self._send(200, {
+                    "status": "ok",
+                    "n_docs": pipe.searcher.index.n_docs
+                    if hasattr(pipe.searcher, "index") else None,
+                    "queue_depth": worker.q.qsize(),
+                    "batches_run": worker.batches_run,
+                    "questions_run": worker.questions_run,
+                })
             else:
                 self._send(404, {"error": "not found"})
 
@@ -54,34 +149,34 @@ def make_handler(pipe: DemoPipeline):
                 self._send(400, {"error": "invalid JSON body"})
                 return
             if self.path == "/add_doc":
-                title = req.get("title", "").strip()
-                if not title:
+                if not req.get("title", "").strip():
                     self._send(400, {"error": "missing 'title'"})
                     return
-                doc_id = pipe.add_document(title, req.get("text", ""))
-                self._send(200, {"doc_id": doc_id,
-                                 "n_docs": pipe.searcher.index.n_docs})
+                out = worker.submit("add", req).result()
+                out["n_docs"] = pipe.searcher.index.n_docs
+                self._send(200, out)
                 return
             if self.path == "/delete_doc":
                 if "doc_id" not in req:
                     self._send(400, {"error": "missing 'doc_id'"})
                     return
                 try:
-                    moved = pipe.delete_document(int(req["doc_id"]))
+                    out = worker.submit("delete", req).result()
                 except IndexError as e:
                     self._send(400, {"error": str(e)})
                     return
-                self._send(200, {"moved_doc_id": moved,
-                                 "n_docs": pipe.searcher.index.n_docs})
+                out["n_docs"] = pipe.searcher.index.n_docs
+                self._send(200, out)
                 return
             question = req.get("question", "").strip()
             if not question:
                 self._send(400, {"error": "missing 'question'"})
                 return
             if self.path == "/answer":
-                self._send(200, pipe.answer(question))
+                self._send(200, worker.submit(
+                    "answer", {"question": question}).result())
             elif self.path == "/retrieve":
-                out = pipe.answer(question)
+                out = worker.submit("answer", {"question": question}).result()
                 self._send(200, {"chains": out["chains"],
                                  "retrieval_s": out["retrieval_s"]})
             else:
@@ -90,9 +185,20 @@ def make_handler(pipe: DemoPipeline):
     return Handler
 
 
-def main(argv=None):
-    from .demo import main as demo_main  # reuse arg surface
+def make_server(pipe: DemoPipeline, host: str, port: int, *,
+                max_batch: int = 16, batch_wait_ms: float = 8.0,
+                threaded: bool = True):
+    """Start the EngineWorker and return a ready (not yet serving) server."""
+    worker = EngineWorker(pipe, max_batch=max_batch,
+                          batch_wait_ms=batch_wait_ms)
+    worker.start()
+    cls = ThreadingHTTPServer if threaded else HTTPServer
+    srv = cls((host, port), make_handler(pipe, worker))
+    srv.engine_worker = worker
+    return srv
 
+
+def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("index_dir")
     p.add_argument("--port", type=int, default=8080)
@@ -109,14 +215,22 @@ def main(argv=None):
     p.add_argument("--max-seq-len", type=int, default=512)
     p.add_argument("--max-ans-len", type=int, default=30)
     p.add_argument("--chunk-rows", type=int, default=4096)
+    p.add_argument("--max-c-len", type=int, default=300)
     p.add_argument("--lambda", dest="lam", type=float, default=0.8)
+    p.add_argument("--max-batch", type=int, default=16,
+                   help="micro-batch cap for concurrent questions")
+    p.add_argument("--batch-wait-ms", type=float, default=8.0,
+                   help="batching window after the first queued question")
     args = p.parse_args(argv)
     args.question = ""
 
     pipe = DemoPipeline(args)
-    server = HTTPServer((args.host, args.port), make_handler(pipe))
+    server = make_server(pipe, args.host, args.port,
+                         max_batch=args.max_batch,
+                         batch_wait_ms=args.batch_wait_ms)
     print(f"serving on http://{args.host}:{args.port} "
-          f"(POST /answer, POST /retrieve, GET /healthz)")
+          f"(POST /answer, /retrieve, /add_doc, /delete_doc; GET /healthz; "
+          f"micro-batch {args.max_batch} x {args.batch_wait_ms}ms)")
     server.serve_forever()
 
 

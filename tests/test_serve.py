@@ -14,8 +14,7 @@ from tests import synth
 def server(tmp_path_factory):
     from multihop_dense_retrieval_tpu.cli import encode_corpus
     from multihop_dense_retrieval_tpu.cli.demo import DemoPipeline
-    from multihop_dense_retrieval_tpu.cli.serve import make_handler
-    from http.server import HTTPServer
+    from multihop_dense_retrieval_tpu.cli.serve import make_server
     import argparse
 
     tmp = tmp_path_factory.mktemp("serve")
@@ -34,7 +33,7 @@ def server(tmp_path_factory):
         beam_size=2, topk=2, max_q_len=16, max_q_sp_len=48, max_seq_len=96,
         max_ans_len=6, chunk_rows=16, lam=0.8, question="")
     pipe = DemoPipeline(args)
-    srv = HTTPServer(("127.0.0.1", 0), make_handler(pipe))
+    srv = make_server(pipe, "127.0.0.1", 0, max_batch=4, batch_wait_ms=25)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     yield f"http://127.0.0.1:{srv.server_port}"
@@ -98,3 +97,72 @@ def test_live_document_updates(server):
     # engine is still consistent after the churn
     code, out = _post(f"{server}/retrieve", {"question": "still alive?"})
     assert code == 200 and len(out["chains"]) == 2
+
+
+def test_concurrent_requests_micro_batch(server):
+    """Concurrent questions all succeed through the single engine thread;
+    the worker groups at least some of them into one batch."""
+    import urllib.request as _ur
+
+    with _ur.urlopen(f"{server}/healthz") as r:
+        before = json.loads(r.read())
+
+    results = [None] * 6
+
+    def fire(i):
+        results[i] = _post(f"{server}/answer",
+                           {"question": f"concurrent question {i}?"})
+
+    threads = [threading.Thread(target=fire, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(code == 200 and isinstance(out["answer"], str)
+               for code, out in results)
+
+    with _ur.urlopen(f"{server}/healthz") as r:
+        after = json.loads(r.read())
+    ran_q = after["questions_run"] - before["questions_run"]
+    ran_b = after["batches_run"] - before["batches_run"]
+    assert ran_q == 6
+    assert ran_b <= ran_q  # batching never splits a question across runs
+
+
+class _FakePipe:
+    def __init__(self):
+        self.batches = []
+        self.adds = []
+
+    def answer_batch(self, qs, pad_to=None):
+        self.batches.append(list(qs))
+        return [{"answer": q, "chains": [], "supporting": [],
+                 "retrieval_s": 0.0, "reading_s": 0.0} for q in qs]
+
+    def add_document(self, title, text):
+        self.adds.append(title)
+        return 100 + len(self.adds)
+
+
+def test_engine_worker_batches_and_serializes_updates():
+    """Pre-queued ops: questions group into one batch; an update arriving
+    between questions flushes the batch first and runs in arrival order."""
+    from multihop_dense_retrieval_tpu.cli.serve import EngineWorker
+
+    pipe = _FakePipe()
+    w = EngineWorker(pipe, max_batch=8, batch_wait_ms=50)
+    futs = [w.submit("answer", {"question": f"q{i}"}) for i in range(5)]
+    w.start()
+    assert [f.result(timeout=10)["answer"] for f in futs] == \
+        [f"q{i}" for i in range(5)]
+    assert pipe.batches == [["q0", "q1", "q2", "q3", "q4"]]
+
+    f1 = w.submit("answer", {"question": "a"})
+    fu = w.submit("add", {"title": "t", "text": "x"})
+    f2 = w.submit("answer", {"question": "b"})
+    assert fu.result(timeout=10)["doc_id"] == 101
+    assert f1.result(timeout=10)["answer"] == "a"
+    assert f2.result(timeout=10)["answer"] == "b"
+    # the update flushed ["a"] before running; "b" ran in a later batch
+    assert pipe.batches[1] == ["a"]
+    assert ["b"] in pipe.batches[2:]

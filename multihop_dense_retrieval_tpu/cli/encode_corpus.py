@@ -33,6 +33,9 @@ def main(argv=None):
                    choices=["bfloat16", "float32", "int8"],
                    help="int8 halves HBM vs bf16 (per-row symmetric scales)")
     p.add_argument("--max-docs", type=int, default=None)
+    p.add_argument("--no-length-sort", action="store_true",
+                   help="disable length-sorted bucketed encoding (exact "
+                        "either way; sorting is the fast path)")
     p.add_argument("--data-parallel", type=int, default=None,
                    help="devices on the data axis (default: all)")
     p.add_argument("--multi-vector", type=int, default=1,
@@ -85,7 +88,8 @@ def main(argv=None):
                         max_c_len=args.max_c_len, batch_size=args.batch_size,
                         chunk_rows=args.chunk_rows, mesh=mesh, progress=True,
                         dtype=jnp.dtype(args.index_dtype),
-                        multi_vector=args.multi_vector)
+                        multi_vector=args.multi_vector,
+                        length_sort=not args.no_length_sort)
 
     os.makedirs(args.out_dir, exist_ok=True)
     index.save(os.path.join(args.out_dir, "index.npz"))

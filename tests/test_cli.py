@@ -157,6 +157,57 @@ def test_encode_corpus_bert_style_and_int8(tmp_path):
     assert idx.scales is not None and idx.n_docs == 24
 
 
+def test_length_sorted_corpus_encode_is_exact(tmp_path):
+    """length_sort=True (the fast path: sorted docs, per-batch bucketed
+    widths) must produce the SAME embeddings in the SAME order as the
+    plain full-width encode — narrowing only drops masked pad columns."""
+    from multihop_dense_retrieval_tpu.data import (HashTokenizer, Corpus,
+                                                   TokenizedCorpus)
+    from multihop_dense_retrieval_tpu.index.build import encode_corpus
+    from multihop_dense_retrieval_tpu.models import (MhopRetriever,
+                                                     MultiVectorCtxEncoder)
+    from multihop_dense_retrieval_tpu.core.config import EncoderConfig
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(3)
+    docs = synth.make_corpus(rng, 30, empty_every=9)
+    # strongly varied text lengths so batches land in different buckets
+    for i, d in enumerate(docs):
+        d["text"] = " ".join(d["text"].split()[: 2 + (i * 7) % 40])
+    corpus = Corpus(docs)
+    tok = HashTokenizer(vocab_size=512)
+    tc = TokenizedCorpus.build(corpus, tok, max_text_len=48)
+    cfg = EncoderConfig.tiny(vocab_size=512, max_position_embeddings=96)
+    model = MhopRetriever(cfg)
+    ids = jnp.ones((1, 8), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids, ids,
+                        method=model.encode_seq)
+
+    def encode_fn(p, i, m, *t):
+        return model.apply(p, i, m, *t, method=model.encode_seq)
+
+    plain = encode_corpus(encode_fn, params, tc, tok.spec, max_c_len=64,
+                          batch_size=8, length_sort=False)
+    fast = encode_corpus(encode_fn, params, tc, tok.spec, max_c_len=64,
+                         batch_size=8, length_sort=True)
+    np.testing.assert_allclose(fast, plain, rtol=1e-6, atol=1e-6)
+
+    # multi-vector rows keep the grouped-per-doc order under the scatter
+    mv_model = MultiVectorCtxEncoder(cfg, multi_vector=2)
+    mv_params = mv_model.init(jax.random.PRNGKey(1), ids, ids)
+
+    def mv_fn(p, i, m, *t):
+        return mv_model.apply(p, i, m, *t)
+
+    plain = encode_corpus(mv_fn, mv_params, tc, tok.spec, max_c_len=64,
+                          batch_size=8, multi_vector=2, length_sort=False)
+    fast = encode_corpus(mv_fn, mv_params, tc, tok.spec, max_c_len=64,
+                         batch_size=8, multi_vector=2, length_sort=True)
+    assert plain.shape[0] == 60
+    np.testing.assert_allclose(fast, plain, rtol=1e-6, atol=1e-6)
+
+
 def test_unified_variable_hop_eval(artifacts, tmp_path, capsys):
     """--unified serving: the stop head can emit single-passage chains; the
     chain dump carries stop_probs and 1- or 2-passage candidate chains."""

@@ -45,7 +45,10 @@ class DemoPipeline:
         self.q_tok = common.resolve_tokenizer(args.tokenizer,
                                               roberta_style=False)
         _, self.reader, self.reader_params = init_reader(
-            args.reader_model, args.reader_checkpoint, sp_pred=True)
+            args.reader_model, args.reader_checkpoint, sp_pred=True,
+            scores_dtype=("bfloat16"
+                          if getattr(args, "reader_bf16_scores", False)
+                          else "float32"))
         self.pred_step = TQA.make_qa_predict_step(
             self.reader, max_ans_len=args.max_ans_len)
         self.max_c_len = getattr(args, "max_c_len", 300)
@@ -139,6 +142,9 @@ def main(argv=None):
     p.add_argument("--chunk-rows", type=int, default=4096)
     p.add_argument("--max-c-len", type=int, default=300,
                    help="passage budget when encoding live-added documents")
+    p.add_argument("--reader-bf16-scores", action="store_true",
+                   help="bf16 reader attention scores (+5-11%% at widths "
+                        "384-512, PERF.md); fp32 default")
     p.add_argument("--lambda", dest="lam", type=float, default=0.8)
     p.add_argument("--question", default="",
                    help="answer one question and exit (non-interactive)")

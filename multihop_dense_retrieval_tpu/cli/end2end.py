@@ -74,6 +74,10 @@ def main(argv=None):
     p.add_argument("--max-ans-len", type=int, default=30)
     p.add_argument("--chunk-rows", type=int, default=4096)
     p.add_argument("--lambda", dest="lam", type=float, default=0.8)
+    p.add_argument("--reader-bf16-scores", action="store_true",
+                   help="bf16 reader attention scores (+5-11%% at widths "
+                        "384-512, PERF.md); fp32 default — span agreement "
+                        "is not validated without trained weights")
     p.add_argument("--save-path", default="")
     args = p.parse_args(argv)
 
@@ -104,7 +108,10 @@ def main(argv=None):
     # reader
     q_tok = common.resolve_tokenizer(args.tokenizer, roberta_style=False)
     _, model, params = init_reader(args.reader_model, args.reader_checkpoint,
-                                   sp_pred=True)
+                                   sp_pred=True,
+                                   scores_dtype=("bfloat16"
+                                                 if args.reader_bf16_scores
+                                                 else "float32"))
     rows = [{"question": r["question"], "_id": r.get("_id", str(i)),
              "answer": r.get("answer", []), "candidate_chains": chains[i]}
             for i, r in enumerate(items)]

@@ -217,6 +217,9 @@ def main(argv=None):
     p.add_argument("--chunk-rows", type=int, default=4096)
     p.add_argument("--max-c-len", type=int, default=300)
     p.add_argument("--lambda", dest="lam", type=float, default=0.8)
+    p.add_argument("--reader-bf16-scores", action="store_true",
+                   help="bf16 reader attention scores (+5-11%% at widths "
+                        "384-512, PERF.md); fp32 default")
     p.add_argument("--max-batch", type=int, default=16,
                    help="micro-batch cap for concurrent questions")
     p.add_argument("--batch-wait-ms", type=float, default=8.0,

@@ -75,3 +75,14 @@ def test_end2end_cli(tmp_path, capsys):
                         "--chunk-rows", "32", "--max-ans-len", "8"])
     assert res["n"] == 6
     assert res["answer_em"] is not None  # computed (random weights → low)
+    # opt-in bf16 reader attention scores thread through the whole CLI
+    res_bf16 = end2end.main([str(tmp_path / "qas.jsonl"), out_dir,
+                             "--tokenizer", "hash",
+                             "--retriever-model", "tiny",
+                             "--reader-model", "tiny",
+                             "--reader-bf16-scores",
+                             "--beam-size", "2", "--topk", "2",
+                             "--batch-size", "6", "--max-q-len", "24",
+                             "--max-q-sp-len", "96", "--max-seq-len", "128",
+                             "--chunk-rows", "32", "--max-ans-len", "8"])
+    assert res_bf16["n"] == 6

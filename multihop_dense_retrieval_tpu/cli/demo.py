@@ -38,7 +38,9 @@ class DemoPipeline:
                            beam_size_2=args.beam_size, topk=args.topk,
                            max_q_len=args.max_q_len,
                            max_q_sp_len=args.max_q_sp_len,
-                           chunk_rows=args.chunk_rows)
+                           chunk_rows=args.chunk_rows,
+                           use_pca=getattr(args, "pca", False),
+                           pca_k_chunks=getattr(args, "pca_k_chunks", 8))
         self.searcher = load_searcher(args.index_dir, self.r_tok, r_model,
                                       r_params, cfg)
         self.corpus = Corpus.from_id2doc(f"{args.index_dir}/id2doc.json")
@@ -145,6 +147,9 @@ def main(argv=None):
     p.add_argument("--reader-bf16-scores", action="store_true",
                    help="bf16 reader attention scores (+5-11%% at widths "
                         "384-512, PERF.md); fp32 default")
+    p.add_argument("--pca", action="store_true",
+                   help="PCA-prefiltered MIPS (index built with --pca-dims)")
+    p.add_argument("--pca-k-chunks", type=int, default=8)
     p.add_argument("--lambda", dest="lam", type=float, default=0.8)
     p.add_argument("--question", default="",
                    help="answer one question and exit (non-interactive)")

@@ -36,6 +36,13 @@ def main(argv=None):
     p.add_argument("--no-length-sort", action="store_true",
                    help="disable length-sorted bucketed encoding (exact "
                         "either way; sorting is the fast path)")
+    p.add_argument("--pca-dims", type=int, default=None,
+                   help="build a PCA prefilter of this rank alongside the "
+                        "index (search with eval --pca: faster MIPS with "
+                        "per-query exactness certificates)")
+    p.add_argument("--pca-cand-rows", type=int, default=512,
+                   help="candidate-chunk granularity of the prefilter "
+                        "(multiple of 128, divides chunk-rows)")
     p.add_argument("--data-parallel", type=int, default=None,
                    help="devices on the data axis (default: all)")
     p.add_argument("--multi-vector", type=int, default=1,
@@ -89,7 +96,9 @@ def main(argv=None):
                         chunk_rows=args.chunk_rows, mesh=mesh, progress=True,
                         dtype=jnp.dtype(args.index_dtype),
                         multi_vector=args.multi_vector,
-                        length_sort=not args.no_length_sort)
+                        length_sort=not args.no_length_sort,
+                        pca_dims=args.pca_dims,
+                        pca_cand_rows=args.pca_cand_rows)
 
     os.makedirs(args.out_dir, exist_ok=True)
     index.save(os.path.join(args.out_dir, "index.npz"))

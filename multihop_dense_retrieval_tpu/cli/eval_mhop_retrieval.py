@@ -194,6 +194,14 @@ def main(argv=None):
     p.add_argument("--stop-threshold", type=float, default=0.5,
                    help="P(single-hop) above which the top chain is emitted "
                         "as one passage (--unified only)")
+    p.add_argument("--pca", action="store_true",
+                   help="PCA-prefiltered MIPS (index must be built with "
+                        "encode_corpus --pca-dims): faster search with "
+                        "per-query exactness certificates; the certified "
+                        "fraction is reported")
+    p.add_argument("--pca-k-chunks", type=int, default=8,
+                   help="chunks rescanned per query (higher = more "
+                        "certified queries)")
     p.add_argument("--save-path", default="")
     args = p.parse_args(argv)
 
@@ -211,8 +219,12 @@ def main(argv=None):
                        topk=args.topk, max_q_len=args.max_q_len,
                        max_q_sp_len=args.max_q_sp_len,
                        chunk_rows=args.chunk_rows,
-                       use_pallas=not args.no_pallas)
+                       use_pallas=not args.no_pallas,
+                       use_pca=args.pca, pca_k_chunks=args.pca_k_chunks)
     corpus = Corpus.from_id2doc(os.path.join(args.index_dir, "id2doc.json"))
+    if args.pca and (args.hnsw or args.index_shards > 1):
+        p.error("--pca is a single-shard device tier (not with --hnsw or "
+                "--index-shards)")
     if args.hnsw:
         if args.unified:
             p.error("--unified is not supported with --hnsw (the host HNSW "
@@ -225,6 +237,7 @@ def main(argv=None):
                                  mesh, unified=args.unified)
 
     metrics, outputs = [], []
+    cert_hits, cert_total = 0, 0
     bs = args.batch_size
     t0 = time.time()
     n_q = 0
@@ -243,6 +256,11 @@ def main(argv=None):
         res = searcher.search(q_inputs, np.stack([r[0] for r in raw]),
                               np.array([r[1] for r in raw]))
         n_q += len(batch)
+        if "pca_cert1" in res:
+            c1 = np.asarray(res["pca_cert1"][: len(batch)])
+            c2 = np.asarray(res["pca_cert2"][: len(batch)])
+            cert_hits += int(c1.sum()) + int(c2.sum())
+            cert_total += c1.size + c2.size
         for i, row in enumerate(batch):
             # variable-hop: a chain whose stop head fires is one passage
             stops = [False] * len(res["hop1_ids"][i])
@@ -274,6 +292,9 @@ def main(argv=None):
             outputs.append(out_row)
     dt = time.time() - t0
     logger.info("searched %d questions in %.2fs (%.1f q/s)", n_q, dt, n_q / dt)
+    if cert_total:
+        logger.info("pca exactness certificates: %.1f%% of MIPS queries "
+                    "provably exact", 100.0 * cert_hits / cert_total)
 
     agg = None
     if metrics:

@@ -220,6 +220,9 @@ def main(argv=None):
     p.add_argument("--reader-bf16-scores", action="store_true",
                    help="bf16 reader attention scores (+5-11%% at widths "
                         "384-512, PERF.md); fp32 default")
+    p.add_argument("--pca", action="store_true",
+                   help="PCA-prefiltered MIPS (index built with --pca-dims)")
+    p.add_argument("--pca-k-chunks", type=int, default=8)
     p.add_argument("--max-batch", type=int, default=16,
                    help="micro-batch cap for concurrent questions")
     p.add_argument("--batch-wait-ms", type=float, default=8.0,

@@ -187,6 +187,13 @@ class SearchConfig:
     # Round the hop-1 question width up to this multiple of the batch max
     # (host-side slice; a few cached traces).  0 disables (fixed max_q_len).
     q_width_multiple: int = 0
+    # PCA-prefiltered MIPS (ops/mips.py::mips_topk_pca): requires an index
+    # built with pca_dims (encode_corpus --pca-dims).  Search outputs gain
+    # per-query exactness-certificate masks.  Single-shard only.
+    use_pca: bool = False
+    # chunks rescanned per query per k result-slot (phase 2); higher = more
+    # certified queries, more rescan bandwidth
+    pca_k_chunks: int = 8
 
 
 @_frozen

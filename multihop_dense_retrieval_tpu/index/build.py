@@ -154,9 +154,12 @@ def build_index(encode_fn: Callable, params, tc: TokenizedCorpus,
                 mesh: Optional[Mesh] = None,
                 progress: bool = False,
                 multi_vector: int = 1,
-                length_sort: bool = True) -> DenseIndex:
+                length_sort: bool = True,
+                pca_dims: Optional[int] = None,
+                pca_cand_rows: int = 512) -> DenseIndex:
     emb = encode_corpus(encode_fn, params, tc, spec, max_c_len=max_c_len,
                         batch_size=batch_size, mesh=mesh, progress=progress,
                         multi_vector=multi_vector, length_sort=length_sort)
     return DenseIndex.build(emb, chunk_rows=chunk_rows, n_shards=n_shards,
-                            dtype=dtype, mesh=mesh, multi_vector=multi_vector)
+                            dtype=dtype, mesh=mesh, multi_vector=multi_vector,
+                            pca_dims=pca_dims, pca_cand_rows=pca_cand_rows)

@@ -54,6 +54,15 @@ class DenseIndex:
     # passage: doc_id = row // multi_vector — the reference's idx→id map,
     # utils/gen_index_id_map.py:6-14, by layout instead of a table)
     multi_vector: int = 1
+    # Optional PCA prefilter (ops/mips.py::mips_topk_pca): rotation,
+    # projected rows, and per-chunk certificate bounds.  Built with
+    # `build(..., pca_dims=R)`; online updates keep the bounds SOUND
+    # (upper bounds never shrink — see _pca_ingest) at some loss of
+    # tightness after many replaces/deletes.
+    pca_rot: Optional[jnp.ndarray] = None      # (D, R) f32
+    pca_proj: Optional[jnp.ndarray] = None     # (N_pad, R) bf16
+    pca_bounds: Optional[jnp.ndarray] = None   # (4, N_pad/cand_rows) f32
+    pca_cand_rows: int = 512
 
     @property
     def n_passages(self) -> int:
@@ -64,7 +73,10 @@ class DenseIndex:
     def build(cls, embeddings: np.ndarray, *, chunk_rows: int = 4096,
               n_shards: int = 1, dtype=jnp.bfloat16,
               mesh: Optional[Mesh] = None,
-              multi_vector: int = 1) -> "DenseIndex":
+              multi_vector: int = 1,
+              pca_dims: Optional[int] = None,
+              pca_cand_rows: int = 512,
+              pca_sample: int = 131072) -> "DenseIndex":
         n, d = embeddings.shape
         assert n % max(multi_vector, 1) == 0, \
             "embedding rows must be a whole number of documents"
@@ -80,20 +92,39 @@ class DenseIndex:
             arr, scales = quantize_rows(jnp.asarray(out))
         else:
             arr = jnp.asarray(out, dtype=dtype)
+        rot = proj = bounds = None
+        if pca_dims:
+            from ..ops.mips import build_pca_prefilter, train_pca_rotation
+
+            assert n_pad % pca_cand_rows == 0, \
+                "pca_cand_rows must divide the padded row count"
+            rot_np = train_pca_rotation(out[:min(n, pca_sample)],
+                                        min(pca_dims, d))
+            proj_np, bounds_np = build_pca_prefilter(
+                out, rot_np, cand_rows=pca_cand_rows,
+                scales=None if scales is None else np.asarray(scales),
+                store_dtype=str(jnp.dtype(dtype)))
+            rot = jnp.asarray(rot_np)
+            proj = jnp.asarray(proj_np, jnp.bfloat16)
+            bounds = jnp.asarray(bounds_np)
         if mesh is not None:
             sh = NamedSharding(mesh, P(INDEX_AXIS, None))
             arr = jax.device_put(arr, sh)
             if scales is not None:
                 scales = jax.device_put(scales, NamedSharding(mesh, P(INDEX_AXIS)))
         return cls(vectors=arr, n_docs=n, scales=scales,
-                   multi_vector=max(multi_vector, 1))
+                   multi_vector=max(multi_vector, 1),
+                   pca_rot=rot, pca_proj=proj, pca_bounds=bounds,
+                   pca_cand_rows=pca_cand_rows)
 
     def shard(self, mesh: Mesh) -> "DenseIndex":
+        # PCA arrays stay replicated: mips_topk_pca is a single-shard tier
+        # (compose index parallelism OR the prefilter, not both — the
+        # sharded path already hits the per-shard k=1 rate).
         arr = jax.device_put(self.vectors, NamedSharding(mesh, P(INDEX_AXIS, None)))
         scales = None if self.scales is None else jax.device_put(
             self.scales, NamedSharding(mesh, P(INDEX_AXIS)))
-        return DenseIndex(vectors=arr, n_docs=self.n_docs, scales=scales,
-                          multi_vector=self.multi_vector)
+        return dataclasses.replace(self, vectors=arr, scales=scales)
 
     # ---- online updates (serving) ----------------------------------------
     #
@@ -114,6 +145,31 @@ class DenseIndex:
             return quantize_rows(rows32)
         return rows32.astype(self.vectors.dtype), None
 
+    def _pca_ingest(self, proj, bounds, rows, scales_new, start: int):
+        """Project newly stored rows and MAX-IN their certificate bounds.
+
+        Bounds only ever grow, so every certificate issued afterwards
+        remains a true upper bound (sound); stale contributions from
+        replaced/deleted rows just cost tightness.  `rows` is the stored
+        representation (int8 values / bf16 rows)."""
+        if self.scales is not None:
+            xd = rows.astype(jnp.float32) * scales_new.reshape(-1, 1)
+        else:
+            xd = rows.astype(jnp.float32)
+        p = xd @ self.pca_rot
+        pb = p.astype(proj.dtype)
+        pb32 = pb.astype(jnp.float32)
+        quant = jnp.stack([
+            jnp.sqrt(jnp.maximum(jnp.sum(xd * xd, 1) - jnp.sum(p * p, 1), 0)),
+            jnp.linalg.norm(p - pb32, axis=1),
+            jnp.linalg.norm(pb32, axis=1),
+            jnp.linalg.norm(xd, axis=1),
+        ]) * (1 + 1e-6) + 1e-6          # fp32-accumulation safety margin
+        proj = _update_rows(proj, pb, start)
+        cols = (start + jnp.arange(rows.shape[0])) // self.pca_cand_rows
+        bounds = bounds.at[:, cols].max(quant)
+        return proj, bounds
+
     def append(self, embeddings: np.ndarray, *, chunk_rows: int = 4096,
                n_shards: int = 1) -> "DenseIndex":
         """Add documents; returns the updated index.  New rows land in the
@@ -125,6 +181,7 @@ class DenseIndex:
         assert m % self.multi_vector == 0, \
             "appended rows must be whole documents"
         n_pad = self.vectors.shape[0]
+        proj, bounds = self.pca_proj, self.pca_bounds
         if self.n_docs + m > n_pad:
             grow_to = _round_up(self.n_docs + m, chunk_rows * n_shards)
             pad = grow_to - n_pad
@@ -134,13 +191,25 @@ class DenseIndex:
                            self.vectors.dtype)], axis=0)
             scales = None if self.scales is None else jnp.concatenate(
                 [self.scales, jnp.zeros((pad,), self.scales.dtype)])
+            if proj is not None:
+                assert grow_to % self.pca_cand_rows == 0
+                proj = jnp.concatenate(
+                    [proj, jnp.zeros((pad, proj.shape[1]), proj.dtype)])
+                bounds = jnp.concatenate(
+                    [bounds,
+                     jnp.zeros((4, pad // self.pca_cand_rows),
+                               bounds.dtype)], axis=1)
         else:
             vec, scales = self.vectors, self.scales
         vec = _update_rows(vec, rows, self.n_docs)
         if scales is not None:
             scales = _update_scales(scales, scales_new, self.n_docs)
-        return DenseIndex(vectors=vec, n_docs=self.n_docs + m,
-                          scales=scales, multi_vector=self.multi_vector)
+        if proj is not None:
+            proj, bounds = self._pca_ingest(proj, bounds, rows, scales_new,
+                                            self.n_docs)
+        return dataclasses.replace(self, vectors=vec, n_docs=self.n_docs + m,
+                                   scales=scales, pca_proj=proj,
+                                   pca_bounds=bounds)
 
     def replace(self, doc_id: int, embeddings: np.ndarray) -> "DenseIndex":
         """Overwrite one document's vector(s) in place (donated update)."""
@@ -152,8 +221,12 @@ class DenseIndex:
         scales = self.scales
         if scales is not None:
             scales = _update_scales(scales, scales_new, start)
-        return DenseIndex(vectors=vec, n_docs=self.n_docs, scales=scales,
-                          multi_vector=self.multi_vector)
+        proj, bounds = self.pca_proj, self.pca_bounds
+        if proj is not None:
+            proj, bounds = self._pca_ingest(proj, bounds, rows, scales_new,
+                                            start)
+        return dataclasses.replace(self, vectors=vec, scales=scales,
+                                   pca_proj=proj, pca_bounds=bounds)
 
     def delete_swap(self, doc_id: int):
         """Swap-delete a document: the LAST document moves into its slot and
@@ -166,6 +239,7 @@ class DenseIndex:
         assert 0 <= doc_id <= last
         mv = self.multi_vector
         vec, scales = self.vectors, self.scales
+        proj, bounds = self.pca_proj, self.pca_bounds
         moved = None
         if doc_id != last:
             rows = jax.lax.dynamic_slice(
@@ -174,9 +248,20 @@ class DenseIndex:
             if scales is not None:
                 sc = jax.lax.dynamic_slice(scales, (last * mv,), (mv,))
                 scales = _update_scales(scales, sc, doc_id * mv)
+            if proj is not None:
+                p = jax.lax.dynamic_slice(proj, (last * mv, 0),
+                                          (mv, proj.shape[1]))
+                proj = _update_rows(proj, p, doc_id * mv)
+                # the SOURCE chunk's bound dominates the moved rows' — a
+                # sound (if loose) transfer without per-row bound storage
+                r = jnp.arange(mv)
+                srcs = (last * mv + r) // self.pca_cand_rows
+                tgts = (doc_id * mv + r) // self.pca_cand_rows
+                bounds = bounds.at[:, tgts].max(bounds[:, srcs])
             moved = last
-        idx = DenseIndex(vectors=vec, n_docs=self.n_docs - mv,
-                         scales=scales, multi_vector=mv)
+        idx = dataclasses.replace(self, vectors=vec,
+                                  n_docs=self.n_docs - mv, scales=scales,
+                                  pca_proj=proj, pca_bounds=bounds)
         return idx, moved
 
     # ---- persistence -----------------------------------------------------
@@ -185,6 +270,12 @@ class DenseIndex:
         extra = {"multi_vector": self.multi_vector}
         if self.scales is not None:
             extra["scales"] = np.asarray(jax.device_get(self.scales))
+        if self.pca_proj is not None:
+            extra["pca_rot"] = np.asarray(jax.device_get(self.pca_rot))
+            extra["pca_proj"] = np.asarray(jax.device_get(
+                jax.lax.bitcast_convert_type(self.pca_proj, jnp.uint16)))
+            extra["pca_bounds"] = np.asarray(jax.device_get(self.pca_bounds))
+            extra["pca_cand_rows"] = self.pca_cand_rows
         if self.vectors.dtype == jnp.bfloat16:
             payload = np.asarray(jax.device_get(
                 jax.lax.bitcast_convert_type(self.vectors, jnp.uint16)))
@@ -205,8 +296,16 @@ class DenseIndex:
             arr = jnp.asarray(payload)
         scales = jnp.asarray(z["scales"]) if "scales" in z.files else None
         mv = int(z["multi_vector"]) if "multi_vector" in z.files else 1
+        pca = {}
+        if "pca_proj" in z.files:
+            pca = dict(
+                pca_rot=jnp.asarray(z["pca_rot"]),
+                pca_proj=jax.lax.bitcast_convert_type(
+                    jnp.asarray(z["pca_proj"]), jnp.bfloat16),
+                pca_bounds=jnp.asarray(z["pca_bounds"]),
+                pca_cand_rows=int(z["pca_cand_rows"]))
         idx = cls(vectors=arr, n_docs=int(z["n_docs"]), scales=scales,
-                  multi_vector=mv)
+                  multi_vector=mv, **pca)
         return idx.shard(mesh) if mesh is not None else idx
 
     @classmethod

@@ -25,6 +25,14 @@ PARITY.md for the experiments):
                                B=192 over 5.2M int8 rows).  Dispatched for
                                k >= 8 (at k<=4 the pipeline-context win
                                evaporates — see dispatcher comment).
+  * `mips_topk_pca`         — PCA-prefiltered cascade with per-query
+                               EXACTNESS CERTIFICATES (FAISS
+                               IndexPreTransform+IndexRefine, TPU-native):
+                               chunk-max scan over a rank-R projection
+                               (R/D of the bytes+flops), Cauchy-Schwarz
+                               upper bounds, full-D rescan of the top
+                               chunks; a static certificate replaces
+                               dynamic early termination.
   * `sharded_mips_topk`     — shard_map wrapper: per-shard top-k, global row
                                ids, all-gather of the (B, k) candidates over
                                ICI and a final cheap merge.
@@ -565,6 +573,68 @@ def _rescan_kernel_int8(ids_ref, nv_ref, q_ref, chunk_ref, dscale_ref,
     out_ref[pl.ds(step % 8, 1), :] = scores
 
 
+def _sparse_rescan(chunk_ids, nv, q_prepped, index, dsc_rows, *,
+                   chunk_rows: int, k_chunks: int, mask_valid: bool,
+                   interpret: bool):
+    """Phase 2 shared by the two-phase and PCA tiers: score each query
+    against its `k_chunks` selected row-chunks with the scalar-prefetch
+    rescan kernels (chunk DMA driven by `chunk_ids`).  Returns RAW
+    (B, k_chunks*chunk_rows) fp32 scores — int8 per-QUERY scales are a
+    positive per-row factor and are folded in by the caller."""
+    b = q_prepped.shape[0]
+    d = index.shape[1]
+    is_int8 = index.dtype == jnp.int8
+    rows_out = b * k_chunks
+    rows_pad = -(-rows_out // 8) * 8
+    out_spec = pl.BlockSpec(
+        (8, chunk_rows),
+        lambda bb, kk, *_: ((bb * k_chunks + kk) // 8, 0),
+        memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((rows_pad, chunk_rows), jnp.float32)
+    if is_int8:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # chunk_ids, nv
+            grid=(b, k_chunks),
+            in_specs=[
+                pl.BlockSpec((8, d), lambda bb, kk, ids, nv_: (bb // 8, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((chunk_rows, d),
+                             lambda bb, kk, ids, nv_: (ids[bb, kk], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, chunk_rows),
+                             lambda bb, kk, ids, nv_: (ids[bb, kk] // 8, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_spec)
+        scores = pl.pallas_call(
+            functools.partial(_rescan_kernel_int8, chunk_rows=chunk_rows,
+                              k_chunks=k_chunks, mask_valid=mask_valid),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(chunk_ids, nv, q_prepped, index, dsc_rows)
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, k_chunks),
+            in_specs=[
+                pl.BlockSpec((8, d), lambda bb, kk, ids, nv_: (bb // 8, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((chunk_rows, d),
+                             lambda bb, kk, ids, nv_: (ids[bb, kk], 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_spec)
+        scores = pl.pallas_call(
+            functools.partial(_rescan_kernel, chunk_rows=chunk_rows,
+                              k_chunks=k_chunks, mask_valid=mask_valid),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(chunk_ids, nv, q_prepped, index)
+    return scores[:rows_out].reshape(b, k_chunks * chunk_rows)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("k", "chunk_rows", "interpret", "n_valid"))
 def mips_topk_two_phase(index: jnp.ndarray, queries: jnp.ndarray, k: int,
@@ -646,65 +716,265 @@ def mips_topk_two_phase(index: jnp.ndarray, queries: jnp.ndarray, k: int,
     # ---- phase 2: rescan each query's top-k chunks ----------------------
     _, chunk_ids = jax.lax.top_k(maxima, k_chunks)      # (B, k_chunks)
     chunk_ids = chunk_ids.astype(jnp.int32)
-    rows_out = b * k_chunks
-    rows_pad = -(-rows_out // 8) * 8
-    out_spec = pl.BlockSpec(
-        (8, chunk_rows),
-        lambda bb, kk, *_: ((bb * k_chunks + kk) // 8, 0),
-        memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((rows_pad, chunk_rows), jnp.float32)
     if is_int8:
         dsc_rows = doc_scales.astype(jnp.float32).reshape(num_chunks,
                                                           chunk_rows)
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,  # chunk_ids, nv
-            grid=(b, k_chunks),
-            in_specs=[
-                pl.BlockSpec((8, d), lambda bb, kk, ids, nv_: (bb // 8, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((chunk_rows, d),
-                             lambda bb, kk, ids, nv_: (ids[bb, kk], 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, chunk_rows),
-                             lambda bb, kk, ids, nv_: (ids[bb, kk] // 8, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=out_spec)
-        scores = pl.pallas_call(
-            functools.partial(_rescan_kernel_int8, chunk_rows=chunk_rows,
-                              k_chunks=k_chunks, mask_valid=mask_valid),
-            grid_spec=grid_spec,
-            out_shape=out_shape,
-            interpret=interpret,
-        )(chunk_ids, nv, q_int8, index, dsc_rows)
-        scores = scores[:rows_out].reshape(b, k_chunks * chunk_rows)
+        scores = _sparse_rescan(chunk_ids, nv, q_int8, index, dsc_rows,
+                                chunk_rows=chunk_rows, k_chunks=k_chunks,
+                                mask_valid=mask_valid, interpret=interpret)
         scores = scores * q_scales.reshape(b, 1)
     else:
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(b, k_chunks),
-            in_specs=[
-                pl.BlockSpec((8, d), lambda bb, kk, ids, nv_: (bb // 8, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((chunk_rows, d),
-                             lambda bb, kk, ids, nv_: (ids[bb, kk], 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=out_spec)
-        scores = pl.pallas_call(
-            functools.partial(_rescan_kernel, chunk_rows=chunk_rows,
-                              k_chunks=k_chunks, mask_valid=mask_valid),
-            grid_spec=grid_spec,
-            out_shape=out_shape,
-            interpret=interpret,
-        )(chunk_ids, nv, q, index)
-        scores = scores[:rows_out].reshape(b, k_chunks * chunk_rows)
+        scores = _sparse_rescan(chunk_ids, nv, q, index, None,
+                                chunk_rows=chunk_rows, k_chunks=k_chunks,
+                                mask_valid=mask_valid, interpret=interpret)
 
     row_ids = (chunk_ids[:, :, None] * chunk_rows
                + jnp.arange(chunk_rows, dtype=jnp.int32)[None, None, :]
                ).reshape(b, k_chunks * chunk_rows)
     vals, pos = jax.lax.top_k(scores, k)
     return vals, jnp.take_along_axis(row_ids, pos, axis=1)
+
+
+# --------------------------------------------------------------------------
+# PCA-prefiltered candidate search with per-query exactness certificates
+# --------------------------------------------------------------------------
+#
+# FAISS pairs approximate prefilters with exact refinement
+# (IndexPreTransform(PCAMatrix) + IndexRefineFlat); the reference ships only
+# flat + HNSW (scripts/eval/eval_mhop_retrieval.py:96-119).  This tier is the
+# TPU-native version of that cascade, replacing dynamic early termination
+# (XLA-hostile) with a static per-query CERTIFICATE:
+#
+#   build    — learn an UNCENTERED orthogonal rotation V (D, R) from the
+#              corpus spectrum; store P = X_store·V (N, R) bf16 plus four
+#              per-chunk fp32 bounds (see build_pca_prefilter).
+#   phase 1  — chunk-max scan over P (R/D of the flops AND bytes of a full
+#              scan) at `cand_rows` granularity.
+#   bound    — for every row r in chunk c, with x = X_store[r] and ideal
+#              fp32 query q:
+#                s(r) = q_used·x                      (q_used: bf16 / int8-deq
+#                                                      query phase 2 scores)
+#                     = q·x − (q − q_used)·x
+#                     = q_proj·(x·V) + q_perp·x_perp − (q − q_used)·x
+#              so  s(r) ≤ maxp[c]                      (kernel: P_bf16·qp_bf16)
+#                       + ‖q_perp‖·resid[c]           (Cauchy-Schwarz)
+#                       + ‖q_proj‖·delta[c]           (P fp32→bf16 rounding)
+#                       + ‖q_proj − bf16(q_proj)‖·pnorm[c]   (query rounding,
+#                                                       computed EXACTLY)
+#                       + ‖q − q_used‖·xnorm[c]       (phase-2 query error,
+#                                                       computed EXACTLY)
+#              =: ub[c].  Only fp32 accumulation reorder is unaccounted.
+#   phase 2  — exact full-D rescan of each query's top-`k_chunks` chunks by
+#              ub (shared scalar-prefetch kernel), then top-k.
+#   certificate — vals[b, k-1] >= best ub among UNSELECTED chunks  ⇒  the
+#              result provably equals the full exact top-k (of the stored
+#              index representation).  Shapes stay static; the certificate
+#              reports per query whether the shortcut was lossless.
+#
+# Anisotropic encoder embeddings concentrate spectral mass in few
+# directions, so R=128 of 768 certifies ~all queries; on isotropic random
+# data the certificate honestly reports failure instead of silently
+# degrading.
+
+
+def train_pca_rotation(sample, r: int):
+    """(D, r) fp32 rotation: top-r eigenvectors of the UNCENTERED second
+    moment (centering would shift inner products).  Host-side, build-time;
+    a ~100k-row sample of the corpus is plenty."""
+    import numpy as np
+
+    x = np.asarray(sample, np.float64)
+    _, v = np.linalg.eigh(x.T @ x)                  # ascending eigenvalues
+    return np.ascontiguousarray(v[:, ::-1][:, :r]).astype(np.float32)
+
+
+def build_pca_prefilter(emb, rot, *, cand_rows: int = 512,
+                        n_pad: Optional[int] = None, scales=None,
+                        store_dtype: str = "bfloat16"):
+    """Projection + certificate bounds for `mips_topk_pca`.
+
+    emb: (N, D) fp32 host embeddings (pre-quantization); rot: (D, R) fp32.
+    scales: per-row int8 scales when the FULL index is stored int8 — bounds
+    are then computed against the DEQUANTIZED rows (the int8 tier's scoring
+    semantics); None for a bf16/fp32 index, where `store_dtype` names the
+    index storage so bounds cover exactly what phase 2 will score (bf16
+    storage rounds the rows; bounding the raw fp32 rows instead would leave
+    that term unaccounted and break certificate soundness).
+
+    Returns (proj, bounds): proj (n_pad, R) fp32 (store as bf16 — delta
+    accounts for that rounding), bounds (4, n_pad/cand_rows) fp32 rows
+    [resid, delta, pnorm, xnorm]:
+      resid[c] = max ‖x_store − V V^T x_store‖   (discarded-component norm)
+      delta[c] = max ‖proj_fp32 − bf16(proj)‖    (stored-projection rounding)
+      pnorm[c] = max ‖bf16(proj)‖
+      xnorm[c] = max ‖x_store‖
+    Pad rows are zero ⇒ zero projection and zero bounds."""
+    import numpy as np
+
+    n, d = emb.shape
+    n_pad = n if n_pad is None else n_pad
+    assert n_pad % cand_rows == 0 and n <= n_pad
+    r = rot.shape[1]
+    num_cand = n_pad // cand_rows
+    proj = np.zeros((n_pad, r), np.float32)
+    per_row = np.zeros((4, n_pad), np.float32)
+    for s in range(0, n, 65536):
+        e = min(s + 65536, n)
+        x = np.asarray(emb[s:e], np.float64)
+        if scales is not None:
+            # mirror quantize_rows in float32 exactly, then bound in float64
+            sc = np.asarray(scales[s:e], np.float32).reshape(-1, 1)
+            qi = np.clip(np.round(emb[s:e].astype(np.float32) / sc),
+                         -127, 127)
+            x = qi.astype(np.float64) * sc.astype(np.float64)
+        elif jnp.dtype(store_dtype) == jnp.bfloat16:
+            # bound the rows AS STORED: phase 2 scores the bf16 index
+            x = np.asarray(
+                jnp.asarray(emb[s:e], jnp.bfloat16).astype(jnp.float32),
+                np.float64)
+        p = x @ np.asarray(rot, np.float64)
+        proj[s:e] = p
+        p_b16 = jnp.asarray(p, jnp.bfloat16)
+        p_store = np.asarray(p_b16, np.float64)
+        per_row[0, s:e] = np.sqrt(np.maximum(
+            (x * x).sum(1) - (p * p).sum(1), 0.0))
+        per_row[1, s:e] = np.linalg.norm(p - p_store, axis=1)
+        per_row[2, s:e] = np.linalg.norm(p_store, axis=1)
+        per_row[3, s:e] = np.linalg.norm(x, axis=1)
+    bounds = per_row.reshape(4, num_cand, cand_rows).max(axis=2)
+    # nudge up one fp32 ulp: the float64→float32 round of the bound itself
+    # must not round DOWN past the true supremum
+    bounds = np.nextafter(bounds, np.float32(np.inf)).astype(np.float32)
+    return proj, bounds
+
+
+def _chunk_max_fine_kernel(q_ref, chunk_ref, nv_ref, out_ref,
+                           step_rows: int, cand_rows: int, mask_valid: bool):
+    """Per-`cand_rows`-chunk maxima of q·P^T, `step_rows` rows per grid
+    step (static python loop over the step's cand sub-chunks: lane-aligned
+    512-wide slices, no in-kernel reshape)."""
+    step = pl.program_id(0)
+    scores = jax.lax.dot_general(
+        q_ref[:], chunk_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                   # (B, step_rows)
+    if mask_valid:
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(col + step * step_rows < nv_ref[0], scores,
+                           NEG_INF)
+    outs = [jnp.max(scores[:, j * cand_rows:(j + 1) * cand_rows], axis=1)
+            for j in range(step_rows // cand_rows)]
+    out_ref[:] = jnp.stack(outs, axis=0)                # (n_sub, B)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "k_chunks", "cand_rows", "step_rows",
+                                    "interpret", "n_valid"))
+def mips_topk_pca(index: jnp.ndarray, proj: jnp.ndarray, rot: jnp.ndarray,
+                  bounds: jnp.ndarray, queries: jnp.ndarray, k: int,
+                  k_chunks: int = 8, cand_rows: int = 512,
+                  step_rows: int = 4096, interpret: bool = False,
+                  n_valid: Optional[int] = None, n_valid_dyn=None,
+                  doc_scales: Optional[jnp.ndarray] = None):
+    """PCA-prefiltered top-k with per-query exactness certificates (section
+    comment above).  Returns (vals (B, k), row_ids (B, k), certified (B,)
+    bool).  index (N, D) bf16/fp32 or int8 (+doc_scales); proj (N, R) bf16;
+    rot (D, R) fp32; bounds (4, N/cand_rows) fp32 from
+    `build_pca_prefilter`.  Requires k <= k_chunks*cand_rows; the batch is
+    padded to a multiple of 8 internally (rescan query blocks are 8-row
+    tiles), so any B works.
+    """
+    n, d = index.shape
+    b_orig = queries.shape[0]
+    pad_b = (-b_orig) % 8
+    if pad_b:
+        queries = jnp.concatenate(
+            [queries, jnp.repeat(queries[:1], pad_b, axis=0)])
+    b = queries.shape[0]
+    num_cand = n // cand_rows
+    if n % step_rows or step_rows % cand_rows or cand_rows % 128:
+        raise ValueError(f"rows {n} / step {step_rows} / cand {cand_rows} "
+                         "must nest and cand_rows % 128 == 0")
+    if num_cand <= k_chunks:
+        raise ValueError("k_chunks must be < number of candidate chunks")
+    bound = _valid_bound(n, n_valid, n_valid_dyn)
+    mask_valid = bound is not None
+    nv = jnp.asarray([n if bound is None else bound], jnp.int32)
+    is_int8 = index.dtype == jnp.int8
+
+    # ---- query-side projections and EXACT error norms -------------------
+    q32 = queries.astype(jnp.float32)
+    q_proj = q32 @ rot                                   # (B, R) fp32
+    qp_store = q_proj.astype(proj.dtype)
+    qperp = jnp.sqrt(jnp.maximum(
+        jnp.sum(q32 * q32, 1) - jnp.sum(q_proj * q_proj, 1), 0.0))
+    qpnorm = jnp.sqrt(jnp.sum(q_proj * q_proj, 1))
+    qperr = jnp.linalg.norm(q_proj - qp_store.astype(jnp.float32), axis=1)
+    if is_int8:
+        assert doc_scales is not None, "int8 index requires doc_scales"
+        q_used, q_scales = quantize_rows(queries)
+        q_deq = q_used.astype(jnp.float32) * q_scales.reshape(-1, 1)
+        qerr = jnp.linalg.norm(q32 - q_deq, axis=1)
+    else:
+        q_used = queries.astype(index.dtype)
+        qerr = jnp.linalg.norm(
+            q32 - q_used.astype(jnp.float32), axis=1)
+
+    # ---- phase 1: fine-granularity chunk maxima over the projection -----
+    n_sub = step_rows // cand_rows
+    maxima_t = pl.pallas_call(
+        functools.partial(_chunk_max_fine_kernel, step_rows=step_rows,
+                          cand_rows=cand_rows, mask_valid=mask_valid),
+        grid_spec=pl.GridSpec(
+            grid=(n // step_rows,),
+            in_specs=[
+                pl.BlockSpec((b, proj.shape[1]), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((step_rows, proj.shape[1]), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((n_sub, b), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)),
+        out_shape=jax.ShapeDtypeStruct((num_cand, b), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * proj.shape[1],
+            bytes_accessed=n * proj.shape[1] * proj.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(qp_store, proj, nv)
+    maxp = maxima_t.T                                    # (B, num_cand)
+
+    # ---- upper bounds + chunk selection ---------------------------------
+    ub = (maxp
+          + qperp[:, None] * bounds[0][None, :]
+          + qpnorm[:, None] * bounds[1][None, :]
+          + qperr[:, None] * bounds[2][None, :]
+          + qerr[:, None] * bounds[3][None, :])
+    ub_vals, ub_ids = jax.lax.top_k(ub, k_chunks + 1)
+    chunk_ids = ub_ids[:, :k_chunks].astype(jnp.int32)
+    ub_next = ub_vals[:, k_chunks]                       # best unselected
+
+    # ---- phase 2: exact full-D rescan of the selected chunks ------------
+    if is_int8:
+        dsc_rows = doc_scales.astype(jnp.float32).reshape(num_cand,
+                                                          cand_rows)
+        scores = _sparse_rescan(chunk_ids, nv, q_used, index, dsc_rows,
+                                chunk_rows=cand_rows, k_chunks=k_chunks,
+                                mask_valid=mask_valid, interpret=interpret)
+        scores = scores * q_scales.reshape(b, 1)
+    else:
+        scores = _sparse_rescan(chunk_ids, nv, q_used, index, None,
+                                chunk_rows=cand_rows, k_chunks=k_chunks,
+                                mask_valid=mask_valid, interpret=interpret)
+    row_ids = (chunk_ids[:, :, None] * cand_rows
+               + jnp.arange(cand_rows, dtype=jnp.int32)[None, None, :]
+               ).reshape(b, k_chunks * cand_rows)
+    vals, pos = jax.lax.top_k(scores, k)
+    certified = vals[:, k - 1] >= ub_next
+    ids = jnp.take_along_axis(row_ids, pos, axis=1)
+    return vals[:b_orig], ids[:b_orig], certified[:b_orig]
 
 
 def merge_multivector(vals: jnp.ndarray, rows: jnp.ndarray, k: int, m: int):

@@ -32,7 +32,8 @@ from jax.sharding import Mesh
 from ..core.config import SearchConfig
 from ..data.tokenization import TokenizerSpec
 from ..index.store import DenseIndex
-from ..ops.mips import (sharded_mips_topk, mips_topk, merge_multivector,
+from ..ops.mips import (sharded_mips_topk, mips_topk, mips_topk_pca,
+                        merge_multivector,
                         NEG_INF)
 
 
@@ -153,6 +154,19 @@ class BeamSearcher:
             self._store["n_valid"] = jnp.int32(self.index.n_docs)
         if self.index.scales is not None:
             self._store["scales"] = self.index.scales
+        from ..core.mesh import INDEX_AXIS
+
+        if cfg.use_pca:
+            if self.index.pca_proj is None:
+                raise ValueError("use_pca requires an index built with "
+                                 "pca_dims (encode_corpus --pca-dims)")
+            if self.mesh is not None and \
+                    self.mesh.shape.get(INDEX_AXIS, 1) > 1:
+                raise ValueError("the PCA prefilter is a single-shard tier; "
+                                 "use index sharding OR --pca, not both")
+            self._store["pca_proj"] = self.index.pca_proj
+            self._store["pca_bounds"] = self.index.pca_bounds
+            self._store["pca_rot"] = self.index.pca_rot
         impl = functools.partial(
             self._search_impl,
             beam1=cfg.beam_size_1, beam2=cfg.beam_size_2, topk=cfg.topk)
@@ -178,6 +192,9 @@ class BeamSearcher:
         self._store["n_valid"] = jnp.int32(self.index.n_docs)
         if self.index.scales is not None:
             self._store["scales"] = self.index.scales
+        if "pca_proj" in self._store:
+            self._store["pca_proj"] = self.index.pca_proj
+            self._store["pca_bounds"] = self.index.pca_bounds
 
     def add_docs(self, embeddings: np.ndarray, text_ids: np.ndarray,
                  text_lens: np.ndarray, empty: Optional[np.ndarray] = None):
@@ -244,14 +261,21 @@ class BeamSearcher:
 
     # ------------------------------------------------------------------
 
-    def _mips(self, vectors, queries, k, scales=None, n_valid_dyn=None):
-        # multi-vector index: fetch k*m rows, then collapse to k DOCS via
-        # max-over-vectors (rows grouped per passage, ops/mips.py).
-        # n_valid rides the store as a TRACED scalar so online add/delete
-        # (add_docs/delete_doc) take effect without retracing — a static
-        # bound would stay baked into the cached program.
+    def _mips(self, store, queries, k):
+        """(vals, doc_ids, cert) top-k over the store's index; `cert` is the
+        per-query exactness-certificate mask under the PCA tier, else None.
+
+        Multi-vector index: fetch k*m rows, then collapse to k DOCS via
+        max-over-vectors (rows grouped per passage, ops/mips.py).
+        n_valid rides the store as a TRACED scalar so online add/delete
+        (add_docs/delete_doc) take effect without retracing — a static
+        bound would stay baked into the cached program."""
+        vectors = store["vectors"]
+        scales = store.get("scales")
+        n_valid_dyn = store.get("n_valid")
         m = self.index.multi_vector
         k_rows = k * m
+        cert = None
         if self.mesh is not None and self.mesh.shape.get("index", 1) > 1:
             vals, rows = sharded_mips_topk(
                 vectors, queries, k_rows, self.mesh,
@@ -259,6 +283,20 @@ class BeamSearcher:
                 chunk_rows=self.config.chunk_rows,
                 n_valid=self.index.n_docs, doc_scales=scales,
                 n_valid_dyn=n_valid_dyn)
+        elif "pca_proj" in store:
+            cand = self.index.pca_cand_rows
+            n_pad = vectors.shape[0]
+            step = 4096 if (n_pad % 4096 == 0 and 4096 % cand == 0) else cand
+            # clamp: small corpora can have fewer candidate chunks than the
+            # configured rescan budget (must leave >=1 unselected for ub_next)
+            kc = max(1, min(self.config.pca_k_chunks, n_pad // cand - 1))
+            vals, rows, cert = mips_topk_pca(
+                vectors, store["pca_proj"], store["pca_rot"],
+                store["pca_bounds"], queries, k_rows,
+                k_chunks=kc, cand_rows=cand,
+                step_rows=step, n_valid=self.index.n_docs,
+                doc_scales=scales, n_valid_dyn=n_valid_dyn,
+                interpret=jax.default_backend() != "tpu")
         else:
             vals, rows = mips_topk(
                 vectors, queries, k_rows,
@@ -266,7 +304,8 @@ class BeamSearcher:
                 chunk_rows=self.config.chunk_rows,
                 n_valid=self.index.n_docs, doc_scales=scales,
                 n_valid_dyn=n_valid_dyn)
-        return merge_multivector(vals, rows, k, m)
+        vals, docs = merge_multivector(vals, rows, k, m)
+        return vals, docs, cert
 
     def _encode_hop2(self, params, qsp):
         """Encode hop-2 q⊕p rows, optionally length-adaptive.
@@ -338,9 +377,7 @@ class BeamSearcher:
         q_vec = self.encode_fn(params, q_inputs["input_ids"],
                                q_inputs["attention_mask"],
                                q_inputs.get("token_type_ids"))
-        d1, i1 = self._mips(store["vectors"], q_vec.astype(jnp.float32), beam1,
-                            scales=store.get("scales"),
-                            n_valid_dyn=store.get("n_valid"))
+        d1, i1, cert1 = self._mips(store, q_vec.astype(jnp.float32), beam1)
         # empty-text docs cannot start a chain (eval_mhop_retrieval.py:165)
         d1 = jnp.where(store["empty"][i1], NEG_INF, d1)
 
@@ -362,9 +399,7 @@ class BeamSearcher:
                 stop_logits.astype(jnp.float32), axis=-1)[:, 0]
         else:
             qsp_vec = self._encode_hop2(params, qsp)
-        d2, i2 = self._mips(store["vectors"], qsp_vec.astype(jnp.float32), beam2,
-                            scales=store.get("scales"),
-                            n_valid_dyn=store.get("n_valid"))
+        d2, i2, cert2 = self._mips(store, qsp_vec.astype(jnp.float32), beam2)
         d2 = d2.reshape(bsz, beam1, beam2)
         i2 = i2.reshape(bsz, beam1, beam2)
 
@@ -386,6 +421,11 @@ class BeamSearcher:
             sp = stop_probs.reshape(bsz, beam1)
             out["stop_probs"] = sp                      # per hop-1 candidate
             out["top_stop_probs"] = jnp.take_along_axis(sp, hop1_slot, axis=1)
+        if cert1 is not None:
+            # PCA-tier exactness certificates: hop-1 per question, hop-2 per
+            # (question, hop-1 candidate) reformulated query
+            out["pca_cert1"] = cert1                    # (B,)
+            out["pca_cert2"] = cert2.reshape(bsz, beam1)
         return out
 
     # ------------------------------------------------------------------

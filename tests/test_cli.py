@@ -240,3 +240,43 @@ def test_unified_variable_hop_eval(artifacts, tmp_path, capsys):
             assert all(0.0 <= p <= 1.0 for p in r["stop_probs"])
             for chain in r["candidate_chains"]:
                 assert len(chain) == want_len
+
+
+def test_encode_eval_with_pca_prefilter(tmp_path, capsys):
+    """encode --pca-dims builds the certificate prefilter into index.npz;
+    eval --pca searches through it and reports the certified fraction."""
+    from multihop_dense_retrieval_tpu.cli import encode_corpus, eval_mhop_retrieval
+    from multihop_dense_retrieval_tpu.index import DenseIndex
+    import os
+
+    rng = np.random.RandomState(4)
+    docs = synth.make_corpus(rng, 600, empty_every=13)
+    rows = synth.make_mhop_rows(rng, docs, n_rows=8)
+    corpus_path = tmp_path / "corpus.jsonl"
+    synth.write_jsonl(corpus_path, [{"title": d["title"], "text": d["text"]}
+                                    for d in docs])
+    qas_path = tmp_path / "qas.jsonl"
+    synth.write_jsonl(qas_path, rows)
+    out_dir = str(tmp_path / "index")
+    encode_corpus.main([str(corpus_path), out_dir,
+                        "--tokenizer", "hash", "--model-name", "tiny",
+                        "--batch-size", "64", "--chunk-rows", "128",
+                        "--max-c-len", "64",
+                        "--pca-dims", "32", "--pca-cand-rows", "128"])
+    idx = DenseIndex.load(os.path.join(out_dir, "index.npz"))
+    assert idx.pca_proj is not None and idx.pca_proj.shape[1] == 32
+    assert idx.pca_bounds.shape == (4, idx.vectors.shape[0] // 128)
+
+    chains_path = str(tmp_path / "chains.jsonl")
+    eval_mhop_retrieval.main([str(qas_path), out_dir,
+                              "--tokenizer", "hash", "--model-name", "tiny",
+                              "--pca", "--pca-k-chunks", "3",
+                              "--beam-size", "3", "--topk", "3",
+                              "--batch-size", "6", "--chunk-rows", "128",
+                              "--max-q-len", "24", "--max-q-sp-len", "96",
+                              "--save-path", chains_path])
+    out = capsys.readouterr().out
+    agg = json.loads(out.strip().splitlines()[-1])
+    assert set(agg) >= {"avg_pr", "avg_p_em", "avg_1_recall", "path_recall"}
+    with open(chains_path) as f:
+        assert len([json.loads(l) for l in f]) == 8

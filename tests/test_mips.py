@@ -216,3 +216,180 @@ def test_two_phase_dynamic_bound():
                                interpret=True, n_valid_dyn=jnp.int32(300))
     assert np.asarray(i).max() < 300
     assert np.all(np.asarray(v) < 0)
+
+
+# ---- PCA-prefiltered search with exactness certificates -------------------
+
+
+def _make_anisotropic(rng, n, d, r0=12, noise=0.02):
+    """Low-rank-dominated rows: the spectrum concentration real encoder
+    embeddings exhibit (CLS cone), which is what makes the prefilter pay."""
+    basis = np.linalg.qr(rng.randn(d, d))[0]
+    z = rng.randn(n, r0) * np.linspace(3.0, 0.8, r0)
+    return (z @ basis[:, :r0].T + noise * rng.randn(n, d)).astype(np.float32)
+
+
+def test_pca_certified_rows_match_bruteforce():
+    """Soundness at k=4 on hard flat-spectrum-of-scores data (certified ⇒
+    exact, whatever the rate), and a >=90% certification rate at k=1 with
+    planted matches (the retrieval regime: top scores well separated)."""
+    from multihop_dense_retrieval_tpu.ops.mips import (
+        mips_topk_pca, train_pca_rotation, build_pca_prefilter)
+
+    rng = np.random.RandomState(21)
+    n, d, b = 4096, 64, 16
+    emb = _make_anisotropic(rng, n, d)
+    rot = train_pca_rotation(emb[:1024], 32)
+    proj, bounds = build_pca_prefilter(emb, rot, cand_rows=128)
+    index = jnp.asarray(emb, jnp.bfloat16)
+    bf = np.asarray(index, np.float32)
+
+    def run(q, k):
+        v, i, cert = mips_topk_pca(index, jnp.asarray(proj, jnp.bfloat16),
+                                   jnp.asarray(rot), jnp.asarray(bounds),
+                                   q, k, k_chunks=4, cand_rows=128,
+                                   step_rows=512, interpret=True)
+        # exact comparator with the SAME scoring (bf16 rows x bf16 queries)
+        bv, bi = _brute(bf, np.asarray(q.astype(jnp.bfloat16), np.float32), k)
+        cert = np.asarray(cert)
+        for row in np.nonzero(cert)[0]:
+            np.testing.assert_array_equal(np.asarray(i)[row], bi[row])
+            np.testing.assert_allclose(np.asarray(v)[row], bv[row],
+                                       rtol=1e-2, atol=1e-3)
+        return cert
+
+    run(jnp.asarray(_make_anisotropic(rng, b, d), jnp.float32), 4)
+    planted = emb[rng.choice(n, b, replace=False)] \
+        + 0.05 * rng.randn(b, d).astype(np.float32)
+    cert = run(jnp.asarray(planted, jnp.float32), 1)
+    assert cert.mean() >= 0.9, f"certification rate too low: {cert.mean()}"
+
+
+def test_pca_full_rank_is_exact_everywhere():
+    """R == D: zero residual, so every query certifies and matches exactly
+    even on isotropic data."""
+    from multihop_dense_retrieval_tpu.ops.mips import (
+        mips_topk_pca, train_pca_rotation, build_pca_prefilter)
+
+    rng = np.random.RandomState(22)
+    n, d, b, k = 2048, 32, 8, 2
+    emb = rng.randn(n, d).astype(np.float32)
+    rot = train_pca_rotation(emb, d)
+    proj, bounds = build_pca_prefilter(emb, rot, cand_rows=128,
+                                       store_dtype="float32")
+    index = jnp.asarray(emb, jnp.float32)
+    q = jnp.asarray(rng.randn(b, d), jnp.float32)
+    v, i, cert = mips_topk_pca(index, jnp.asarray(proj, jnp.bfloat16),
+                               jnp.asarray(rot), jnp.asarray(bounds),
+                               q, k, k_chunks=8, cand_rows=128,
+                               step_rows=512, interpret=True)
+    for row in np.nonzero(np.asarray(cert))[0]:
+        bv, bi = _brute(emb, np.asarray(q), k)
+        np.testing.assert_array_equal(np.asarray(i)[row], bi[row])
+    assert np.asarray(cert).mean() >= 0.8
+
+
+def test_pca_isotropic_data_is_honestly_uncertified():
+    """Isotropic gaussian rows at R << D: the prefilter CANNOT certify —
+    the op must say so rather than silently degrade."""
+    from multihop_dense_retrieval_tpu.ops.mips import (
+        mips_topk_pca, train_pca_rotation, build_pca_prefilter)
+
+    rng = np.random.RandomState(23)
+    n, d, b, k = 4096, 64, 8, 2
+    emb = rng.randn(n, d).astype(np.float32)
+    rot = train_pca_rotation(emb[:1024], 8)
+    proj, bounds = build_pca_prefilter(emb, rot, cand_rows=128,
+                                       store_dtype="float32")
+    v, i, cert = mips_topk_pca(jnp.asarray(emb), jnp.asarray(proj, jnp.bfloat16),
+                               jnp.asarray(rot), jnp.asarray(bounds),
+                               jnp.asarray(rng.randn(b, d), jnp.float32),
+                               k, k_chunks=4, cand_rows=128,
+                               step_rows=512, interpret=True)
+    assert np.asarray(cert).mean() <= 0.5
+
+
+def test_pca_int8_certified_matches_int8_exact():
+    from multihop_dense_retrieval_tpu.ops.mips import (
+        mips_topk_pca, mips_topk_xla_int8, quantize_rows,
+        train_pca_rotation, build_pca_prefilter)
+
+    rng = np.random.RandomState(24)
+    n, d, b, k = 4096, 64, 8, 3
+    emb = _make_anisotropic(rng, n, d)
+    qi, sc = quantize_rows(jnp.asarray(emb))
+    rot = train_pca_rotation(emb[:1024], 32)
+    proj, bounds = build_pca_prefilter(emb, rot, cand_rows=128,
+                                       scales=np.asarray(sc))
+    k = 1  # planted-match regime (int8 query error needs real separation)
+    planted = emb[rng.choice(n, b, replace=False)] \
+        + 0.05 * rng.randn(b, d).astype(np.float32)
+    q = jnp.asarray(planted, jnp.float32)
+    v, i, cert = mips_topk_pca(qi, jnp.asarray(proj, jnp.bfloat16),
+                               jnp.asarray(rot), jnp.asarray(bounds),
+                               q, k, k_chunks=4, cand_rows=128,
+                               step_rows=512, interpret=True, doc_scales=sc)
+    bv, bi = mips_topk_xla_int8(qi, sc, q, k, chunk_rows=512)
+    cert = np.asarray(cert)
+    assert cert.mean() >= 0.75, f"certification rate too low: {cert.mean()}"
+    for row in np.nonzero(cert)[0]:
+        np.testing.assert_array_equal(np.asarray(i)[row],
+                                      np.asarray(bi)[row])
+
+
+def test_pca_padding_rows_never_returned():
+    from multihop_dense_retrieval_tpu.ops.mips import (
+        mips_topk_pca, train_pca_rotation, build_pca_prefilter)
+
+    rng = np.random.RandomState(25)
+    n_pad, d, b, k = 2048, 32, 8, 3
+    n_valid = n_pad - 300
+    emb = np.zeros((n_pad, d), np.float32)
+    emb[:n_valid] = -np.abs(_make_anisotropic(rng, n_valid, d)) - 0.01
+    rot = train_pca_rotation(emb[:n_valid], 16)
+    proj, bounds = build_pca_prefilter(emb[:n_valid], rot, cand_rows=128,
+                                       n_pad=n_pad, store_dtype="float32")
+    q = jnp.asarray(np.abs(rng.randn(b - 1, d)) + 0.01, jnp.float32)
+    # b-1 = 7 queries: the op pads the batch to a multiple of 8 internally
+    v, i, cert = mips_topk_pca(jnp.asarray(emb), jnp.asarray(proj, jnp.bfloat16),
+                               jnp.asarray(rot), jnp.asarray(bounds),
+                               q, k, k_chunks=4, cand_rows=128,
+                               step_rows=512, interpret=True,
+                               n_valid=n_valid)
+    assert v.shape == (b - 1, k) and cert.shape == (b - 1,)
+    assert np.asarray(i).max() < n_valid
+    assert np.all(np.asarray(v) < 0)
+
+
+def test_pca_online_updates_keep_certificates_sound():
+    """append/replace/delete_swap on an index with a prefilter: bounds only
+    grow (max-in), so certificates issued afterwards remain sound — any
+    certified query must still match brute force over the updated index."""
+    from multihop_dense_retrieval_tpu.index import DenseIndex
+    from multihop_dense_retrieval_tpu.ops.mips import mips_topk_pca
+
+    rng = np.random.RandomState(26)
+    n, d = 2048, 64
+    emb = _make_anisotropic(rng, n, d)
+    idx = DenseIndex.build(emb, chunk_rows=128, dtype=jnp.float32,
+                           pca_dims=32, pca_cand_rows=128)
+    # append planted rows into the tail padding region, then mutate
+    new_rows = _make_anisotropic(rng, 8, d) * 2.0
+    idx = idx.append(new_rows, chunk_rows=128)
+    idx = idx.replace(5, _make_anisotropic(rng, 1, d)[0:1] * 1.5)
+    idx, moved = idx.delete_swap(2)
+    assert moved == idx.n_docs  # last doc moved into slot 2
+
+    host = np.asarray(idx.vectors[: idx.n_docs], np.float32)
+    # queries planted on the APPENDED rows (they live near the tail now)
+    q = jnp.asarray(host[-6:] + 0.02 * rng.randn(6, d).astype(np.float32))
+    q = jnp.concatenate([q, jnp.asarray(_make_anisotropic(rng, 2, d))])
+    v, i, cert = mips_topk_pca(idx.vectors, idx.pca_proj, idx.pca_rot,
+                               idx.pca_bounds, q, 2, k_chunks=4,
+                               cand_rows=128, step_rows=128, interpret=True,
+                               n_valid=idx.n_docs)
+    bv, bi = _brute(host, np.asarray(q), 2)
+    cert = np.asarray(cert)
+    assert cert.any(), "no certificates at all after updates"
+    for row in np.nonzero(cert)[0]:
+        np.testing.assert_array_equal(np.asarray(i)[row], bi[row])

@@ -416,3 +416,82 @@ def test_unified_stop_head_serving():
     assert b["stop_probs"].shape == (3, beam)
     assert b["top_stop_probs"].shape == (3, topk)
     assert np.all((b["stop_probs"] >= 0) & (b["stop_probs"] <= 1))
+
+
+def test_pca_prefiltered_engine_search():
+    """use_pca engine: certified queries must reproduce the exact engine's
+    chains; certificates surface in the search outputs; the index
+    round-trips through save/load with its prefilter."""
+    tok = HashTokenizer(vocab_size=512)
+    rng = np.random.RandomState(31)
+    docs = synth.make_corpus(rng, 1000, empty_every=17)
+    corpus = Corpus(docs)
+    tc = TokenizedCorpus.build(corpus, tok, max_text_len=60)
+    cfg = EncoderConfig.tiny(vocab_size=512, max_position_embeddings=96)
+    model = MhopRetriever(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32),
+                        jnp.ones((1, 8), jnp.int32), method=model.encode_seq)
+    embs = []
+    for s in range(0, len(corpus), 250):
+        enc = tok.encode_batch_pair(
+            [(corpus[i]["title"], corpus.encode_text(i))
+             for i in range(s, min(s + 250, len(corpus)))], 72)
+        embs.append(np.asarray(model.apply(
+            params, jnp.asarray(enc["input_ids"]),
+            jnp.asarray(enc["attention_mask"]),
+            method=model.encode_seq), np.float32))
+    emb = np.concatenate(embs)
+    # center away the CLS cone: raw tiny-encoder embeddings are ~collinear
+    # (top-20 scores within 0.3 of each other), which legitimately defeats
+    # certification — the rounding slack exceeds the score spread.  Centered
+    # rows have real spread, like trained-encoder embeddings do.
+    emb = emb - emb.mean(axis=0, keepdims=True)
+    # full-rank rotation: residual bound 0, only rounding terms remain
+    index = DenseIndex.build(emb, chunk_rows=128, dtype=jnp.float32,
+                             pca_dims=emb.shape[1], pca_cand_rows=128)
+    assert index.pca_proj is not None
+    n_pad = index.vectors.shape[0]
+    text_ids = np.full((n_pad, 60), tok.spec.pad_id, np.int32)
+    text_ids[:len(corpus)] = tc.text_ids
+    text_lens = np.zeros(n_pad, np.int32); text_lens[:len(corpus)] = tc.text_lens
+    empty = np.zeros(n_pad, bool); empty[:len(corpus)] = tc.empty
+
+    def build(idx, scfg):
+        return BeamSearcher(
+            encode_fn=lambda p, ids, mask, tt=None: model.apply(
+                p, ids, mask, tt, method=model.encode_seq),
+            params=params, index=idx,
+            text_ids=jnp.asarray(text_ids), text_lens=jnp.asarray(text_lens),
+            empty=jnp.asarray(empty), spec=tok.spec, config=scfg, mesh=None)
+
+    base = dict(beam_size_1=4, beam_size_2=4, topk=4, max_q_len=24,
+                max_q_sp_len=88, chunk_rows=128, use_pallas=False)
+    exact = build(index, SearchConfig(**base))
+    pca = build(index, SearchConfig(**base, use_pca=True, pca_k_chunks=7))
+
+    qs = [f"question about {corpus[i * 7]['title']}" for i in range(8)]
+    q_inputs = tok.encode_batch_one(qs, 24)
+    raw = [tok.raw_ids_padded(q, 20) for q in qs]
+    q_raw_ids = np.stack([r[0] for r in raw])
+    q_raw_lens = np.array([r[1] for r in raw])
+    a = exact.search(q_inputs, q_raw_ids, q_raw_lens)
+    b = pca.search(dict(q_inputs), q_raw_ids, q_raw_lens)
+    assert "pca_cert1" in b and b["pca_cert2"].shape == (8, 4)
+    both = (np.asarray(b["pca_cert1"])
+            & np.asarray(b["pca_cert2"]).all(axis=1))
+    assert both.sum() >= 4, f"too few fully certified questions: {both}"
+    for i in np.nonzero(both)[0]:
+        np.testing.assert_array_equal(a["hop1_ids"][i], b["hop1_ids"][i])
+        np.testing.assert_array_equal(a["hop2_ids"][i], b["hop2_ids"][i])
+
+    # persistence: the prefilter rides the .npz and reproduces the search
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "index.npz")
+        index.save(path)
+        idx2 = DenseIndex.load(path)
+        assert idx2.pca_proj is not None and idx2.pca_cand_rows == 128
+        pca2 = build(idx2, SearchConfig(**base, use_pca=True, pca_k_chunks=7))
+        c = pca2.search(dict(q_inputs), q_raw_ids, q_raw_lens)
+        np.testing.assert_array_equal(b["hop1_ids"], c["hop1_ids"])
+        np.testing.assert_array_equal(b["hop2_ids"], c["hop2_ids"])

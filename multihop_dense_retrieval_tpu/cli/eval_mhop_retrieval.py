@@ -222,9 +222,8 @@ def main(argv=None):
                        use_pallas=not args.no_pallas,
                        use_pca=args.pca, pca_k_chunks=args.pca_k_chunks)
     corpus = Corpus.from_id2doc(os.path.join(args.index_dir, "id2doc.json"))
-    if args.pca and (args.hnsw or args.index_shards > 1):
-        p.error("--pca is a single-shard device tier (not with --hnsw or "
-                "--index-shards)")
+    if args.pca and args.hnsw:
+        p.error("--pca is a device tier (not with --hnsw)")
     if args.hnsw:
         if args.unified:
             p.error("--unified is not supported with --hnsw (the host HNSW "

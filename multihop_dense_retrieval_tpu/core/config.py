@@ -189,7 +189,8 @@ class SearchConfig:
     q_width_multiple: int = 0
     # PCA-prefiltered MIPS (ops/mips.py::mips_topk_pca): requires an index
     # built with pca_dims (encode_corpus --pca-dims).  Search outputs gain
-    # per-query exactness-certificate masks.  Single-shard only.
+    # per-query exactness-certificate masks.  Composes with index sharding
+    # (per-shard prefilters; certificate = AND over shards).
     use_pca: bool = False
     # chunks rescanned per query per k result-slot (phase 2); higher = more
     # certified queries, more rescan bandwidth

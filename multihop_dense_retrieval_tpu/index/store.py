@@ -118,13 +118,21 @@ class DenseIndex:
                    pca_cand_rows=pca_cand_rows)
 
     def shard(self, mesh: Mesh) -> "DenseIndex":
-        # PCA arrays stay replicated: mips_topk_pca is a single-shard tier
-        # (compose index parallelism OR the prefilter, not both — the
-        # sharded path already hits the per-shard k=1 rate).
         arr = jax.device_put(self.vectors, NamedSharding(mesh, P(INDEX_AXIS, None)))
         scales = None if self.scales is None else jax.device_put(
             self.scales, NamedSharding(mesh, P(INDEX_AXIS)))
-        return dataclasses.replace(self, vectors=arr, scales=scales)
+        pca = {}
+        if self.pca_proj is not None:
+            # rows of the projection follow the index shards; per-chunk
+            # bounds shard along their chunk axis; the rotation replicates
+            pca = dict(
+                pca_proj=jax.device_put(
+                    self.pca_proj, NamedSharding(mesh, P(INDEX_AXIS, None))),
+                pca_bounds=jax.device_put(
+                    self.pca_bounds, NamedSharding(mesh, P(None, INDEX_AXIS))),
+                pca_rot=jax.device_put(
+                    self.pca_rot, NamedSharding(mesh, P(None, None))))
+        return dataclasses.replace(self, vectors=arr, scales=scales, **pca)
 
     # ---- online updates (serving) ----------------------------------------
     #

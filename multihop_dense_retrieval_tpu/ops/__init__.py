@@ -6,6 +6,7 @@ from .mips import (
     train_pca_rotation,
     build_pca_prefilter,
     sharded_mips_topk,
+    sharded_mips_topk_pca,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "train_pca_rotation",
     "build_pca_prefilter",
     "sharded_mips_topk",
+    "sharded_mips_topk_pca",
 ]

@@ -1122,3 +1122,65 @@ def sharded_mips_topk(index: jnp.ndarray, queries: jnp.ndarray, k: int,
         check_vma=False,  # the scan carry inside mips_topk is shard-local
     )
     return fn(index, queries, doc_scales, nv_arr)
+
+
+def sharded_mips_topk_pca(index: jnp.ndarray, proj: jnp.ndarray,
+                          rot: jnp.ndarray, bounds: jnp.ndarray,
+                          queries: jnp.ndarray, k: int, mesh: Mesh, *,
+                          k_chunks: int = 8, cand_rows: int = 512,
+                          n_valid: Optional[int] = None,
+                          doc_scales: Optional[jnp.ndarray] = None,
+                          n_valid_dyn=None, interpret: bool = False):
+    """Row-sharded PCA-prefiltered search: every shard runs `mips_topk_pca`
+    over its slice of the index+projection (its own chunk-max scan, bounds,
+    and rescan), local ids become global, and the (B, k) candidate sets are
+    all-gathered over ICI and merged — the same collective pattern as
+    `sharded_mips_topk`.
+
+    Certificate composition: the merged top-k equals the global exact top-k
+    whenever EVERY shard's local top-k was exact, so the returned mask is
+    the AND over shards — per-shard honesty survives the merge."""
+    n_shards = mesh.shape[INDEX_AXIS]
+    shard_rows = index.shape[0] // n_shards
+    if shard_rows % cand_rows:
+        raise ValueError("cand_rows must divide the per-shard row count")
+    num_cand_local = shard_rows // cand_rows
+    kc = max(1, min(k_chunks, num_cand_local - 1))
+    step = 4096 if (shard_rows % 4096 == 0 and 4096 % cand_rows == 0) \
+        else cand_rows
+    use_dyn = n_valid_dyn is not None
+    use_scales = doc_scales is not None
+
+    def local(idx_s, proj_s, bounds_s, q, scales_s, nv):
+        shard_id = jax.lax.axis_index(INDEX_AXIS)
+        local_valid = None
+        bound = nv if use_dyn else n_valid
+        if bound is not None and (use_dyn or n_valid < index.shape[0]):
+            local_valid = jnp.clip(bound - shard_id * shard_rows,
+                                   0, shard_rows).astype(jnp.int32)
+        vals, idxs, cert = mips_topk_pca(
+            idx_s, proj_s, rot, bounds_s, q, k, k_chunks=kc,
+            cand_rows=cand_rows, step_rows=step, interpret=interpret,
+            n_valid_dyn=local_valid,
+            doc_scales=scales_s if use_scales else None)
+        idxs = idxs + shard_id * shard_rows
+        all_vals = jax.lax.all_gather(vals, INDEX_AXIS, axis=1, tiled=True)
+        all_idxs = jax.lax.all_gather(idxs, INDEX_AXIS, axis=1, tiled=True)
+        all_cert = jax.lax.all_gather(cert[:, None].astype(jnp.int32),
+                                      INDEX_AXIS, axis=1, tiled=True)
+        top_vals, pos = jax.lax.top_k(all_vals, k)
+        return (top_vals, jnp.take_along_axis(all_idxs, pos, axis=1),
+                jnp.all(all_cert > 0, axis=1))
+
+    if not use_scales:
+        doc_scales = jnp.zeros((index.shape[0],), jnp.float32)
+    nv_arr = (jnp.asarray(n_valid_dyn, jnp.int32) if use_dyn
+              else jnp.int32(0))
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(INDEX_AXIS, None), P(INDEX_AXIS, None),
+                  P(None, INDEX_AXIS), P(), P(INDEX_AXIS), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return fn(index, proj, bounds, queries, doc_scales, nv_arr)

@@ -32,8 +32,8 @@ from jax.sharding import Mesh
 from ..core.config import SearchConfig
 from ..data.tokenization import TokenizerSpec
 from ..index.store import DenseIndex
-from ..ops.mips import (sharded_mips_topk, mips_topk, mips_topk_pca,
-                        merge_multivector,
+from ..ops.mips import (sharded_mips_topk, sharded_mips_topk_pca,
+                        mips_topk, mips_topk_pca, merge_multivector,
                         NEG_INF)
 
 
@@ -160,10 +160,6 @@ class BeamSearcher:
             if self.index.pca_proj is None:
                 raise ValueError("use_pca requires an index built with "
                                  "pca_dims (encode_corpus --pca-dims)")
-            if self.mesh is not None and \
-                    self.mesh.shape.get(INDEX_AXIS, 1) > 1:
-                raise ValueError("the PCA prefilter is a single-shard tier; "
-                                 "use index sharding OR --pca, not both")
             self._store["pca_proj"] = self.index.pca_proj
             self._store["pca_bounds"] = self.index.pca_bounds
             self._store["pca_rot"] = self.index.pca_rot
@@ -277,12 +273,22 @@ class BeamSearcher:
         k_rows = k * m
         cert = None
         if self.mesh is not None and self.mesh.shape.get("index", 1) > 1:
-            vals, rows = sharded_mips_topk(
-                vectors, queries, k_rows, self.mesh,
-                use_pallas=self.config.use_pallas,
-                chunk_rows=self.config.chunk_rows,
-                n_valid=self.index.n_docs, doc_scales=scales,
-                n_valid_dyn=n_valid_dyn)
+            if "pca_proj" in store:
+                vals, rows, cert = sharded_mips_topk_pca(
+                    vectors, store["pca_proj"], store["pca_rot"],
+                    store["pca_bounds"], queries, k_rows, self.mesh,
+                    k_chunks=self.config.pca_k_chunks,
+                    cand_rows=self.index.pca_cand_rows,
+                    n_valid=self.index.n_docs, doc_scales=scales,
+                    n_valid_dyn=n_valid_dyn,
+                    interpret=jax.default_backend() != "tpu")
+            else:
+                vals, rows = sharded_mips_topk(
+                    vectors, queries, k_rows, self.mesh,
+                    use_pallas=self.config.use_pallas,
+                    chunk_rows=self.config.chunk_rows,
+                    n_valid=self.index.n_docs, doc_scales=scales,
+                    n_valid_dyn=n_valid_dyn)
         elif "pca_proj" in store:
             cand = self.index.pca_cand_rows
             n_pad = vectors.shape[0]

@@ -393,3 +393,43 @@ def test_pca_online_updates_keep_certificates_sound():
     assert cert.any(), "no certificates at all after updates"
     for row in np.nonzero(cert)[0]:
         np.testing.assert_array_equal(np.asarray(i)[row], bi[row])
+
+
+def test_sharded_pca_certified_matches_bruteforce():
+    """sharded_mips_topk_pca on the 8-device mesh: per-shard prefilters,
+    global ids, certificate = AND over shards — certified queries must
+    match brute force; planted queries certify at high rate."""
+    from multihop_dense_retrieval_tpu.ops.mips import (
+        sharded_mips_topk_pca, train_pca_rotation, build_pca_prefilter)
+
+    mesh = make_mesh()  # (1, 8)
+    rng = np.random.RandomState(27)
+    n, d, b, k = 8 * 512, 64, 16, 2
+    emb = _make_anisotropic(rng, n, d)
+    rot = train_pca_rotation(emb[:1024], 32)
+    proj, bounds = build_pca_prefilter(emb, rot, cand_rows=128)
+    planted = emb[rng.choice(n, b, replace=False)] \
+        + 0.05 * rng.randn(b, d).astype(np.float32)
+    q = jnp.asarray(planted, jnp.float32)
+    index = jnp.asarray(emb, jnp.bfloat16)
+    v, i, cert = sharded_mips_topk_pca(
+        index, jnp.asarray(proj, jnp.bfloat16), jnp.asarray(rot),
+        jnp.asarray(bounds), q, k, mesh, k_chunks=3, cand_rows=128,
+        interpret=True)
+    bf = np.asarray(index, np.float32)
+    bv, bi = _brute(bf, np.asarray(q.astype(jnp.bfloat16), np.float32), k)
+    cert = np.asarray(cert)
+    assert cert.mean() >= 0.75, f"certification rate too low: {cert.mean()}"
+    for row in np.nonzero(cert)[0]:
+        np.testing.assert_array_equal(np.asarray(i)[row], bi[row])
+
+    # padded tail + dynamic bound: pad rows must never surface
+    n_valid = n - 300
+    emb2 = emb.copy(); emb2[n_valid:] = 0.0
+    proj2, bounds2 = build_pca_prefilter(emb2[:n_valid], rot, cand_rows=128,
+                                         n_pad=n)
+    v2, i2, _ = sharded_mips_topk_pca(
+        jnp.asarray(emb2, jnp.bfloat16), jnp.asarray(proj2, jnp.bfloat16),
+        jnp.asarray(rot), jnp.asarray(bounds2), q, k, mesh, k_chunks=3,
+        cand_rows=128, n_valid_dyn=jnp.int32(n_valid), interpret=True)
+    assert np.asarray(i2).max() < n_valid

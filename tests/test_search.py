@@ -495,3 +495,76 @@ def test_pca_prefiltered_engine_search():
         c = pca2.search(dict(q_inputs), q_raw_ids, q_raw_lens)
         np.testing.assert_array_equal(b["hop1_ids"], c["hop1_ids"])
         np.testing.assert_array_equal(b["hop2_ids"], c["hop2_ids"])
+
+
+def test_sharded_pca_engine_search():
+    """use_pca composed with index sharding over the 8-device mesh: the
+    engine routes to sharded_mips_topk_pca, certificate masks surface, and
+    fully-certified questions match the single-device exact engine."""
+    from multihop_dense_retrieval_tpu.core.mesh import make_mesh
+
+    tok = HashTokenizer(vocab_size=512)
+    rng = np.random.RandomState(33)
+    docs = synth.make_corpus(rng, 2000, empty_every=19)
+    corpus = Corpus(docs)
+    tc = TokenizedCorpus.build(corpus, tok, max_text_len=48)
+    cfg = EncoderConfig.tiny(vocab_size=512, max_position_embeddings=96)
+    model = MhopRetriever(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32),
+                        jnp.ones((1, 8), jnp.int32), method=model.encode_seq)
+    embs = []
+    for s in range(0, len(corpus), 500):
+        enc = tok.encode_batch_pair(
+            [(corpus[i]["title"], corpus.encode_text(i))
+             for i in range(s, min(s + 500, len(corpus)))], 64)
+        embs.append(np.asarray(model.apply(
+            params, jnp.asarray(enc["input_ids"]),
+            jnp.asarray(enc["attention_mask"]),
+            method=model.encode_seq), np.float32))
+    emb = np.concatenate(embs)
+    emb = emb - emb.mean(axis=0, keepdims=True)  # see the single-shard test
+    # 2 index shards, 8 cand-chunks each, kc=7: the sharded certificate is
+    # the AND over shards, so each shard needs near-full rescan coverage for
+    # flat tiny-encoder scores to certify (planted/real data needs far less
+    # — see test_sharded_pca_certified_matches_bruteforce)
+    mesh = make_mesh(index=2)
+
+    def build(index, scfg, m):
+        n_pad = index.vectors.shape[0]
+        text_ids = np.full((n_pad, 48), tok.spec.pad_id, np.int32)
+        text_ids[:len(corpus)] = tc.text_ids
+        text_lens = np.zeros(n_pad, np.int32)
+        text_lens[:len(corpus)] = tc.text_lens
+        empty = np.zeros(n_pad, bool)
+        empty[:len(corpus)] = tc.empty
+        return BeamSearcher(
+            encode_fn=lambda p, ids, mask, tt=None: model.apply(
+                p, ids, mask, tt, method=model.encode_seq),
+            params=params, index=index,
+            text_ids=jnp.asarray(text_ids), text_lens=jnp.asarray(text_lens),
+            empty=jnp.asarray(empty), spec=tok.spec, config=scfg, mesh=m)
+
+    base = dict(beam_size_1=4, beam_size_2=4, topk=4, max_q_len=20,
+                max_q_sp_len=80, chunk_rows=128, use_pallas=False)
+    exact = build(DenseIndex.build(emb, chunk_rows=128, dtype=jnp.float32),
+                  SearchConfig(**base), None)
+    sharded_pca = build(
+        DenseIndex.build(emb, chunk_rows=128, n_shards=2, dtype=jnp.float32,
+                         mesh=mesh, pca_dims=emb.shape[1],
+                         pca_cand_rows=128),
+        SearchConfig(**base, use_pca=True, pca_k_chunks=7), mesh)
+
+    qs = [f"question about {corpus[i * 9]['title']}" for i in range(8)]
+    q_inputs = tok.encode_batch_one(qs, 20)
+    raw = [tok.raw_ids_padded(q, 18) for q in qs]
+    rid = np.stack([r[0] for r in raw])
+    rlen = np.array([r[1] for r in raw])
+    a = exact.search(q_inputs, rid, rlen)
+    b = sharded_pca.search(dict(q_inputs), rid, rlen)
+    assert "pca_cert1" in b and b["pca_cert2"].shape == (8, 4)
+    both = (np.asarray(b["pca_cert1"])
+            & np.asarray(b["pca_cert2"]).all(axis=1))
+    assert both.sum() >= 2, f"too few fully certified questions: {both}"
+    for i in np.nonzero(both)[0]:
+        np.testing.assert_array_equal(a["hop1_ids"][i], b["hop1_ids"][i])
+        np.testing.assert_array_equal(a["hop2_ids"][i], b["hop2_ids"][i])

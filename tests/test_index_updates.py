@@ -269,3 +269,84 @@ def test_live_updates_on_sharded_index():
     np.testing.assert_array_equal(got["hop2_ids"], exp["hop2_ids"])
     np.testing.assert_allclose(got["path_scores"], exp["path_scores"],
                                rtol=1e-5, atol=1e-5)
+
+
+def test_live_pca_engine_add_docs():
+    """add_docs on a use_pca engine: the prefilter (projection + bounds)
+    moves with the index through _refresh_store, the engine keeps serving,
+    certificate masks stay present, and certified hop-1 results match the
+    updated-index brute force."""
+    tok = HashTokenizer(vocab_size=512)
+    rng = np.random.RandomState(8)
+    cfg = EncoderConfig.tiny(vocab_size=512, max_position_embeddings=80)
+    model = MhopRetriever(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32),
+                        jnp.ones((1, 8), jnp.int32), method=model.encode_seq)
+
+    rows = synth.make_corpus(rng, 1000, empty_every=13)
+    corpus = Corpus(rows)
+    tc = TokenizedCorpus.build(corpus, tok, max_text_len=40)
+    embs = []
+    for s in range(0, len(corpus), 250):
+        enc = tok.encode_batch_pair(
+            [(corpus[i]["title"], corpus.encode_text(i))
+             for i in range(s, min(s + 250, len(corpus)))], 48)
+        embs.append(np.asarray(model.apply(
+            params, jnp.asarray(enc["input_ids"]),
+            jnp.asarray(enc["attention_mask"]),
+            method=model.encode_seq), np.float32))
+    emb = np.concatenate(embs)
+    emb = emb - emb.mean(axis=0, keepdims=True)
+    index = DenseIndex.build(emb, chunk_rows=128, dtype=jnp.float32,
+                             pca_dims=emb.shape[1], pca_cand_rows=128)
+    n_pad = index.vectors.shape[0]
+    text_ids = np.full((n_pad, 40), tok.spec.pad_id, np.int32)
+    text_ids[:len(corpus)] = tc.text_ids
+    text_lens = np.zeros(n_pad, np.int32)
+    text_lens[:len(corpus)] = tc.text_lens
+    empty = np.zeros(n_pad, bool)
+    empty[:len(corpus)] = tc.empty
+    live = BeamSearcher(
+        encode_fn=lambda p, ids, mask, tt=None: model.apply(
+            p, ids, mask, tt, method=model.encode_seq),
+        params=params, index=index,
+        text_ids=jnp.asarray(text_ids), text_lens=jnp.asarray(text_lens),
+        empty=jnp.asarray(empty), spec=tok.spec,
+        config=SearchConfig(beam_size_1=3, beam_size_2=3, topk=3,
+                            max_q_len=24, max_q_sp_len=72, chunk_rows=128,
+                            use_pallas=False, use_pca=True, pca_k_chunks=7),
+        mesh=None)
+
+    new_rows = synth.make_corpus(rng, 4)
+    nc = Corpus(new_rows)
+    ntc = TokenizedCorpus.build(nc, tok, max_text_len=40)
+    enc = tok.encode_batch_pair(
+        [(nc[i]["title"], nc.encode_text(i)) for i in range(len(nc))], 48)
+    nemb = np.asarray(model.apply(params, jnp.asarray(enc["input_ids"]),
+                                  jnp.asarray(enc["attention_mask"]),
+                                  method=model.encode_seq), np.float32)
+    new_ids = live.add_docs(nemb, ntc.text_ids, ntc.text_lens, ntc.empty)
+    assert new_ids == [1000, 1001, 1002, 1003]
+    assert live.index.pca_proj is not None
+
+    qs = [f"question about {corpus[i * 7]['title']}" for i in range(8)]
+    q_inputs = tok.encode_batch_one(qs, 24)
+    raw = [tok.raw_ids_padded(q, 22) for q in qs]
+    q_raw_ids = np.stack([r[0] for r in raw])
+    q_raw_lens = np.array([r[1] for r in raw])
+    got = live.search(q_inputs, q_raw_ids, q_raw_lens)
+    assert "pca_cert1" in got
+
+    # certified hop-1 rows equal brute force over the UPDATED index
+    q_vec = np.asarray(model.apply(
+        params, jnp.asarray(q_inputs["input_ids"]),
+        jnp.asarray(q_inputs["attention_mask"]),
+        method=model.encode_seq), np.float32)
+    host = np.concatenate([emb, nemb])
+    scores = q_vec @ host.T
+    # empty-text docs are masked by the engine before ranking hop-1 SLOTS,
+    # but hop1_cand_ids come straight from MIPS — compare against raw brute
+    bi = np.argsort(-scores, axis=1, kind="stable")[:, :3]
+    for r in np.nonzero(np.asarray(got["pca_cert1"]))[0]:
+        np.testing.assert_array_equal(np.asarray(got["hop1_cand_ids"])[r],
+                                      bi[r])

@@ -202,6 +202,11 @@ def main(argv=None):
     p.add_argument("--pca-k-chunks", type=int, default=8,
                    help="chunks rescanned per query (higher = more "
                         "certified queries)")
+    p.add_argument("--pca-hops", default="auto",
+                   choices=["auto", "1", "2", "12"],
+                   help="which hops use the prefilter; auto = hop 2 always, "
+                        "hop 1 only without hop-2 buckets (measured lax.cond "
+                        "interaction, PERF.md)")
     p.add_argument("--save-path", default="")
     args = p.parse_args(argv)
 
@@ -220,7 +225,8 @@ def main(argv=None):
                        max_q_sp_len=args.max_q_sp_len,
                        chunk_rows=args.chunk_rows,
                        use_pallas=not args.no_pallas,
-                       use_pca=args.pca, pca_k_chunks=args.pca_k_chunks)
+                       use_pca=args.pca, pca_k_chunks=args.pca_k_chunks,
+                       pca_hops=args.pca_hops)
     corpus = Corpus.from_id2doc(os.path.join(args.index_dir, "id2doc.json"))
     if args.pca and args.hnsw:
         p.error("--pca is a device tier (not with --hnsw)")
@@ -255,11 +261,11 @@ def main(argv=None):
         res = searcher.search(q_inputs, np.stack([r[0] for r in raw]),
                               np.array([r[1] for r in raw]))
         n_q += len(batch)
-        if "pca_cert1" in res:
-            c1 = np.asarray(res["pca_cert1"][: len(batch)])
-            c2 = np.asarray(res["pca_cert2"][: len(batch)])
-            cert_hits += int(c1.sum()) + int(c2.sum())
-            cert_total += c1.size + c2.size
+        for key in ("pca_cert1", "pca_cert2"):
+            if key in res:
+                c = np.asarray(res[key][: len(batch)])
+                cert_hits += int(c.sum())
+                cert_total += c.size
         for i, row in enumerate(batch):
             # variable-hop: a chain whose stop head fires is one passage
             stops = [False] * len(res["hop1_ids"][i])

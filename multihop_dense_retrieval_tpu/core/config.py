@@ -195,6 +195,13 @@ class SearchConfig:
     # chunks rescanned per query per k result-slot (phase 2); higher = more
     # certified queries, more rescan bandwidth
     pca_k_chunks: int = 8
+    # Which hops run the prefilter.  "auto" (measured, PERF.md): hop 2
+    # always; hop 1 only when hop2_buckets is empty — the scalar-prefetch
+    # rescan UPSTREAM of the lax.cond bucketed encode regresses the whole
+    # pipeline by ~24 ms/batch (92.4 vs 68.5 measured) even though the op
+    # itself wins in every isolated harness, while hop-2 pca or bucketless
+    # engines win as expected.  "1" / "2" / "12" force a fixed assignment.
+    pca_hops: str = "auto"
 
 
 @_frozen

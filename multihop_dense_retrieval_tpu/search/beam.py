@@ -257,9 +257,18 @@ class BeamSearcher:
 
     # ------------------------------------------------------------------
 
-    def _mips(self, store, queries, k):
+    def _pca_on_hop(self, hop: int) -> bool:
+        """Resolve cfg.pca_hops for hop 1 or 2 (see core/config.py — the
+        measured lax.cond interaction behind the "auto" rule)."""
+        mode = self.config.pca_hops
+        if mode == "auto":
+            return hop == 2 or not self.config.hop2_buckets
+        return str(hop) in mode
+
+    def _mips(self, store, queries, k, pca: bool = True):
         """(vals, doc_ids, cert) top-k over the store's index; `cert` is the
-        per-query exactness-certificate mask under the PCA tier, else None.
+        per-query exactness-certificate mask under the PCA tier, else None
+        (also None when `pca=False` routes this hop to the plain kernels).
 
         Multi-vector index: fetch k*m rows, then collapse to k DOCS via
         max-over-vectors (rows grouped per passage, ops/mips.py).
@@ -272,8 +281,9 @@ class BeamSearcher:
         m = self.index.multi_vector
         k_rows = k * m
         cert = None
+        use_pca = pca and "pca_proj" in store
         if self.mesh is not None and self.mesh.shape.get("index", 1) > 1:
-            if "pca_proj" in store:
+            if use_pca:
                 vals, rows, cert = sharded_mips_topk_pca(
                     vectors, store["pca_proj"], store["pca_rot"],
                     store["pca_bounds"], queries, k_rows, self.mesh,
@@ -289,7 +299,7 @@ class BeamSearcher:
                     chunk_rows=self.config.chunk_rows,
                     n_valid=self.index.n_docs, doc_scales=scales,
                     n_valid_dyn=n_valid_dyn)
-        elif "pca_proj" in store:
+        elif use_pca:
             cand = self.index.pca_cand_rows
             n_pad = vectors.shape[0]
             step = 4096 if (n_pad % 4096 == 0 and 4096 % cand == 0) else cand
@@ -383,7 +393,8 @@ class BeamSearcher:
         q_vec = self.encode_fn(params, q_inputs["input_ids"],
                                q_inputs["attention_mask"],
                                q_inputs.get("token_type_ids"))
-        d1, i1, cert1 = self._mips(store, q_vec.astype(jnp.float32), beam1)
+        d1, i1, cert1 = self._mips(store, q_vec.astype(jnp.float32), beam1,
+                                   pca=self._pca_on_hop(1))
         # empty-text docs cannot start a chain (eval_mhop_retrieval.py:165)
         d1 = jnp.where(store["empty"][i1], NEG_INF, d1)
 
@@ -405,7 +416,8 @@ class BeamSearcher:
                 stop_logits.astype(jnp.float32), axis=-1)[:, 0]
         else:
             qsp_vec = self._encode_hop2(params, qsp)
-        d2, i2, cert2 = self._mips(store, qsp_vec.astype(jnp.float32), beam2)
+        d2, i2, cert2 = self._mips(store, qsp_vec.astype(jnp.float32), beam2,
+                                   pca=self._pca_on_hop(2))
         d2 = d2.reshape(bsz, beam1, beam2)
         i2 = i2.reshape(bsz, beam1, beam2)
 
@@ -427,10 +439,12 @@ class BeamSearcher:
             sp = stop_probs.reshape(bsz, beam1)
             out["stop_probs"] = sp                      # per hop-1 candidate
             out["top_stop_probs"] = jnp.take_along_axis(sp, hop1_slot, axis=1)
+        # PCA-tier exactness certificates: hop-1 per question, hop-2 per
+        # (question, hop-1 candidate) reformulated query; each hop emits its
+        # mask only when the prefilter ran there (cfg.pca_hops)
         if cert1 is not None:
-            # PCA-tier exactness certificates: hop-1 per question, hop-2 per
-            # (question, hop-1 candidate) reformulated query
             out["pca_cert1"] = cert1                    # (B,)
+        if cert2 is not None:
             out["pca_cert2"] = cert2.reshape(bsz, beam1)
         return out
 

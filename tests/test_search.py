@@ -568,3 +568,53 @@ def test_sharded_pca_engine_search():
     for i in np.nonzero(both)[0]:
         np.testing.assert_array_equal(a["hop1_ids"][i], b["hop1_ids"][i])
         np.testing.assert_array_equal(a["hop2_ids"][i], b["hop2_ids"][i])
+
+
+def test_pca_hops_auto_with_buckets():
+    """pca_hops="auto" + hop2_buckets: hop 1 runs the plain kernel (only
+    pca_cert2 is emitted) — the measured lax.cond interaction rule; "12"
+    forces both certs back."""
+    tok = HashTokenizer(vocab_size=512)
+    rng = np.random.RandomState(41)
+    docs = synth.make_corpus(rng, 1000, empty_every=17)
+    corpus = Corpus(docs)
+    tc = TokenizedCorpus.build(corpus, tok, max_text_len=60)
+    cfg = EncoderConfig.tiny(vocab_size=512, max_position_embeddings=96)
+    model = MhopRetriever(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32),
+                        jnp.ones((1, 8), jnp.int32), method=model.encode_seq)
+    emb = rng.randn(len(corpus), cfg.hidden_size).astype(np.float32)
+    index = DenseIndex.build(emb, chunk_rows=128, dtype=jnp.float32,
+                             pca_dims=16, pca_cand_rows=128)
+    n_pad = index.vectors.shape[0]
+    text_ids = np.full((n_pad, 60), tok.spec.pad_id, np.int32)
+    text_ids[:len(corpus)] = tc.text_ids
+    text_lens = np.zeros(n_pad, np.int32); text_lens[:len(corpus)] = tc.text_lens
+    empty = np.zeros(n_pad, bool); empty[:len(corpus)] = tc.empty
+
+    def build(scfg):
+        return BeamSearcher(
+            encode_fn=lambda p, ids, mask, tt=None: model.apply(
+                p, ids, mask, tt, method=model.encode_seq),
+            params=params, index=index,
+            text_ids=jnp.asarray(text_ids), text_lens=jnp.asarray(text_lens),
+            empty=jnp.asarray(empty), spec=tok.spec, config=scfg, mesh=None)
+
+    base = dict(beam_size_1=4, beam_size_2=4, topk=4, max_q_len=24,
+                max_q_sp_len=88, chunk_rows=128, use_pallas=False,
+                use_pca=True, pca_k_chunks=4,
+                hop2_buckets=(32, 48, 64, 88))
+    qs = [f"question {i}" for i in range(8)]
+    q_inputs = tok.encode_batch_one(qs, 24)
+    raw = [tok.raw_ids_padded(q, 20) for q in qs]
+    rid = np.stack([r[0] for r in raw])
+    rlen = np.array([r[1] for r in raw])
+
+    auto = build(SearchConfig(**base)).search(q_inputs, rid, rlen)
+    assert "pca_cert1" not in auto and auto["pca_cert2"].shape == (8, 4)
+    forced = build(SearchConfig(**base, pca_hops="12")).search(
+        dict(q_inputs), rid, rlen)
+    assert forced["pca_cert1"].shape == (8,)
+    hop1_only = build(SearchConfig(**base, pca_hops="1")).search(
+        dict(q_inputs), rid, rlen)
+    assert "pca_cert2" not in hop1_only and "pca_cert1" in hop1_only

@@ -53,6 +53,14 @@ def main(argv=None):
     p.add_argument("--chunk-rows", type=int, default=4096)
     p.add_argument("--no-pallas", action="store_true")
     p.add_argument("--index-shards", type=int, default=1)
+    p.add_argument("--pca", action="store_true",
+                   help="PCA-prefiltered MIPS (index built with --pca-dims); "
+                        "certified fraction reported")
+    p.add_argument("--pca-k-chunks", type=int, default=16,
+                   help="higher default than the hotpot eval: FEVER's "
+                        "asymmetric beams fetch large k per query")
+    p.add_argument("--pca-hops", default="auto",
+                   choices=["auto", "1", "2", "12"])
     p.add_argument("--save-path", default="")
     args = p.parse_args(argv)
 
@@ -69,13 +77,16 @@ def main(argv=None):
                        topk=args.topk, max_q_len=args.max_q_len,
                        max_q_sp_len=args.max_q_sp_len,
                        chunk_rows=args.chunk_rows,
-                       use_pallas=not args.no_pallas)
+                       use_pallas=not args.no_pallas,
+                       use_pca=args.pca, pca_k_chunks=args.pca_k_chunks,
+                       pca_hops=args.pca_hops)
     corpus = Corpus.from_id2doc(os.path.join(args.index_dir, "id2doc.json"))
     mesh = (make_mesh(index=args.index_shards)
             if args.index_shards > 1 else None)
     searcher = load_searcher(args.index_dir, tok, model, params, cfg, mesh)
 
     metrics, outputs = [], []
+    cert_hits, cert_total = 0, 0
     bs = args.batch_size
     t0 = time.time()
     n_q = 0
@@ -90,6 +101,11 @@ def main(argv=None):
         res = searcher.search(q_inputs, np.stack([r[0] for r in raw]),
                               np.array([r[1] for r in raw]))
         n_q += len(batch)
+        for key in ("pca_cert1", "pca_cert2"):
+            if key in res:
+                c = np.asarray(res[key][: len(batch)])
+                cert_hits += int(c.sum())
+                cert_total += c.size
         for i, row in enumerate(batch):
             chains = [
                 [(corpus[int(h1)]["title"], corpus[int(h1)]["text"]),
@@ -109,6 +125,9 @@ def main(argv=None):
             })
     dt = time.time() - t0
     logger.info("searched %d claims in %.2fs (%.1f q/s)", n_q, dt, n_q / dt)
+    if cert_total:
+        logger.info("pca exactness certificates: %.1f%% of MIPS queries "
+                    "provably exact", 100.0 * cert_hits / cert_total)
 
     if metrics:
         agg = aggregate_metrics(metrics)

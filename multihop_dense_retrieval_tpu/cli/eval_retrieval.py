@@ -36,6 +36,12 @@ def main(argv=None):
     p.add_argument("--max-q-len", type=int, default=50)
     p.add_argument("--chunk-rows", type=int, default=4096)
     p.add_argument("--num-workers", type=int, default=16)
+    p.add_argument("--pca", action="store_true",
+                   help="PCA-prefiltered MIPS (index built with --pca-dims) "
+                        "— bulk large-k retrieval is where the prefilter "
+                        "pays most (no downstream encode to schedule "
+                        "around); certified fraction reported")
+    p.add_argument("--pca-k-chunks", type=int, default=16)
     p.add_argument("--save-path", default="")
     args = p.parse_args(argv)
 
@@ -56,7 +62,11 @@ def main(argv=None):
     def encode(params, ids, mask):
         return model.apply(params, ids, mask, method=model.encode_seq)
 
+    if args.pca and index.pca_proj is None:
+        p.error("--pca needs an index built with encode_corpus --pca-dims")
+
     all_ids = []
+    cert_hits = cert_total = 0
     t0 = time.time()
     bs = args.batch_size
     for s in range(0, len(items), bs):
@@ -67,14 +77,40 @@ def main(argv=None):
         enc = tok.encode_batch_one(qs + [qs[-1]] * pad, args.max_q_len)
         vecs = encode(params, jnp.asarray(enc["input_ids"]),
                       jnp.asarray(enc["attention_mask"]))
-        _, ids = mips_topk(index.vectors, vecs.astype(index.vectors.dtype),
-                           args.topk, chunk_rows=args.chunk_rows,
-                           n_valid=index.n_docs)
+        if args.pca:
+            from ..ops.mips import mips_topk_pca, pick_pca_step_rows
+
+            cand = index.pca_cand_rows
+            n_pad_rows = index.vectors.shape[0]
+            step = pick_pca_step_rows(n_pad_rows, cand)
+            kc = max(1, min(args.pca_k_chunks, n_pad_rows // cand - 1))
+            _, ids, cert = mips_topk_pca(
+                index.vectors, index.pca_proj, index.pca_rot,
+                index.pca_bounds, vecs.astype(jnp.float32), args.topk,
+                k_chunks=kc, cand_rows=cand, step_rows=step,
+                n_valid=index.n_docs, doc_scales=index.scales,
+                interpret=jax.default_backend() != "tpu")
+            c = np.asarray(cert)[: len(batch)]
+            cert_hits += int(c.sum())
+            cert_total += c.size
+        else:
+            # int8 indexes: queries stay fp32 (the kernel quantizes them
+            # itself) and per-row scales ride along — casting queries to
+            # the index dtype would truncate them to int8 garbage
+            qdt = (jnp.float32 if index.scales is not None
+                   else index.vectors.dtype)
+            _, ids = mips_topk(index.vectors, vecs.astype(qdt),
+                               args.topk, chunk_rows=args.chunk_rows,
+                               n_valid=index.n_docs,
+                               doc_scales=index.scales)
         all_ids.append(np.asarray(ids)[: len(batch)])
     all_ids = np.concatenate(all_ids)
     dt = time.time() - t0
     logger.info("retrieved %d questions in %.2fs (%.1f q/s)",
                 len(items), dt, len(items) / dt)
+    if cert_total:
+        logger.info("pca exactness certificates: %.1f%% provably exact "
+                    "top-%d", 100.0 * cert_hits / cert_total, args.topk)
 
     simple = SimpleTokenizer()
     ks = [k for k in (1, 5, 10, 20, 50, 100) if k <= args.topk]

@@ -375,6 +375,13 @@ def mips_topk_pallas_int8(index_int8: jnp.ndarray, doc_scales: jnp.ndarray,
     lanes = 128
     if n % lanes:
         raise ValueError(f"int8 index rows {n} must be a multiple of {lanes}")
+    if chunk_rows < 8 * lanes and chunk_rows != n and not interpret:
+        # Mosaic block sublane constraint: the packed-scales block
+        # (chunk_rows/128, 128) needs >= 8 sublanes (or the full array) —
+        # real-TPU lowering fails below chunk_rows=1024 (the dispatcher
+        # falls back to the XLA tier instead)
+        raise ValueError(f"int8 pallas kernel needs chunk_rows >= 1024 "
+                         f"(got {chunk_rows}); use mips_topk_xla_int8")
     dsc = doc_scales.astype(jnp.float32).reshape(n // lanes, lanes)
 
     grid_spec = pl.GridSpec(
@@ -584,6 +591,13 @@ def _sparse_rescan(chunk_ids, nv, q_prepped, index, dsc_rows, *,
     b = q_prepped.shape[0]
     d = index.shape[1]
     is_int8 = index.dtype == jnp.int8
+    if is_int8 and dsc_rows.shape[0] % 8:
+        # the (8, chunk_rows) scale block needs 8 sublanes on real Mosaic;
+        # chunk ids never reach the pad rows (they index < num_chunks)
+        pad = 8 - dsc_rows.shape[0] % 8
+        dsc_rows = jnp.concatenate(
+            [dsc_rows, jnp.zeros((pad, dsc_rows.shape[1]),
+                                 dsc_rows.dtype)])
     rows_out = b * k_chunks
     rows_pad = -(-rows_out // 8) * 8
     out_spec = pl.BlockSpec(
@@ -848,6 +862,17 @@ def build_pca_prefilter(emb, rot, *, cand_rows: int = 512,
     return proj, bounds
 
 
+def pick_pca_step_rows(n: int, cand_rows: int) -> int:
+    """Largest valid phase-1 step for `mips_topk_pca`: must divide N, nest
+    cand_rows, and give the out block >= 8 sublanes (or cover the whole
+    index) for real-Mosaic lowering."""
+    for step in (4096, 8 * cand_rows, n):
+        if step <= n and n % step == 0 and step % cand_rows == 0 \
+                and (step // cand_rows >= 8 or step == n):
+            return step
+    return cand_rows  # the op falls back to interpret mode for this shape
+
+
 def _chunk_max_fine_kernel(q_ref, chunk_ref, nv_ref, out_ref,
                            step_rows: int, cand_rows: int, mask_valid: bool):
     """Per-`cand_rows`-chunk maxima of q·P^T, `step_rows` rows per grid
@@ -896,6 +921,11 @@ def mips_topk_pca(index: jnp.ndarray, proj: jnp.ndarray, rot: jnp.ndarray,
     if n % step_rows or step_rows % cand_rows or cand_rows % 128:
         raise ValueError(f"rows {n} / step {step_rows} / cand {cand_rows} "
                          "must nest and cand_rows % 128 == 0")
+    if not interpret and step_rows // cand_rows < 8 and step_rows != n:
+        # real-Mosaic sublane constraint on the phase-1 out block (see
+        # pick_pca_step_rows); tiny indexes run in interpret mode, which is
+        # plenty at that scale
+        interpret = True
     if num_cand <= k_chunks:
         raise ValueError("k_chunks must be < number of candidate chunks")
     bound = _valid_bound(n, n_valid, n_valid_dyn)
@@ -1022,6 +1052,11 @@ def mips_topk(index, queries, k: int, *, use_pallas: bool = True,
                                 jnp.dtype(index.dtype).itemsize))
     pallas_ok = use_pallas and (on_tpu or interpret) \
         and index.shape[0] % chunk == 0
+    if index.dtype == jnp.int8 and not interpret \
+            and chunk < 1024 and chunk != index.shape[0]:
+        # packed-scales block needs >= 8 sublanes on real Mosaic
+        # (mips_topk_pallas_int8 guard) — the XLA tier is exact anyway
+        pallas_ok = False
     # Large k: the two-phase search beats the running-merge kernel, whose
     # merge fires on almost every chunk at large batch.  Standalone kernel
     # timings overstate the win (a benign scan harness overlaps phase 2's
@@ -1146,8 +1181,7 @@ def sharded_mips_topk_pca(index: jnp.ndarray, proj: jnp.ndarray,
         raise ValueError("cand_rows must divide the per-shard row count")
     num_cand_local = shard_rows // cand_rows
     kc = max(1, min(k_chunks, num_cand_local - 1))
-    step = 4096 if (shard_rows % 4096 == 0 and 4096 % cand_rows == 0) \
-        else cand_rows
+    step = pick_pca_step_rows(shard_rows, cand_rows)
     use_dyn = n_valid_dyn is not None
     use_scales = doc_scales is not None
 

@@ -300,9 +300,11 @@ class BeamSearcher:
                     n_valid=self.index.n_docs, doc_scales=scales,
                     n_valid_dyn=n_valid_dyn)
         elif use_pca:
+            from ..ops.mips import pick_pca_step_rows
+
             cand = self.index.pca_cand_rows
             n_pad = vectors.shape[0]
-            step = 4096 if (n_pad % 4096 == 0 and 4096 % cand == 0) else cand
+            step = pick_pca_step_rows(n_pad, cand)
             # clamp: small corpora can have fewer candidate chunks than the
             # configured rescan budget (must leave >=1 unselected for ub_next)
             kc = max(1, min(self.config.pca_k_chunks, n_pad // cand - 1))

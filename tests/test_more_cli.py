@@ -210,3 +210,32 @@ def test_prep_cli(tmp_path):
     out3 = tmp_path / "idmap.json"
     prep_cli.main(["index-id-map", str(id2doc), str(out3)])
     assert json.load(open(out3)) == {"0": "abc", "1": "def"}
+
+
+def test_eval_retrieval_cli_int8_and_pca(tmp_path):
+    """Bulk single-hop retrieval over an int8 index — with and without the
+    PCA prefilter.  (The int8 path also pins the doc_scales/query-dtype
+    handling: queries must stay fp32 for the quantizing kernel.)"""
+    from multihop_dense_retrieval_tpu.cli import encode_corpus, eval_retrieval
+
+    rng = np.random.RandomState(2)
+    docs = synth.make_corpus(rng, 600)
+    docs[7]["text"] = "the secret answer is zanzibar ."
+    synth.write_jsonl(tmp_path / "corpus.jsonl",
+                      [{"title": d["title"], "text": d["text"]} for d in docs])
+    qas = [{"question": "where is the secret?", "answer": ["zanzibar"],
+            "sp": ["Title 7"]}]
+    synth.write_jsonl(tmp_path / "qas.jsonl", qas)
+    out_dir = str(tmp_path / "index")
+    encode_corpus.main([str(tmp_path / "corpus.jsonl"), out_dir,
+                        "--tokenizer", "hash", "--model-name", "tiny",
+                        "--batch-size", "64", "--chunk-rows", "128",
+                        "--max-c-len", "32", "--index-dtype", "int8",
+                        "--pca-dims", "32", "--pca-cand-rows", "128"])
+    base = [str(tmp_path / "qas.jsonl"), out_dir,
+            "--tokenizer", "hash", "--model-name", "tiny",
+            "--topk", "20", "--batch-size", "1",
+            "--max-q-len", "16", "--chunk-rows", "128"]
+    plain = eval_retrieval.main(base)
+    pca = eval_retrieval.main(base + ["--pca", "--pca-k-chunks", "3"])
+    assert "answer_recall@20" in plain and "answer_recall@20" in pca

@@ -51,6 +51,34 @@ def resolve_encoder_config(name: str, dtype: str = "bfloat16") -> EncoderConfig:
     return MODEL_PRESETS[name](dtype=dtype)
 
 
+def add_pipeline_args(p):
+    """Arguments that construct a `DemoPipeline` (retriever + reader + live
+    index) — shared by the demo REPL and the HTTP server so the two flag
+    surfaces cannot drift."""
+    p.add_argument("index_dir")
+    p.add_argument("--tokenizer", default="hash")
+    p.add_argument("--retriever-model", default="roberta-base")
+    p.add_argument("--retriever-checkpoint", default="")
+    p.add_argument("--reader-model", default="electra-large")
+    p.add_argument("--reader-checkpoint", default="")
+    p.add_argument("--beam-size", type=int, default=5)
+    p.add_argument("--topk", type=int, default=5)
+    p.add_argument("--max-q-len", type=int, default=70)
+    p.add_argument("--max-q-sp-len", type=int, default=350)
+    p.add_argument("--max-seq-len", type=int, default=512)
+    p.add_argument("--max-ans-len", type=int, default=30)
+    p.add_argument("--chunk-rows", type=int, default=4096)
+    p.add_argument("--max-c-len", type=int, default=300,
+                   help="passage budget when encoding live-added documents")
+    p.add_argument("--reader-bf16-scores", action="store_true",
+                   help="bf16 reader attention scores (+5-11%% at widths "
+                        "384-512, PERF.md); fp32 default")
+    p.add_argument("--pca", action="store_true",
+                   help="PCA-prefiltered MIPS (index built with --pca-dims)")
+    p.add_argument("--pca-k-chunks", type=int, default=8)
+    p.add_argument("--lambda", dest="lam", type=float, default=0.8)
+
+
 def resolve_tokenizer(spec: str, vocab_size: int = 50265,
                       roberta_style: bool = True):
     """`hash` → deterministic test tokenizer; anything else → local HF path."""

@@ -123,34 +123,26 @@ class DemoPipeline:
             "reading_s": t2 - t1,
         } for i, chains in enumerate(all_chains)]
 
+    def retrieve_batch(self, questions, pad_to=None):
+        """Retrieval only — one 2-hop search pass, NO reader (the /retrieve
+        endpoint; paying the ELECTRA-large forward just to discard the
+        answer would dominate the request)."""
+        t0 = time.time()
+        all_chains = retrieve_chains(self.searcher, self.r_tok, self.corpus,
+                                     questions, pad_to or len(questions),
+                                     self.args.max_q_len)
+        dt = time.time() - t0
+        return [{"chains": [[p["title"] for p in c] for c in chains],
+                 "retrieval_s": dt}
+                for chains in all_chains]
+
     def answer(self, question: str):
         return self.answer_batch([question])[0]
 
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("index_dir")
-    p.add_argument("--tokenizer", default="hash")
-    p.add_argument("--retriever-model", default="roberta-base")
-    p.add_argument("--retriever-checkpoint", default="")
-    p.add_argument("--reader-model", default="electra-large")
-    p.add_argument("--reader-checkpoint", default="")
-    p.add_argument("--beam-size", type=int, default=5)
-    p.add_argument("--topk", type=int, default=5)
-    p.add_argument("--max-q-len", type=int, default=70)
-    p.add_argument("--max-q-sp-len", type=int, default=350)
-    p.add_argument("--max-seq-len", type=int, default=512)
-    p.add_argument("--max-ans-len", type=int, default=30)
-    p.add_argument("--chunk-rows", type=int, default=4096)
-    p.add_argument("--max-c-len", type=int, default=300,
-                   help="passage budget when encoding live-added documents")
-    p.add_argument("--reader-bf16-scores", action="store_true",
-                   help="bf16 reader attention scores (+5-11%% at widths "
-                        "384-512, PERF.md); fp32 default")
-    p.add_argument("--pca", action="store_true",
-                   help="PCA-prefiltered MIPS (index built with --pca-dims)")
-    p.add_argument("--pca-k-chunks", type=int, default=8)
-    p.add_argument("--lambda", dest="lam", type=float, default=0.8)
+    common.add_pipeline_args(p)
     p.add_argument("--question", default="",
                    help="answer one question and exit (non-interactive)")
     args = p.parse_args(argv)

@@ -62,10 +62,14 @@ class EngineWorker(threading.Thread):
 
     # ---- internals -----------------------------------------------------
 
-    def _run_batch(self, batch):
+    BATCHABLE = ("answer", "retrieve")
+
+    def _run_batch(self, kind, batch):
         qs = [p["question"] for p, _ in batch]
+        fn = (self.pipe.answer_batch if kind == "answer"
+              else self.pipe.retrieve_batch)
         try:
-            outs = self.pipe.answer_batch(qs, pad_to=self.max_batch)
+            outs = fn(qs, pad_to=self.max_batch)
             for (_, f), out in zip(batch, outs):
                 f.set_result(out)
         except Exception as e:  # noqa: BLE001 — surfaced per request
@@ -76,13 +80,17 @@ class EngineWorker(threading.Thread):
 
     def _run_op(self, kind, payload, f):
         try:
+            # n_docs read HERE (single worker thread, right after the op) —
+            # the handler thread reading it later would race other updates
             if kind == "add":
                 doc_id = self.pipe.add_document(payload.get("title", ""),
                                                 payload.get("text", ""))
-                f.set_result({"doc_id": doc_id})
+                f.set_result({"doc_id": doc_id,
+                              "n_docs": self.pipe.searcher.index.n_docs})
             elif kind == "delete":
                 moved = self.pipe.delete_document(int(payload["doc_id"]))
-                f.set_result({"moved_doc_id": moved})
+                f.set_result({"moved_doc_id": moved,
+                              "n_docs": self.pipe.searcher.index.n_docs})
             else:
                 raise ValueError(f"unknown op {kind}")
         except Exception as e:  # noqa: BLE001
@@ -94,7 +102,7 @@ class EngineWorker(threading.Thread):
             item = pending if pending is not None else self.q.get()
             pending = None
             kind, payload, f = item
-            if kind != "answer":
+            if kind not in self.BATCHABLE:
                 self._run_op(kind, payload, f)
                 continue
             batch = [(payload, f)]
@@ -107,12 +115,14 @@ class EngineWorker(threading.Thread):
                     nxt = self.q.get(timeout=timeout)
                 except queue.Empty:
                     break
-                if nxt[0] == "answer":
+                if nxt[0] == kind:
                     batch.append((nxt[1], nxt[2]))
                 else:
-                    pending = nxt  # flush the batch, then run the update
+                    # different kind (update OR other batchable op): flush
+                    # this batch first, then serve the queued item
+                    pending = nxt
                     break
-            self._run_batch(batch)
+            self._run_batch(kind, batch)
 
 
 def make_handler(pipe: DemoPipeline, worker: EngineWorker):
@@ -148,27 +158,31 @@ def make_handler(pipe: DemoPipeline, worker: EngineWorker):
             except (ValueError, json.JSONDecodeError):
                 self._send(400, {"error": "invalid JSON body"})
                 return
+            if not isinstance(req, dict):
+                self._send(400, {"error": "body must be a JSON object"})
+                return
+            try:
+                self._dispatch(req)
+            except (IndexError, ValueError) as e:
+                # bad doc ids and malformed fields surface as client errors
+                self._send(400, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001 — a dropped connection
+                self._send(500, {"error": str(e)})  # helps no client
+
+        def _dispatch(self, req):
             if self.path == "/add_doc":
-                if not req.get("title", "").strip():
+                if not str(req.get("title", "")).strip():
                     self._send(400, {"error": "missing 'title'"})
                     return
-                out = worker.submit("add", req).result()
-                out["n_docs"] = pipe.searcher.index.n_docs
-                self._send(200, out)
+                self._send(200, worker.submit("add", req).result())
                 return
             if self.path == "/delete_doc":
                 if "doc_id" not in req:
                     self._send(400, {"error": "missing 'doc_id'"})
                     return
-                try:
-                    out = worker.submit("delete", req).result()
-                except IndexError as e:
-                    self._send(400, {"error": str(e)})
-                    return
-                out["n_docs"] = pipe.searcher.index.n_docs
-                self._send(200, out)
+                self._send(200, worker.submit("delete", req).result())
                 return
-            question = req.get("question", "").strip()
+            question = str(req.get("question", "")).strip()
             if not question:
                 self._send(400, {"error": "missing 'question'"})
                 return
@@ -176,9 +190,9 @@ def make_handler(pipe: DemoPipeline, worker: EngineWorker):
                 self._send(200, worker.submit(
                     "answer", {"question": question}).result())
             elif self.path == "/retrieve":
-                out = worker.submit("answer", {"question": question}).result()
-                self._send(200, {"chains": out["chains"],
-                                 "retrieval_s": out["retrieval_s"]})
+                # retrieval-only micro-batches: no reader pass
+                self._send(200, worker.submit(
+                    "retrieve", {"question": question}).result())
             else:
                 self._send(404, {"error": "not found"})
 
@@ -199,36 +213,17 @@ def make_server(pipe: DemoPipeline, host: str, port: int, *,
 
 
 def main(argv=None):
+    from . import common
+
     p = argparse.ArgumentParser()
-    p.add_argument("index_dir")
+    common.add_pipeline_args(p)
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--host", default="127.0.0.1")
-    p.add_argument("--tokenizer", default="hash")
-    p.add_argument("--retriever-model", default="roberta-base")
-    p.add_argument("--retriever-checkpoint", default="")
-    p.add_argument("--reader-model", default="electra-large")
-    p.add_argument("--reader-checkpoint", default="")
-    p.add_argument("--beam-size", type=int, default=5)
-    p.add_argument("--topk", type=int, default=5)
-    p.add_argument("--max-q-len", type=int, default=70)
-    p.add_argument("--max-q-sp-len", type=int, default=350)
-    p.add_argument("--max-seq-len", type=int, default=512)
-    p.add_argument("--max-ans-len", type=int, default=30)
-    p.add_argument("--chunk-rows", type=int, default=4096)
-    p.add_argument("--max-c-len", type=int, default=300)
-    p.add_argument("--lambda", dest="lam", type=float, default=0.8)
-    p.add_argument("--reader-bf16-scores", action="store_true",
-                   help="bf16 reader attention scores (+5-11%% at widths "
-                        "384-512, PERF.md); fp32 default")
-    p.add_argument("--pca", action="store_true",
-                   help="PCA-prefiltered MIPS (index built with --pca-dims)")
-    p.add_argument("--pca-k-chunks", type=int, default=8)
     p.add_argument("--max-batch", type=int, default=16,
                    help="micro-batch cap for concurrent questions")
     p.add_argument("--batch-wait-ms", type=float, default=8.0,
                    help="batching window after the first queued question")
     args = p.parse_args(argv)
-    args.question = ""
 
     pipe = DemoPipeline(args)
     server = make_server(pipe, args.host, args.port,

@@ -66,10 +66,16 @@ def test_answer_endpoint(server):
 def test_retrieve_endpoint_and_errors(server):
     code, out = _post(f"{server}/retrieve", {"question": "another question?"})
     assert code == 200 and "chains" in out
+    assert "reading_s" not in out  # retrieval-only: the reader never ran
     code, out = _post(f"{server}/answer", {})
     assert code == 400 and "question" in out["error"]
     code, out = _post(f"{server}/nope", {"question": "x"})
     assert code == 404
+    # malformed bodies get clean 400s, never a dropped connection
+    code, out = _post(f"{server}/answer", [1, 2, 3])
+    assert code == 400 and "object" in out["error"]
+    code, out = _post(f"{server}/delete_doc", {"doc_id": "not-a-number"})
+    assert code == 400
 
 
 def test_live_document_updates(server):
@@ -133,11 +139,18 @@ class _FakePipe:
     def __init__(self):
         self.batches = []
         self.adds = []
+        # the worker reads searcher.index.n_docs right after each update
+        self.searcher = type("S", (), {
+            "index": type("I", (), {"n_docs": 101})()})()
 
     def answer_batch(self, qs, pad_to=None):
         self.batches.append(list(qs))
         return [{"answer": q, "chains": [], "supporting": [],
                  "retrieval_s": 0.0, "reading_s": 0.0} for q in qs]
+
+    def retrieve_batch(self, qs, pad_to=None):
+        self.batches.append(list(qs))
+        return [{"chains": [], "retrieval_s": 0.0} for q in qs]
 
     def add_document(self, title, text):
         self.adds.append(title)

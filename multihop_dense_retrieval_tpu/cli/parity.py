@@ -28,7 +28,6 @@ DATA layout (reference download layout; every path individually overridable):
 import argparse
 import json
 import os
-import shutil
 import sys
 
 # Reference README.md:74-92 (beam-1 / top-1 retrieval on hotpot_qas_val).
@@ -102,6 +101,35 @@ def prepare_index_dir(paths, cache_dir, tokenizer, max_c_len, logger):
     index_npz = os.path.join(cache_dir, "index.npz")
     tokens_npz = os.path.join(cache_dir, "tokens.npz")
     id2doc_json = os.path.join(cache_dir, "id2doc.json")
+
+    # cache fingerprint: existence alone would silently reuse artifacts
+    # built with a DIFFERENT tokenizer / budget / source files and score
+    # hop-2 reranking against wrong tokens
+    def _mtime(path):
+        try:
+            return os.path.getmtime(path)
+        except OSError:
+            return None
+
+    spec = getattr(tokenizer, "spec", None)
+    fingerprint = {
+        "tokenizer": repr(spec) if spec is not None else type(tokenizer).__name__,
+        "max_c_len": max_c_len,
+        "wiki_index": [paths["wiki_index"], _mtime(paths["wiki_index"])],
+        "id2doc": [paths["id2doc"], _mtime(paths["id2doc"])],
+    }
+    fp_path = os.path.join(cache_dir, "cache_fingerprint.json")
+    stale = True
+    if os.path.exists(fp_path):
+        with open(fp_path) as f:
+            stale = json.load(f) != fingerprint
+    if stale:
+        for f_ in (index_npz, tokens_npz, id2doc_json):
+            if os.path.exists(f_):
+                logger.info("cache fingerprint changed — rebuilding %s", f_)
+                os.remove(f_)
+        with open(fp_path, "w") as f:
+            json.dump(fingerprint, f)
 
     if not os.path.exists(id2doc_json):
         logger.info("ingesting id2doc %s", paths["id2doc"])

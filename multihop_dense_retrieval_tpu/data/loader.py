@@ -33,6 +33,20 @@ class BatchLoader:
         n = len(self.ds)
         return n // self.bs if self.drop_last else -(-n // self.bs)
 
+    # -- data-order RNG snapshot (preemption resume) ---------------------
+    # JSON-serializable Mersenne state: a resumed run replays the SAME
+    # shuffle sequence an uninterrupted run would have seen.
+
+    def rng_state(self) -> dict:
+        alg, keys, pos, has_gauss, cached = self.rng.get_state()
+        return {"alg": alg, "keys": np.asarray(keys).tolist(),
+                "pos": int(pos), "has_gauss": int(has_gauss),
+                "cached": float(cached)}
+
+    def set_rng_state(self, st: dict):
+        self.rng.set_state((st["alg"], np.asarray(st["keys"], np.uint32),
+                            st["pos"], st["has_gauss"], st["cached"]))
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         n = len(self.ds)
         order = np.arange(n)

@@ -45,10 +45,19 @@ class PreemptionCheckpointer:
     def save(self, state: Any, *, epoch: int, best_metric: float,
              rng_state: Optional[Dict] = None):
         os.makedirs(self.dir, exist_ok=True)
+        # the orbax save is a COLLECTIVE (all pod processes join); the JSON
+        # sidecar is plain file io — process 0 only, written atomically so a
+        # kill mid-write can't leave a truncated file that crash-loops every
+        # subsequent requeue (the exact failure this module exists to avoid)
         ckpt.save_pytree(os.path.join(self.dir, "trainer_state"), state)
-        with open(os.path.join(self.dir, "trainer_meta.json"), "w") as f:
+        if jax.process_index() != 0:
+            return
+        meta_path = os.path.join(self.dir, "trainer_meta.json")
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump({"epoch": epoch, "best_metric": best_metric,
                        "rng_state": rng_state}, f)
+        os.replace(tmp, meta_path)
 
     def maybe_restore(self, state_template: Any):
         """Returns (state, meta) if a checkpoint exists, else (None, None)."""

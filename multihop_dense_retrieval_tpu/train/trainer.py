@@ -472,6 +472,11 @@ class RetrieverTrainer:
                     self.state = state
                     start_epoch = meta["epoch"] + 1
                     self.best_mrr = meta["best_metric"]
+                    if meta.get("rng_state"):
+                        # replay the data order an uninterrupted run would
+                        # see (the reference saves rng_state the same way,
+                        # mhop_trainer.py:41-117)
+                        self.train_loader.set_rng_state(meta["rng_state"])
                     self.log(f"resumed from epoch {meta['epoch']} "
                              f"(best_mrr={self.best_mrr:.4f})")
         smoothed = None
@@ -511,7 +516,8 @@ class RetrieverTrainer:
                 self.best_mrr = max(self.best_mrr, stats.mrr_avg)
             if checkpointer:
                 checkpointer.save(self.state, epoch=epoch,
-                                  best_metric=self.best_mrr)
+                                  best_metric=self.best_mrr,
+                                  rng_state=self.train_loader.rng_state())
                 if checkpointer.preempted:
                     self.log("preemption signal received — state saved, "
                              "exiting for requeue")

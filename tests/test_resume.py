@@ -51,3 +51,48 @@ def test_resume_after_interrupt(tmp_path):
     assert any("resumed from epoch 0" in l for l in logs)
     # ran exactly one more epoch on top of the restored state
     assert int(t2.state.step) == 2 * step_after_e0
+
+
+def test_resume_replays_data_order(tmp_path):
+    """The preempt meta carries the loader's RNG state: a resumed run sees
+    the SAME epoch-1 shuffle an uninterrupted 2-epoch run sees (not the
+    epoch-0 order a fresh seed would produce)."""
+    # uninterrupted reference: consume epoch 0's shuffle, record epoch 1's
+    _, _, _, tl_ref, _ = _setup(tmp_path, num_epochs=2)
+    list(tl_ref)
+    ref_epoch1 = [np.asarray(b["q_input_ids"]).copy() for b in tl_ref]
+
+    out = str(tmp_path / "out")
+    model, tcfg, params, tl, el = _setup(tmp_path, num_epochs=1)
+    t1 = RetrieverTrainer(model, tcfg, tl, el, init_params=params,
+                          output_dir=out, log_fn=lambda *_: None)
+    t1.run()
+
+    model, tcfg2, params, tl2, el2 = _setup(tmp_path, num_epochs=2)
+    t2 = RetrieverTrainer(model, tcfg2, tl2, el2, init_params=params,
+                          output_dir=out, log_fn=lambda *_: None)
+    t2.run()  # resumes: must restore tl2's RNG to the post-epoch-0 state
+    # both loaders have now consumed exactly two shuffles (epoch 0 + 1);
+    # identical RNG positions prove the resumed run replayed the reference
+    # data order rather than restarting from the seed
+    assert tl2.rng.randint(1 << 30) == tl_ref.rng.randint(1 << 30)
+    del ref_epoch1
+
+
+def test_loader_rng_state_roundtrip():
+    from multihop_dense_retrieval_tpu.data import BatchLoader
+
+    class _DS(list):
+        pass
+
+    ds = _DS(range(37))
+    a = BatchLoader(ds, 5, shuffle=True, seed=3, num_workers=1,
+                    collate=lambda x: {"v": np.asarray(x)})
+    b = BatchLoader(ds, 5, shuffle=True, seed=999, num_workers=1,
+                    collate=lambda x: {"v": np.asarray(x)})
+    list(a)  # advance
+    b.set_rng_state(a.rng_state())
+    oa = [x["v"] for x in a]
+    ob = [x["v"] for x in b]
+    for x, y in zip(oa, ob):
+        np.testing.assert_array_equal(x, y)

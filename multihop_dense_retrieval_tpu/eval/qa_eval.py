@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.qa_dataset import QADataset, qa_collate, decode_answer
-from .hotpot_metrics import (exact_match_score, f1_score, update_sp,
+from .hotpot_metrics import (update_answer, update_sp,
                              joint_metrics, new_metrics)
 
 
@@ -98,7 +98,6 @@ def predict(predict_step: Callable, params, dataset: QADataset, *,
             if sp_pred and "sp_prob" in out:
                 probs = out["sp_prob"][i]
                 passages = batch["passages"][i]
-                sent_offset = 0
                 si = 0
                 for passage in passages:
                     for local_idx in range(len(passage.get("sents", []))):
@@ -132,15 +131,17 @@ def predict(predict_step: Callable, params, dataset: QADataset, *,
             top = cands[0]
             answers[qid], sps[qid] = top["pred_str"], top["pred_sp"]
             gold = id2gold[qid][0] if id2gold[qid] else ""
-            em = float(exact_match_score(top["pred_str"], gold))
-            f1, prec, rec = f1_score(top["pred_str"], gold)
-            m["em"] += em; m["f1"] += f1; m["prec"] += prec; m["recall"] += rec
+            em, prec, rec = update_answer(m, top["pred_str"], gold)
             sp_em, sp_prec, sp_rec = update_sp(m, top["pred_sp"], id2goldsp[qid])
             joint_metrics(m, em, prec, rec, sp_em, sp_prec, sp_rec)
         stats = {k: v / max(n, 1) for k, v in m.items()}
         stats["lambda"] = lam
         per_lambda[lam] = stats
-        if best is None or stats["joint_f1"] > best["joint_f1"]:
+        # select by joint F1 when sp scores exist (train_qa.py:350-361
+        # --final-metric joint_f1); without an sp head every joint_f1 is 0,
+        # so fall back to answer F1 instead of silently keeping lambda[0]
+        metric = "joint_f1" if sp_pred else "f1"
+        if best is None or stats[metric] > best[metric]:
             best = dict(stats, answers=answers, sp=sps)
     return {"chain_em": chain_em, "best": best, "per_lambda": per_lambda,
             "n_questions": len(id2result)}

@@ -177,6 +177,20 @@ def test_error_decomposition():
     assert agg["overall"]["bridge_hop_error"] == 0.25
     assert agg["overall"]["ordering_error"] == 0.25
 
+    # bridge label disambiguation: hop-1 found ONLY the bridge passage B —
+    # with bridge="B" that is a START failure (the reference keys buckets
+    # off item['bridge']); the unlabeled heuristic would call it bridge err
+    row = decompose_errors(["A", "B"], "bridge", [["B", "X"]], ["B"],
+                           bridge="B")
+    assert row["start_hop_error"] == 1 and row["bridge_hop_error"] == 0
+    # ...and finding the true start A with the bridge missing stays bridge err
+    row = decompose_errors(["A", "B"], "bridge", [["A", "X"]], ["A"],
+                           bridge="B")
+    assert row["bridge_hop_error"] == 1
+
+    # empty input: a zeroed report, not a ZeroDivisionError
+    assert aggregate_errors([])["overall"]["n"] == 0
+
 
 def test_preemption_roundtrip(tmp_path):
     from multihop_dense_retrieval_tpu.train.preemption import PreemptionCheckpointer

@@ -30,8 +30,13 @@ import numpy as np
 from .tokenization import _Base as Tokenizer
 
 
-def _normalize(text: str) -> str:
+def nfd_normalize(text: str) -> str:
+    """The reference NFD-normalizes titles everywhere (EmDataset et al.) —
+    one shared definition; data modules and utils import from here."""
     return unicodedata.normalize("NFD", text)
+
+
+_normalize = nfd_normalize  # internal alias
 
 
 class Corpus:

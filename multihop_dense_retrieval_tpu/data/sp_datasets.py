@@ -10,7 +10,6 @@ random other sample's positive (train) or a dummy (eval)
 from __future__ import annotations
 
 import json
-import unicodedata
 from typing import Dict, List
 
 import numpy as np
@@ -18,8 +17,7 @@ import numpy as np
 from .tokenization import _Base as Tokenizer
 
 
-def _normalize(text: str) -> str:
-    return unicodedata.normalize("NFD", text)
+from .corpus import nfd_normalize as _normalize
 
 
 class SPDataset:
@@ -148,7 +146,5 @@ class NQMhopDataset:
         return out
 
 
-def sp_collate(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
-    if not samples:
-        return {}
-    return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+# identical stacking semantics — one definition (mhop_dataset.py)
+from .mhop_dataset import mhop_collate as sp_collate  # noqa: E402

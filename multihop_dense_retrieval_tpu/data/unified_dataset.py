@@ -18,7 +18,6 @@ Re-design of mdr/retrieval/data/unified_dataset.py and fever_dataset.py:
 from __future__ import annotations
 
 import json
-import unicodedata
 from typing import Dict, List
 
 import numpy as np
@@ -28,8 +27,7 @@ from .tokenization import _Base as Tokenizer
 DUMMY = {"title": "dummy", "text": "dummy"}
 
 
-def _normalize(text: str) -> str:
-    return unicodedata.normalize("NFD", text)
+from .corpus import nfd_normalize as _normalize
 
 
 class UnifiedDataset:
@@ -97,6 +95,15 @@ class UnifiedDataset:
             "q_sp_mask": q_sp["attention_mask"],
             "stop_targets": np.int32(int(mhop)),
         }
+        # BERT-style tokenizers: q_sp is a PAIR encoding whose segment-B ids
+        # must reach the encoder (unified_collate emits q_type_ids /
+        # q_sp_type_ids, unified_dataset.py:235-244) — dropping them would
+        # embed the passage half with segment-0 while c1/c2/negs in the
+        # same batch get correct segment-1 ids
+        if "token_type_ids" in q:
+            out["q_type_ids"] = q["token_type_ids"]
+        if "token_type_ids" in q_sp:
+            out["q_sp_type_ids"] = q_sp["token_type_ids"]
         for name, para in (("c1", start_para), ("c2", bridge_para),
                            ("neg1", neg1), ("neg2", neg2)):
             enc = self._encode_para(para, self.max_c_len)
@@ -156,11 +163,17 @@ class FeverDataset:
             "q_sp_input_ids": q_sp["input_ids"],
             "q_sp_mask": q_sp["attention_mask"],
         }
+        if "token_type_ids" in q:
+            out["q_type_ids"] = q["token_type_ids"]
+        if "token_type_ids" in q_sp:
+            out["q_sp_type_ids"] = q_sp["token_type_ids"]
         for name, para in (("c1", start_para), ("c2", bridge_para),
                            ("neg1", negs[0]), ("neg2", negs[1])):
             enc = self._encode_para(para, self.max_c_len)
             out[f"{name}_input_ids"] = enc["input_ids"]
             out[f"{name}_mask"] = enc["attention_mask"]
+            if "token_type_ids" in enc:
+                out[f"{name}_type_ids"] = enc["token_type_ids"]
         return out
 
 

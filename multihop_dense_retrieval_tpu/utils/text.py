@@ -9,7 +9,6 @@ passage text as normalized token subsequences.
 
 from __future__ import annotations
 
-import unicodedata
 from typing import List, Sequence
 
 import regex
@@ -35,8 +34,7 @@ class SimpleTokenizer:
         return [t.lower() for t in toks] if uncased else toks
 
 
-def _normalize(text: str) -> str:
-    return unicodedata.normalize("NFD", text)
+from ..data.corpus import nfd_normalize as _normalize
 
 
 def para_has_answer(answers: Sequence[str], para: str,

@@ -33,6 +33,21 @@ struct HNSW {
   std::vector<std::vector<int>> neighbors;    // per level, n * cap
   std::mt19937 rng;
   double level_mult;
+  // generation-stamped visited table (FAISS VisitedTable): one reusable
+  // buffer instead of an O(n) zero-fill per search_layer call — the
+  // per-call vector made index CONSTRUCTION O(n^2) in memset traffic.
+  // NOT thread-safe: searches on one index must be serialized (true for
+  // every in-repo caller; the ctypes layer keeps one handle per index).
+  mutable std::vector<uint32_t> visit_stamp;
+  mutable uint32_t visit_gen = 0;
+
+  void begin_visit() const {
+    if (visit_stamp.size() < (size_t)n()) visit_stamp.resize(n(), 0);
+    if (++visit_gen == 0) {           // u32 wrap: reset stamps once per 4B
+      std::fill(visit_stamp.begin(), visit_stamp.end(), 0);
+      visit_gen = 1;
+    }
+  }
 
   HNSW(int d, int m, int efc, uint64_t seed)
       : dim(d), M(m), ef_construction(efc), rng(seed),
@@ -85,12 +100,12 @@ struct HNSW {
                         std::vector<std::pair<float, int>>,
                         std::greater<>> results;
     std::priority_queue<std::pair<float, int>> candidates;
-    std::vector<uint8_t> visited(n(), 0);
+    begin_visit();
 
     float s0 = ip(q, vec(start));
     results.push({s0, start});
     candidates.push({s0, start});
-    visited[start] = 1;
+    visit_stamp[start] = visit_gen;
 
     while (!candidates.empty()) {
       auto [cs, cid] = candidates.top();
@@ -100,8 +115,8 @@ struct HNSW {
       for (int j = 0; j < cap(level); ++j) {
         int cand = nb[j];
         if (cand < 0) break;
-        if (visited[cand]) continue;
-        visited[cand] = 1;
+        if (visit_stamp[cand] == visit_gen) continue;
+        visit_stamp[cand] = visit_gen;
         float s = ip(q, vec(cand));
         if ((int)results.size() < ef || s > results.top().first) {
           results.push({s, cand});
@@ -257,25 +272,35 @@ void hnsw_search_batch(void* h, int64_t nq, const float* qs, int k, int ef,
   }
 }
 
+// every write/read checked: a short fwrite (full disk) must fail the save,
+// and a truncated/corrupt file must fail the load cleanly (python raises
+// IOError) instead of resizing to garbage counts or reading junk adjacency
+#define WR(ptr, sz, cnt) \
+  do { if (fwrite((ptr), (sz), (cnt), f) != (size_t)(cnt)) { \
+         fclose(f); return -1; } } while (0)
+#define RD(ptr, sz, cnt) \
+  do { if (fread((ptr), (sz), (cnt), f) != (size_t)(cnt)) { \
+         fclose(f); delete idx; return nullptr; } } while (0)
+
 int hnsw_save(void* h, const char* path) {
   HNSW* idx = (HNSW*)h;
   FILE* f = fopen(path, "wb");
   if (!f) return -1;
   int32_t header[4] = {idx->dim, idx->M, idx->ef_construction, idx->max_level};
-  fwrite(header, sizeof(int32_t), 4, f);
+  WR(header, sizeof(int32_t), 4);
   int64_t n = idx->n(), entry = idx->entry;
-  fwrite(&n, sizeof(int64_t), 1, f);
-  fwrite(&entry, sizeof(int64_t), 1, f);
-  fwrite(idx->data.data(), sizeof(float), idx->data.size(), f);
-  fwrite(idx->levels.data(), sizeof(int), idx->levels.size(), f);
+  WR(&n, sizeof(int64_t), 1);
+  WR(&entry, sizeof(int64_t), 1);
+  WR(idx->data.data(), sizeof(float), idx->data.size());
+  WR(idx->levels.data(), sizeof(int), idx->levels.size());
   int32_t nlev = (int32_t)idx->neighbors.size();
-  fwrite(&nlev, sizeof(int32_t), 1, f);
+  WR(&nlev, sizeof(int32_t), 1);
   for (auto& adj : idx->neighbors) {
     int64_t sz = (int64_t)adj.size();
-    fwrite(&sz, sizeof(int64_t), 1, f);
-    fwrite(adj.data(), sizeof(int), adj.size(), f);
+    WR(&sz, sizeof(int64_t), 1);
+    WR(adj.data(), sizeof(int), adj.size());
   }
-  fclose(f);
+  if (fclose(f) != 0) return -1;
   return 0;
 }
 
@@ -283,28 +308,40 @@ void* hnsw_load(const char* path) {
   FILE* f = fopen(path, "rb");
   if (!f) return nullptr;
   int32_t header[4];
-  if (fread(header, sizeof(int32_t), 4, f) != 4) { fclose(f); return nullptr; }
-  HNSW* idx = new HNSW(header[0], header[1], header[2], 0);
+  HNSW* idx = nullptr;
+  RD(header, sizeof(int32_t), 4);
+  if (header[0] <= 0 || header[1] <= 0) { fclose(f); return nullptr; }
+  idx = new HNSW(header[0], header[1], header[2], 0);
   idx->max_level = header[3];
   int64_t n, entry;
-  fread(&n, sizeof(int64_t), 1, f);
-  fread(&entry, sizeof(int64_t), 1, f);
+  RD(&n, sizeof(int64_t), 1);
+  RD(&entry, sizeof(int64_t), 1);
+  if (n < 0 || entry < -1 || entry >= n) {
+    fclose(f); delete idx; return nullptr;
+  }
   idx->entry = (int)entry;
   idx->data.resize((size_t)n * idx->dim);
-  fread(idx->data.data(), sizeof(float), idx->data.size(), f);
+  RD(idx->data.data(), sizeof(float), idx->data.size());
   idx->levels.resize(n);
-  fread(idx->levels.data(), sizeof(int), n, f);
+  RD(idx->levels.data(), sizeof(int), n);
   int32_t nlev;
-  fread(&nlev, sizeof(int32_t), 1, f);
+  RD(&nlev, sizeof(int32_t), 1);
+  if (nlev < 0 || nlev > 64) { fclose(f); delete idx; return nullptr; }
   idx->neighbors.resize(nlev);
-  for (auto& adj : idx->neighbors) {
+  for (int l = 0; l < nlev; ++l) {
+    auto& adj = idx->neighbors[l];
     int64_t sz;
-    fread(&sz, sizeof(int64_t), 1, f);
+    RD(&sz, sizeof(int64_t), 1);
+    int64_t expect = n * (int64_t)idx->cap(l);
+    if (sz != expect) { fclose(f); delete idx; return nullptr; }
     adj.resize(sz);
-    fread(adj.data(), sizeof(int), sz, f);
+    RD(adj.data(), sizeof(int), sz);
   }
   fclose(f);
   return idx;
 }
+
+#undef WR
+#undef RD
 
 }  // extern "C"

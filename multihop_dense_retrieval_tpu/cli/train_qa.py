@@ -113,8 +113,7 @@ def main(argv=None):
         print(json.dumps({"chain_em": res["chain_em"], **best}))
         return res
 
-    train_ds = QADataset(tok, args.train_file, train=True,
-                         neg_num=args.neg_num, seed=args.seed, **kw)
+    train_ds = QADataset(tok, args.train_file, train=True, **kw)
     sampler = QAGroupSampler(train_ds, neg_num=args.neg_num, seed=args.seed)
     steps_per_epoch = max(len(sampler.epoch_indices()) // args.batch_size, 1)
     tcfg = RetrieverTrainConfig(learning_rate=args.learning_rate,

@@ -217,14 +217,15 @@ class QADataset:
 
     def __init__(self, tokenizer: Tokenizer, data, *, max_seq_len=512,
                  max_q_len=64, num_answer_slots=10, max_sents=40,
-                 train=False, neg_num=5, seed=42):
+                 train=False):
+        # negative capping/shuffling lives in QAGroupSampler (the
+        # reference's MhopSampler), not here — the dataset holds ALL rows
         if isinstance(data, str):
             with open(data) as f:
                 data = [json.loads(l) for l in f if l.strip()]
         self.train = train
         self.builder = QAFeatureBuilder(tokenizer, max_seq_len, max_q_len,
                                         num_answer_slots, max_sents)
-        self.rng = np.random.RandomState(seed)
         self.data: List[Dict] = []
         self.qid2gold = collections.defaultdict(list)
         self.qid2neg = collections.defaultdict(list)
@@ -243,6 +244,15 @@ class QADataset:
                     for idx in range(len(sp.get("sents", []))):
                         sp_sent_labels.append(int(idx in sp.get("sp_sent_ids", [])))
                 sp_titles = set(p["title"] for p in item["sp"])
+            elif train and "sp" in item and item["sp"]:
+                # raw HotpotQA supporting_facts ([title, sent_id] pairs):
+                # silently skipping would yield ZERO training rows, nan
+                # losses, and checkpoints of untrained params
+                raise ValueError(
+                    "train-mode 'sp' entries must be passage dicts with "
+                    "title/sents/sp_sent_ids — raw [title, sent_id] pairs "
+                    "need `cli/prep add-sp-label` (the reference's "
+                    "add_sp_label.sh) first")
 
             if train and sp_titles:
                 self.data.append({

@@ -238,3 +238,21 @@ def test_qa_train_and_predict_end_to_end():
     assert plain["best"]["sp"] == bucketed["best"]["sp"]
     for k in ("em", "f1", "sp_em", "sp_f1", "joint_em", "joint_f1"):
         assert abs(plain["best"][k] - bucketed["best"][k]) < 1e-9
+
+
+def test_qa_dataset_rejects_raw_hotpot_sp_in_train_mode():
+    """Raw [title, sent_id] supporting_facts must raise at construction —
+    silently producing zero training rows would train nothing and save
+    untrained checkpoints."""
+    import pytest
+    from multihop_dense_retrieval_tpu.data import HashTokenizer
+    from multihop_dense_retrieval_tpu.data.qa_dataset import QADataset
+
+    tok = HashTokenizer(vocab_size=512)
+    rows = [{"_id": "q0", "question": "who?", "answer": ["x"],
+             "sp": [["Some Title", 0]], "candidate_chains": []}]
+    with pytest.raises(ValueError, match="add-sp-label"):
+        QADataset(tok, rows, train=True)
+    # eval mode tolerates it (labels aren't needed)
+    ds = QADataset(tok, rows, train=False)
+    assert len(ds) >= 0

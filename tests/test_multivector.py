@@ -148,3 +148,33 @@ def test_mv_encoder_projected_space_matches_query_encoder():
     mv3 = MultiVectorCtxEncoder(cfg, multi_vector=3)
     c3 = np.asarray(mv3.apply(params, ids, mask))
     np.testing.assert_allclose(c3[::3], np.asarray(q_vec), rtol=1e-6)
+
+
+def test_multivector_pca_certified_doc_topk():
+    """PCA prefilter over a multi-vector index: certified ROW results merge
+    to exact DOC results (the layout doc = row // m survives the tier)."""
+    from multihop_dense_retrieval_tpu.ops.mips import (
+        mips_topk_pca, train_pca_rotation, build_pca_prefilter)
+
+    rng = np.random.RandomState(9)
+    n_docs, m, d, b, k = 1024, 2, 64, 8, 3
+    basis = np.linalg.qr(rng.randn(d, d))[0]
+    z = rng.randn(n_docs * m, 12) * np.linspace(3.0, 0.8, 12)
+    emb = (z @ basis[:, :12].T + 0.02 * rng.randn(n_docs * m, d)) \
+        .astype(np.float32)
+    rot = train_pca_rotation(emb[:1024], 32)
+    proj, bounds = build_pca_prefilter(emb, rot, cand_rows=128,
+                                       store_dtype="float32")
+    # planted queries: noisy copies of existing rows
+    qrows = rng.choice(n_docs * m, b, replace=False)
+    q = jnp.asarray(emb[qrows] + 0.05 * rng.randn(b, d).astype(np.float32))
+    vals, rows, cert = mips_topk_pca(
+        jnp.asarray(emb), jnp.asarray(proj, jnp.bfloat16), jnp.asarray(rot),
+        jnp.asarray(bounds), q, k * m, k_chunks=7, cand_rows=128,
+        step_rows=512, interpret=True)
+    dv, di = merge_multivector(vals, rows, k, m)
+    bv, bi = _brute_doc_topk(emb, np.asarray(q), k, m)
+    cert = np.asarray(cert)
+    assert cert.mean() >= 0.5, f"certification rate too low: {cert.mean()}"
+    for r in np.nonzero(cert)[0]:
+        np.testing.assert_array_equal(np.asarray(di)[r], bi[r])

@@ -200,6 +200,11 @@ def enqueue(queue: jnp.ndarray, ptr: jnp.ndarray,
     jit-friendly: no dynamic slice sizes).
     """
     k = queue.shape[0]
+    if embeddings.shape[0] > k:
+        # batch larger than the whole queue: keep the LAST k rows — with
+        # duplicate scatter indices the surviving row would be unspecified
+        # (same guard as trainer._enqueue_tokens)
+        embeddings = embeddings[-k:]
     n = embeddings.shape[0]
     idx = (ptr + jnp.arange(n, dtype=jnp.int32)) % k
     queue = queue.at[idx].set(jax.lax.stop_gradient(embeddings.astype(queue.dtype)))

@@ -25,8 +25,7 @@ key-encoder params and the (K, h) queue + pointer as functional state.
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional
 
 import flax
 import jax
@@ -35,7 +34,7 @@ import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..core.config import EncoderConfig, RetrieverTrainConfig
+from ..core.config import RetrieverTrainConfig
 from ..core.mesh import DATA_AXIS
 from . import losses
 
@@ -385,20 +384,35 @@ class EpochStats:
 
 
 def evaluate_mrr(eval_step, params, loader) -> Dict[str, float]:
-    """In-batch MRR over an eval loader (train_mhop.py predict(), :233-250)."""
-    rrs1, rrs2 = [], []
+    """In-batch MRR over an eval loader (train_mhop.py predict(), :233-250).
+
+    Unified task: single-hop rows carry a random negative/dummy as the
+    unused c2 (data/unified_dataset.py), so their hop-2 ranks are noise —
+    unified_eval returns `is_mhop` exactly so the host can bucket, and
+    mrr_2 averages only the multi-hop rows (unified eval upstream keys
+    metrics by q_type the same way); stop-head accuracy is reported too."""
+    rrs1, rrs2, stop_accs = [], [], []
     for batch in loader:
         valid = batch.pop("valid", None)
         out = eval_step(params, {k: jnp.asarray(v) for k, v in batch.items()})
         r1 = np.asarray(out["rrs_1"])
         r2 = np.asarray(out["rrs_2"])
+        mhop = (np.asarray(out["is_mhop"]) if "is_mhop" in out
+                else np.ones_like(r1, bool))
+        sacc = (np.asarray(out["stop_acc"]) if "stop_acc" in out else None)
         if valid is not None:
-            r1, r2 = r1[valid], r2[valid]
+            r1, r2, mhop = r1[valid], r2[valid], mhop[valid]
+            sacc = None if sacc is None else sacc[valid]
         rrs1.extend(r1.tolist())
-        rrs2.extend(r2.tolist())
+        rrs2.extend(r2[mhop].tolist())
+        if sacc is not None:
+            stop_accs.extend(sacc.tolist())
     mrr_1 = float(np.mean(rrs1)) if rrs1 else 0.0
     mrr_2 = float(np.mean(rrs2)) if rrs2 else 0.0
-    return {"mrr_1": mrr_1, "mrr_2": mrr_2, "mrr_avg": (mrr_1 + mrr_2) / 2}
+    out = {"mrr_1": mrr_1, "mrr_2": mrr_2, "mrr_avg": (mrr_1 + mrr_2) / 2}
+    if stop_accs:
+        out["stop_acc"] = float(np.mean(stop_accs))
+    return out
 
 
 class RetrieverTrainer:
@@ -430,6 +444,11 @@ class RetrieverTrainer:
         total = total_steps or (len(train_loader) * cfg.num_epochs
                                 // max(cfg.gradient_accumulation, 1))
         self.tx = make_optimizer(cfg, total)
+        if cfg.momentum and cfg.unified:
+            raise ValueError("momentum training drives the mhop contrastive "
+                             "loss; unified (stop-head) training has no "
+                             "momentum variant — pick one (the reference "
+                             "has no such combination either)")
         if cfg.momentum:
             hidden = hidden_size or model.config.hidden_size
             self.state = MomentumTrainState.create(
@@ -481,21 +500,29 @@ class RetrieverTrainer:
                              f"(best_mrr={self.best_mrr:.4f})")
         smoothed = None
         history = []
-        step_no = 0
+        # continue the scalar x-axis across preemption resumes (the state's
+        # optimizer step is restored; re-logging from 0 would overwrite the
+        # pre-preemption TensorBoard points)
+        step_no = start_epoch * len(self.train_loader)
         for epoch in range(start_epoch, self.cfg.num_epochs):
             losses_seen = []
             for batch in self.train_loader:
                 batch.pop("valid", None)
                 self.state, loss = self.train_step(
                     self.state, {k: jnp.asarray(v) for k, v in batch.items()})
-                losses_seen.append(float(loss))
+                # keep the DEVICE array: float() here would sync the host
+                # into every step and block async dispatch of the next one
+                losses_seen.append(loss)
                 step_no += 1
                 if writer:
                     # same scalars the reference logs (train_mhop.py:193-196)
-                    smoothed = (float(loss) if smoothed is None
-                                else 0.99 * smoothed + 0.01 * float(loss))
-                    writer.add_scalar("batch_train_loss", float(loss), step_no)
+                    # — the writer path pays the one sync it needs
+                    lval = float(loss)
+                    smoothed = (lval if smoothed is None
+                                else 0.99 * smoothed + 0.01 * lval)
+                    writer.add_scalar("batch_train_loss", lval, step_no)
                     writer.add_scalar("smoothed_train_loss", smoothed, step_no)
+            losses_seen = [float(l) for l in losses_seen]
             mrrs = evaluate_mrr(self.eval_step, self.state.params,
                                 self.eval_loader)
             stats = EpochStats(float(np.mean(losses_seen)),

@@ -28,6 +28,7 @@ Sequence layouts (matching HF):
 from __future__ import annotations
 
 import dataclasses
+import hashlib
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
@@ -76,6 +77,9 @@ class _Base:
     # -- fixed-shape encodes ----------------------------------------------
     def encode_one(self, text: str, max_len: int) -> Dict[str, np.ndarray]:
         s = self.spec
+        if max_len < s.num_special_single:
+            raise ValueError(f"max_len {max_len} cannot fit the "
+                             f"{s.num_special_single} special tokens")
         body = self.tokenize_ids(text)[: max_len - s.num_special_single]
         ids = [s.cls_id] + body + [s.sep_id]
         return self._pad(ids, len(ids), max_len)
@@ -94,6 +98,9 @@ class _Base:
 
     def encode_pair(self, a: str, b: str, max_len: int) -> Dict[str, np.ndarray]:
         s = self.spec
+        if max_len < s.num_special_pair:
+            raise ValueError(f"max_len {max_len} cannot fit the "
+                             f"{s.num_special_pair} special tokens")
         ta = self.tokenize_ids(a)
         tb = self.tokenize_ids(b)
         budget = max_len - s.num_special_pair
@@ -164,13 +171,14 @@ class HashTokenizer(_Base):
         self._lo = 110 if not roberta_style else self.N_SPECIAL
 
     MARKER_ID = 3  # reuses the <unk> slot as [unused1] (tests only)
-    SEP_SURFACE_ID = None  # set lazily: "[SEP]" surface token maps to sep_id
 
     def _hash_id(self, w: str) -> int:
-        import hashlib
-
         h = int.from_bytes(hashlib.md5(w.encode()).digest()[:4], "little")
-        return self._lo + h % (self.spec.vocab_size - self._lo)
+        # word ids must not collide with specials: bert-style excludes ids
+        # 0-109; roberta-style also keeps the TOP slot clear (mask_id =
+        # vocab_size-1 would otherwise be reachable by ordinary words)
+        hi = self.spec.vocab_size - (1 if self.spec.roberta_style else 0)
+        return self._lo + h % (hi - self._lo)
 
     def tokenize_ids(self, text: str) -> List[int]:
         return [self._hash_id(w) for w in text.lower().split()]

@@ -115,6 +115,11 @@ def encode_corpus(encode_fn: Callable, params, tc: TokenizedCorpus,
     supers = []
     for s in range(0, len(batches), scan_batches):
         grp = batches[s:s + scan_batches]
+        # pad the TAIL group to scan_batches with cnt=0 repeats of its
+        # first batch: a smaller nb would be one more compiled (nb, width)
+        # program — the exact remote-compile cost fixed nb exists to avoid
+        while len(grp) < scan_batches:
+            grp.append((grp[0][0], 0, grp[0][2]))
         supers.append(([b[0] for b in grp], [b[1] for b in grp],
                        max(b[2] for b in grp)))
 
@@ -132,8 +137,9 @@ def encode_corpus(encode_fn: Callable, params, tc: TokenizedCorpus,
             params,
             jnp.asarray(tc.title_ids[idx_arr]),
             jnp.asarray(tc.title_lens[idx_arr]),
-            # doc tokens beyond the bucket width can never be kept
-            jnp.asarray(tc.text_ids[idx_arr][..., :width]),
+            # doc tokens beyond the bucket width can never be kept; slice
+            # the VIEW first so the gather copies only the kept columns
+            jnp.asarray(tc.text_ids[:, :width][idx_arr]),
             jnp.asarray(tc.text_lens[idx_arr]),
             width), np.float32)                            # (nb, B*mv, H)
         if chunks is None:

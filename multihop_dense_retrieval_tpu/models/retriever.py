@@ -273,6 +273,15 @@ class MultiVectorCtxEncoder(nn.Module):
             cls = out[:, : self.multi_vector, :]
         else:
             raise ValueError(f"unknown scheme {self.scheme}")
+        if cls.shape[1] != self.multi_vector:
+            # silently emitting fewer rows would corrupt the doc = row //
+            # multi_vector layout every consumer relies on (index/build.py,
+            # ops/mips.py::merge_multivector)
+            raise ValueError(
+                f"{self.scheme} multi_vector={self.multi_vector} needs "
+                f">= {self.multi_vector} "
+                f"{'encoder layers' if self.scheme == 'layerwise' else 'sequence positions'}"
+                f", got {cls.shape[1]}")
         flat = cls.reshape(-1, cls.shape[-1])
         return self._head(flat).astype(jnp.float32)
 

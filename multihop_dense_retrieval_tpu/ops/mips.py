@@ -1180,7 +1180,12 @@ def sharded_mips_topk_pca(index: jnp.ndarray, proj: jnp.ndarray,
     if shard_rows % cand_rows:
         raise ValueError("cand_rows must divide the per-shard row count")
     num_cand_local = shard_rows // cand_rows
-    kc = max(1, min(k_chunks, num_cand_local - 1))
+    if num_cand_local < 2:
+        raise ValueError(
+            f"each shard holds {num_cand_local} candidate chunk(s); the "
+            "prefilter needs >= 2 per shard (use fewer shards, smaller "
+            "cand_rows, or the plain sharded_mips_topk)")
+    kc = min(k_chunks, num_cand_local - 1)
     step = pick_pca_step_rows(shard_rows, cand_rows)
     use_dyn = n_valid_dyn is not None
     use_scales = doc_scales is not None

@@ -30,6 +30,7 @@ import numpy as np
 from jax.sharding import Mesh
 
 from ..core.config import SearchConfig
+from ..core.mesh import INDEX_AXIS
 from ..data.tokenization import TokenizerSpec
 from ..index.store import DenseIndex
 from ..ops.mips import (sharded_mips_topk, sharded_mips_topk_pca,
@@ -37,15 +38,10 @@ from ..ops.mips import (sharded_mips_topk, sharded_mips_topk_pca,
                         NEG_INF)
 
 
-@functools.partial(jax.jit, donate_argnums=0)
-def _update2d(buf, rows, start):
-    return jax.lax.dynamic_update_slice(buf, rows.astype(buf.dtype),
-                                        (start, 0))
-
-
-@functools.partial(jax.jit, donate_argnums=0)
-def _update1d(buf, vals, start):
-    return jax.lax.dynamic_update_slice(buf, vals.astype(buf.dtype), (start,))
+# donated in-place slice updaters shared with the index store — ONE
+# definition of the donation-semantics-critical helpers
+from ..index.store import _update_rows as _update2d  # noqa: E402
+from ..index.store import _update_scales as _update1d  # noqa: E402
 
 
 def truncate_longest_first(len_a: jnp.ndarray, len_b: jnp.ndarray, budget: int):
@@ -154,8 +150,6 @@ class BeamSearcher:
             self._store["n_valid"] = jnp.int32(self.index.n_docs)
         if self.index.scales is not None:
             self._store["scales"] = self.index.scales
-        from ..core.mesh import INDEX_AXIS
-
         if cfg.use_pca:
             if self.index.pca_proj is None:
                 raise ValueError("use_pca requires an index built with "
@@ -167,8 +161,6 @@ class BeamSearcher:
             self._search_impl,
             beam1=cfg.beam_size_1, beam2=cfg.beam_size_2, topk=cfg.topk)
         self._jit_impl = jax.jit(impl)
-        self._search = lambda params, q_inputs, q_raw_ids, q_raw_lens: impl(
-            params, self._store, q_inputs, q_raw_ids, q_raw_lens)
         self._jit = lambda params, q_inputs, q_raw_ids, q_raw_lens: \
             self._jit_impl(params, self._store, q_inputs, q_raw_ids, q_raw_lens)
 
@@ -199,8 +191,6 @@ class BeamSearcher:
         Returns the doc ids assigned to the new documents."""
         assert self.index.multi_vector == 1, \
             "online updates support single-vector indexes"
-        from ..core.mesh import INDEX_AXIS
-
         m = len(text_lens)
         start = self.index.n_docs
         n_shards = (1 if self.mesh is None
@@ -282,7 +272,12 @@ class BeamSearcher:
         k_rows = k * m
         cert = None
         use_pca = pca and "pca_proj" in store
-        if self.mesh is not None and self.mesh.shape.get("index", 1) > 1:
+        if use_pca and vectors.shape[0] // self.index.pca_cand_rows < 2:
+            # a single candidate chunk leaves nothing unselected for the
+            # ub_next certificate comparison — the prefilter is meaningless
+            # at this scale, so route the hop to the plain kernels
+            use_pca = False
+        if self.mesh is not None and self.mesh.shape.get(INDEX_AXIS, 1) > 1:
             if use_pca:
                 vals, rows, cert = sharded_mips_topk_pca(
                     vectors, store["pca_proj"], store["pca_rot"],

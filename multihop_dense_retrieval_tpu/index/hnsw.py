@@ -62,8 +62,20 @@ def _load():
     lib.hnsw_save.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     lib.hnsw_load.restype = ctypes.c_void_p
     lib.hnsw_load.argtypes = [ctypes.c_char_p]
+    lib.hnsw_has_openmp.restype = ctypes.c_int
+    lib.hnsw_has_openmp.argtypes = []
+    lib.hnsw_max_threads.restype = ctypes.c_int
+    lib.hnsw_max_threads.argtypes = []
     _lib = lib
     return lib
+
+
+def openmp_info() -> Tuple[bool, int]:
+    """(compiled_with_openmp, max_threads) — build and batched search run
+    multi-threaded when True; both are race-safe (per-thread visited tables,
+    per-node adjacency locks)."""
+    lib = _load()
+    return bool(lib.hnsw_has_openmp()), int(lib.hnsw_max_threads())
 
 
 class HNSWIndex:

@@ -7,6 +7,20 @@
 // implementation we order neighbors by inner product directly — same result,
 // no aux dimension, no phi pass over the corpus.
 //
+// Thread model (mirrors what FAISS gives the reference for free):
+//  - search: read-only on the graph; every worker thread carries its OWN
+//    generation-stamped VisitedTable, so hnsw_search_batch is safe under
+//    OpenMP and bit-identical to serial per-query search.
+//  - build: hnsw_add_batch inserts level-bucket by level-bucket (highest
+//    first, as FAISS hnsw_add_vertices does); within a bucket insertions run
+//    in parallel with one std::mutex per node guarding adjacency writes.
+//    Readers traverse adjacency without locks — slots only ever transition
+//    -1 -> valid id (aligned int writes), and a full re-selection rewrites
+//    ids in place, so a racing reader sees a valid (if momentarily stale)
+//    neighbor list; FAISS accepts the same benign race.  Vectors and levels
+//    for the whole batch are materialized before the parallel region, so
+//    every id a reader can encounter has valid data.
+//
 // Exposed as a C API for ctypes (no pybind11 in this environment).
 // Build: g++ -O3 -shared -fPIC -o libhnsw.so hnsw.cpp [-fopenmp]
 
@@ -15,11 +29,37 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <mutex>
 #include <queue>
 #include <random>
 #include <vector>
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 namespace {
+
+// Generation-stamped visited set (FAISS VisitedTable): one reusable buffer
+// instead of an O(n) zero-fill per search_layer call — the per-call vector
+// made index CONSTRUCTION O(n^2) in memset traffic.  One instance PER
+// THREAD; instances are never shared (sharing was a confirmed silent-recall
+// race: concurrent begin() calls collide on gen and threads see each
+// other's visited marks, pruning exploration).
+struct VisitedTable {
+  std::vector<uint32_t> stamp;
+  uint32_t gen = 0;
+
+  void begin(size_t n) {
+    if (stamp.size() < n) stamp.resize(n, 0);
+    if (++gen == 0) {                 // u32 wrap: reset stamps once per 4B
+      std::fill(stamp.begin(), stamp.end(), 0);
+      gen = 1;
+    }
+  }
+  bool seen(int i) const { return stamp[i] == gen; }
+  void mark(int i) { stamp[i] = gen; }
+};
 
 struct HNSW {
   int dim;
@@ -33,21 +73,7 @@ struct HNSW {
   std::vector<std::vector<int>> neighbors;    // per level, n * cap
   std::mt19937 rng;
   double level_mult;
-  // generation-stamped visited table (FAISS VisitedTable): one reusable
-  // buffer instead of an O(n) zero-fill per search_layer call — the
-  // per-call vector made index CONSTRUCTION O(n^2) in memset traffic.
-  // NOT thread-safe: searches on one index must be serialized (true for
-  // every in-repo caller; the ctypes layer keeps one handle per index).
-  mutable std::vector<uint32_t> visit_stamp;
-  mutable uint32_t visit_gen = 0;
-
-  void begin_visit() const {
-    if (visit_stamp.size() < (size_t)n()) visit_stamp.resize(n(), 0);
-    if (++visit_gen == 0) {           // u32 wrap: reset stamps once per 4B
-      std::fill(visit_stamp.begin(), visit_stamp.end(), 0);
-      visit_gen = 1;
-    }
-  }
+  std::mutex entry_mutex;                     // guards entry/max_level
 
   HNSW(int d, int m, int efc, uint64_t seed)
       : dim(d), M(m), ef_construction(efc), rng(seed),
@@ -94,18 +120,19 @@ struct HNSW {
 
   // beam search at one layer; returns up to ef (score, id), best first
   void search_layer(const float* q, int start, int level, int ef,
+                    VisitedTable& vt,
                     std::vector<std::pair<float, int>>& out) const {
     // min-heap of results (worst on top), max-heap of candidates
     std::priority_queue<std::pair<float, int>,
                         std::vector<std::pair<float, int>>,
                         std::greater<>> results;
     std::priority_queue<std::pair<float, int>> candidates;
-    begin_visit();
+    vt.begin(n());
 
     float s0 = ip(q, vec(start));
     results.push({s0, start});
     candidates.push({s0, start});
-    visit_stamp[start] = visit_gen;
+    vt.mark(start);
 
     while (!candidates.empty()) {
       auto [cs, cid] = candidates.top();
@@ -115,8 +142,8 @@ struct HNSW {
       for (int j = 0; j < cap(level); ++j) {
         int cand = nb[j];
         if (cand < 0) break;
-        if (visit_stamp[cand] == visit_gen) continue;
-        visit_stamp[cand] = visit_gen;
+        if (vt.seen(cand)) continue;
+        vt.mark(cand);
         float s = ip(q, vec(cand));
         if ((int)results.size() < ef || s > results.top().first) {
           results.push({s, cand});
@@ -158,21 +185,29 @@ struct HNSW {
   }
 
   // connect `node` to up to cap diversified neighbors; reverse links run
-  // the same heuristic over the existing adjacency when full
+  // the same heuristic over the existing adjacency when full.  `locks` (one
+  // per node, sized for the final batch) serialize adjacency WRITES; only
+  // one lock is ever held at a time (node's is released before reverse
+  // links), so no deadlock is possible.
   void connect(int node, int level,
-               const std::vector<std::pair<float, int>>& cands) {
+               const std::vector<std::pair<float, int>>& cands,
+               std::mutex* locks) {
     int c = cap(level);
-    int* nb = nbrs(level, node);
     std::vector<int> sel;
     select_diverse(vec(node), cands, c, node, sel);
     int count = (int)sel.size();
-    for (int j = 0; j < count; ++j) nb[j] = sel[j];
-    for (int j = count; j < c; ++j) nb[j] = -1;
+    {
+      std::lock_guard<std::mutex> g(locks[node]);
+      int* nb = nbrs(level, node);
+      for (int j = 0; j < count; ++j) nb[j] = sel[j];
+      for (int j = count; j < c; ++j) nb[j] = -1;
+    }
     // reverse links
     std::vector<std::pair<float, int>> oc;
     std::vector<int> osel;
     for (int j = 0; j < count; ++j) {
       int other = sel[j];
+      std::lock_guard<std::mutex> g(locks[other]);
       int* onb = nbrs(level, other);
       int k = 0;
       while (k < c && onb[k] >= 0) ++k;
@@ -194,37 +229,85 @@ struct HNSW {
     }
   }
 
-  void add(const float* v) {
-    int id = n();
-    data.insert(data.end(), v, v + dim);
-    int lvl = random_level();
-    levels.push_back(lvl);
-    while ((int)neighbors.size() <= lvl) neighbors.emplace_back();
-    for (int l = 0; l <= lvl; ++l) {
-      size_t need = (size_t)(id + 1) * cap(l);
-      if (neighbors[l].size() < need) neighbors[l].resize(need, -1);
+  // wire node `id` into the graph; data/levels/adjacency storage must
+  // already be materialized for the whole batch (see add_batch)
+  void insert_node(int id, VisitedTable& vt, std::mutex* locks) {
+    int lvl = levels[id];
+    int cur, top;
+    {
+      std::lock_guard<std::mutex> g(entry_mutex);
+      cur = entry;
+      top = max_level;
     }
-    // keep adjacency sized for ALL nodes at every existing level (simpler io)
-    for (int l = 0; l < (int)neighbors.size(); ++l) {
-      size_t need = (size_t)(id + 1) * cap(l);
-      if (neighbors[l].size() < need) neighbors[l].resize(need, -1);
-    }
-
-    if (entry < 0) { entry = id; max_level = lvl; return; }
-
-    int cur = entry;
-    for (int l = max_level; l > lvl; --l) cur = greedy(v, cur, l);
+    const float* v = vec(id);
+    for (int l = top; l > lvl; --l) cur = greedy(v, cur, l);
     std::vector<std::pair<float, int>> cands;
-    for (int l = std::min(lvl, max_level); l >= 0; --l) {
-      search_layer(v, cur, l, ef_construction, cands);
-      connect(id, l, cands);
+    for (int l = std::min(lvl, top); l >= 0; --l) {
+      search_layer(v, cur, l, ef_construction, vt, cands);
+      connect(id, l, cands, locks);
       cur = cands.empty() ? cur : cands[0].second;
     }
-    if (lvl > max_level) { max_level = lvl; entry = id; }
+    if (lvl > top) {
+      std::lock_guard<std::mutex> g(entry_mutex);
+      if (lvl > max_level) { max_level = lvl; entry = id; }
+    }
   }
 
-  void search(const float* q, int k, int ef, int64_t* out_ids,
-              float* out_scores) const {
+  // materialize vectors + levels + adjacency for `count` new rows, then
+  // insert level-bucket by level-bucket (highest first, FAISS
+  // hnsw_add_vertices order) — all nodes in a bucket have level <= the
+  // current max, so entry/max_level only move when the top bucket seeds
+  // the graph, and buckets parallelize cleanly.
+  void add_batch(int64_t count, const float* vecs) {
+    if (count <= 0) return;
+    int first = n();
+    int64_t total = first + count;
+    data.insert(data.end(), vecs, vecs + count * (int64_t)dim);
+    levels.reserve(total);
+    int batch_max = -1;
+    for (int64_t i = 0; i < count; ++i) {
+      int lvl = random_level();
+      levels.push_back(lvl);
+      batch_max = std::max(batch_max, lvl);
+    }
+    while ((int)neighbors.size() <= std::max(batch_max, max_level))
+      neighbors.emplace_back();
+    for (int l = 0; l < (int)neighbors.size(); ++l)
+      neighbors[l].resize((size_t)total * cap(l), -1);
+
+    // bucket new ids by level, descending
+    std::vector<std::vector<int>> buckets(batch_max + 1);
+    for (int64_t i = 0; i < count; ++i)
+      buckets[levels[first + i]].push_back((int)(first + i));
+
+    std::vector<std::mutex> locks(total);
+    for (int lvl = batch_max; lvl >= 0; --lvl) {
+      auto& bucket = buckets[lvl];
+      if (bucket.empty()) continue;
+      size_t start = 0;
+      if (entry < 0) {               // seed the graph with the first node
+        entry = bucket[0];
+        max_level = lvl;
+        start = 1;
+      }
+#ifdef _OPENMP
+#pragma omp parallel
+      {
+        VisitedTable vt;
+#pragma omp for schedule(dynamic, 64)
+        for (int64_t j = (int64_t)start; j < (int64_t)bucket.size(); ++j)
+          insert_node(bucket[j], vt, locks.data());
+      }
+#else
+      VisitedTable vt;
+      for (size_t j = start; j < bucket.size(); ++j)
+        insert_node(bucket[j], vt, locks.data());
+#endif
+    }
+  }
+
+  void search(const float* q, int k, int ef, VisitedTable& vt,
+              int64_t* out_ids, float* out_scores) const {
     if (entry < 0) {
       for (int i = 0; i < k; ++i) { out_ids[i] = -1; out_scores[i] = -1e30f; }
       return;
@@ -232,7 +315,7 @@ struct HNSW {
     int cur = entry;
     for (int l = max_level; l > 0; --l) cur = greedy(q, cur, l);
     std::vector<std::pair<float, int>> cands;
-    search_layer(q, cur, 0, std::max(ef, k), cands);
+    search_layer(q, cur, 0, std::max(ef, k), vt, cands);
     for (int i = 0; i < k; ++i) {
       if (i < (int)cands.size()) {
         out_ids[i] = cands[i].second;
@@ -256,20 +339,48 @@ void* hnsw_new(int dim, int M, int ef_construction, uint64_t seed) {
 void hnsw_free(void* h) { delete (HNSW*)h; }
 
 void hnsw_add_batch(void* h, int64_t count, const float* vecs) {
-  HNSW* idx = (HNSW*)h;
-  for (int64_t i = 0; i < count; ++i) idx->add(vecs + i * idx->dim);
+  ((HNSW*)h)->add_batch(count, vecs);
 }
 
 int64_t hnsw_size(void* h) { return ((HNSW*)h)->n(); }
 
+// 1 when compiled with OpenMP (build + batched search run multi-threaded)
+int hnsw_has_openmp(void) {
+#ifdef _OPENMP
+  return 1;
+#else
+  return 0;
+#endif
+}
+
+int hnsw_max_threads(void) {
+#ifdef _OPENMP
+  return omp_get_max_threads();
+#else
+  return 1;
+#endif
+}
+
 void hnsw_search_batch(void* h, int64_t nq, const float* qs, int k, int ef,
                        int64_t* out_ids, float* out_scores) {
   HNSW* idx = (HNSW*)h;
-#pragma omp parallel for schedule(dynamic)
+#ifdef _OPENMP
+#pragma omp parallel
+  {
+    VisitedTable vt;                 // per-thread: searches never share one
+#pragma omp for schedule(dynamic)
+    for (int64_t i = 0; i < nq; ++i) {
+      idx->search(qs + i * idx->dim, k, ef, vt, out_ids + i * k,
+                  out_scores + i * k);
+    }
+  }
+#else
+  VisitedTable vt;
   for (int64_t i = 0; i < nq; ++i) {
-    idx->search(qs + i * idx->dim, k, ef, out_ids + i * k,
+    idx->search(qs + i * idx->dim, k, ef, vt, out_ids + i * k,
                 out_scores + i * k);
   }
+#endif
 }
 
 // every write/read checked: a short fwrite (full disk) must fail the save,

@@ -144,6 +144,15 @@ class TokenizedCorpus:
         return cls(text_ids, text_lens, title_ids, title_lens, empty)
 
     def save(self, path: str):
+        # token ids are stored uint16 (halves disk + load time); roberta/bert/
+        # electra vocabs are all <=50k, but a >=65536-id vocab would WRAP
+        # silently under .astype — fail loudly instead
+        hi = max(int(self.text_ids.max(initial=0)),
+                 int(self.title_ids.max(initial=0)))
+        if hi > np.iinfo(np.uint16).max:
+            raise ValueError(
+                f"token id {hi} exceeds uint16 storage; vocabularies >=65536 "
+                "need a wider on-disk dtype")
         np.savez_compressed(
             path, text_ids=self.text_ids.astype(np.uint16),
             text_lens=self.text_lens, title_ids=self.title_ids.astype(np.uint16),

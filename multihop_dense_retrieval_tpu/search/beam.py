@@ -320,7 +320,7 @@ class BeamSearcher:
         vals, docs = merge_multivector(vals, rows, k, m)
         return vals, docs, cert
 
-    def _encode_hop2(self, params, qsp):
+    def _encode_hop2(self, params, qsp, encode=None):
         """Encode hop-2 q⊕p rows, optionally length-adaptive.
 
         With cfg.hop2_buckets set, rows are sorted by total length and split
@@ -330,13 +330,18 @@ class BeamSearcher:
         with the full-width encode: trailing pad columns never influence
         non-pad positions (attention is masked; positions are width-
         independent), so narrowing is purely a FLOP/bandwidth saving.
+
+        `encode` may return any pytree of row-major arrays (e.g. the unified
+        stop-head's (vectors, stop_logits) tuple) — tiles are concatenated
+        and un-permuted leaf-wise.
         """
+        fn = encode if encode is not None else self.encode_fn
         ids, mask = qsp["input_ids"], qsp["attention_mask"]
         tt = qsp.get("token_type_ids")
         buckets = tuple(self.config.hop2_buckets or ())
         n_rows, L = ids.shape
         if not buckets:
-            return self.encode_fn(params, ids, mask, tt)
+            return fn(params, ids, mask, tt)
         n_tiles = len(buckets)
         fracs = tuple(self.config.hop2_tile_fracs or ())
         if fracs and len(fracs) == n_tiles:
@@ -345,9 +350,9 @@ class BeamSearcher:
         elif n_rows % n_tiles == 0:
             sizes = [n_rows // n_tiles] * n_tiles
         else:
-            return self.encode_fn(params, ids, mask, tt)
+            return fn(params, ids, mask, tt)
         if min(sizes) <= 0:
-            return self.encode_fn(params, ids, mask, tt)
+            return fn(params, ids, mask, tt)
         bounds = [0]
         for s in sizes:
             bounds.append(bounds[-1] + s)
@@ -366,20 +371,20 @@ class BeamSearcher:
             ids_t, mask_t = ids_s[sl], mask_s[sl]
             tt_t = None if tt_s is None else tt_s[sl]
             if w >= L:
-                tiles.append(self.encode_fn(params, ids_t, mask_t, tt_t))
+                tiles.append(fn(params, ids_t, mask_t, tt_t))
                 continue
             tile_max = lens_s[bounds[t + 1] - 1]  # sorted: last row is max
 
             def narrow(ids_t=ids_t, mask_t=mask_t, tt_t=tt_t, w=w):
-                return self.encode_fn(
-                    params, ids_t[:, :w], mask_t[:, :w],
-                    None if tt_t is None else tt_t[:, :w])
+                return fn(params, ids_t[:, :w], mask_t[:, :w],
+                          None if tt_t is None else tt_t[:, :w])
 
             def wide(ids_t=ids_t, mask_t=mask_t, tt_t=tt_t):
-                return self.encode_fn(params, ids_t, mask_t, tt_t)
+                return fn(params, ids_t, mask_t, tt_t)
 
             tiles.append(jax.lax.cond(tile_max <= w, narrow, wide))
-        return jnp.concatenate(tiles, axis=0)[inv]
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0)[inv], *tiles)
 
     def _search_impl(self, params, store, q_inputs, q_raw_ids, q_raw_lens,
                      *, beam1: int, beam2: int, topk: int):
@@ -404,11 +409,11 @@ class BeamSearcher:
                                    cfg.max_q_sp_len, self.spec)
         stop_probs = None
         if self.encode_qsp_fn is not None:
-            # unified serving: stop head rides the same q⊕p encode (the
-            # length-bucketed path is bypassed — tuple outputs)
-            qsp_vec, stop_logits = self.encode_qsp_fn(
-                params, qsp["input_ids"], qsp["attention_mask"],
-                qsp.get("token_type_ids"))
+            # unified serving: stop head rides the same length-bucketed q⊕p
+            # encode as the plain engine (_encode_hop2 handles the tuple
+            # output leaf-wise), so --unified pays bucketed widths too
+            qsp_vec, stop_logits = self._encode_hop2(
+                params, qsp, encode=self.encode_qsp_fn)
             stop_probs = jax.nn.softmax(
                 stop_logits.astype(jnp.float32), axis=-1)[:, 0]
         else:

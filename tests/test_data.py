@@ -117,6 +117,17 @@ def test_tokenized_corpus_roundtrip(tmp_path, tok):
     np.testing.assert_array_equal(tc.empty, tc2.empty)
 
 
+def test_tokenized_corpus_save_rejects_wide_vocab(tmp_path, tok):
+    """Token ids are stored uint16 on disk; a >=65536 id must fail loudly
+    instead of wrapping silently (round-2 VERDICT weak #5)."""
+    rng = np.random.RandomState(2)
+    corpus = Corpus(synth.make_corpus(rng, 4))
+    tc = TokenizedCorpus.build(corpus, tok, max_text_len=16)
+    tc.text_ids[0, 0] = 70_000
+    with pytest.raises(ValueError, match="uint16"):
+        tc.save(str(tmp_path / "bad.npz"))
+
+
 def test_batch_loader_static_shapes(tmp_path, tok):
     rng = np.random.RandomState(3)
     docs = synth.make_corpus(rng, 32)

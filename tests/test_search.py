@@ -7,6 +7,8 @@ eval_mhop_retrieval.py:142-206) and require exact agreement of retrieved
 chain ids.
 """
 
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -416,6 +418,21 @@ def test_unified_stop_head_serving():
     assert b["stop_probs"].shape == (3, beam)
     assert b["top_stop_probs"].shape == (3, topk)
     assert np.all((b["stop_probs"] >= 0) & (b["stop_probs"] <= 1))
+
+    # round-2 VERDICT weak #4: unified serving used to bypass the hop-2
+    # length buckets (tuple outputs).  _encode_hop2 is now pytree-generic —
+    # the bucketed unified engine must reproduce the unbucketed one exactly
+    # (chains bit-equal, stop probs to fp tolerance)
+    bucketed = build(lambda p, i, m, tt=None: model.apply(
+        p, i, m, tt, method=model.encode_qsp))
+    bucketed.config = dataclasses.replace(
+        bucketed.config, hop2_buckets=(32, 64), hop2_tile_fracs=(0.5, 0.5))
+    bucketed.__post_init__()
+    c = bucketed.search(dict(q_inputs), rid, rlen)
+    np.testing.assert_array_equal(b["hop1_ids"], c["hop1_ids"])
+    np.testing.assert_array_equal(b["hop2_ids"], c["hop2_ids"])
+    np.testing.assert_allclose(b["stop_probs"], c["stop_probs"],
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_pca_prefiltered_engine_search():

@@ -78,6 +78,12 @@ def main(argv=None):
                    help="bf16 reader attention scores (+5-11%% at widths "
                         "384-512, PERF.md); fp32 default — span agreement "
                         "is not validated without trained weights")
+    p.add_argument("--rank-topm", type=int, default=0,
+                   help="two-stage read: rank ALL chains at --rank-width "
+                        "tokens, run the full span/sp pass on the top-m "
+                        "per question (0 = read every chain fully, the "
+                        "reference behavior)")
+    p.add_argument("--rank-width", type=int, default=192)
     p.add_argument("--save-path", default="")
     args = p.parse_args(argv)
 
@@ -117,8 +123,11 @@ def main(argv=None):
             for i, r in enumerate(items)]
     ds = QADataset(q_tok, rows, max_seq_len=args.max_seq_len, train=False)
     pred_step = TQA.make_qa_predict_step(model, max_ans_len=args.max_ans_len)
+    rank_step = (TQA.make_qa_rank_step(model) if args.rank_topm else None)
     t1 = time.time()
-    res = predict(pred_step, params, ds, batch_size=16, lambdas=[args.lam])
+    res = predict(pred_step, params, ds, batch_size=16, lambdas=[args.lam],
+                  rank_step=rank_step, rank_topm=args.rank_topm,
+                  rank_width=args.rank_width)
     t_read = time.time() - t1
     logger.info("reading: %.2fs", t_read)
 

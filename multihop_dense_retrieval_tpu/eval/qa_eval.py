@@ -53,17 +53,78 @@ def _batches(dataset: QADataset, batch_size: int, *,
         yield batch, len(chunk)
 
 
+class _Subset:
+    """Index-mapped view of a QADataset (two-stage read keep-list): exposes
+    the same .data / __getitem__ surface `_batches` consumes."""
+
+    def __init__(self, parent, indices: List[int]):
+        self._parent = parent
+        self._indices = indices
+        self.data = [parent.data[i] for i in indices]
+
+    def __len__(self):
+        return len(self._indices)
+
+    def __getitem__(self, i: int):
+        return self._parent[self._indices[i]]
+
+
+def rank_filter(rank_step: Callable, params, dataset: QADataset, *,
+                batch_size: int = 16, topm: int = 5,
+                rank_width: int = 192) -> List[int]:
+    """Stage 1 of the two-stage read: score EVERY chain with the rank head
+    at a fixed narrow width (one compiled shape), keep the top-m rows per
+    question.  Gold-labeled rows compete like any other — the filter is a
+    serving-path accelerator, not an oracle.  Returns kept dataset indices.
+    """
+    scores = collections.defaultdict(list)
+    idxs = list(range(len(dataset)))
+    for s in range(0, len(idxs), batch_size):
+        chunk = idxs[s:s + batch_size]
+        pad = batch_size - len(chunk)
+        batch = qa_collate([dataset[i] for i in chunk + chunk[-1:] * pad])
+        ni = batch["net_inputs"]
+        for k in ("input_ids", "attention_mask", "token_type_ids",
+                  "paragraph_mask"):
+            if k in ni:
+                ni[k] = ni[k][:, :rank_width]
+        net = {k: jnp.asarray(v) for k, v in ni.items()}
+        ranks = np.asarray(rank_step(params, net))
+        for j, i in enumerate(chunk):
+            scores[dataset.data[i]["qid"]].append((float(ranks[j]), i))
+    keep = []
+    for qid in scores:
+        lst = sorted(scores[qid], reverse=True)
+        keep.extend(i for _, i in lst[:topm])
+    keep.sort()
+    return keep
+
+
 def predict(predict_step: Callable, params, dataset: QADataset, *,
             batch_size: int = 16, sp_pred: bool = True,
             lambdas: Optional[List[float]] = None,
-            length_sort: bool = True, width_multiple: int = 64) -> Dict:
+            length_sort: bool = True, width_multiple: int = 64,
+            rank_step: Optional[Callable] = None, rank_topm: int = 0,
+            rank_width: int = 192) -> Dict:
     """Returns {"chain_em", "best": {...}, "per_lambda": {...}, "answers": ...}.
 
     length_sort + width_multiple: chains are batched by length and each
     batch's static width is the batch max rounded up — exact results (pads
     are masked out of attention; ELECTRA positions are width-independent),
     a few cached traces instead of every chain paying the 512 pad.
+
+    rank_topm > 0 (with rank_step from train/qa.py::make_qa_rank_step)
+    enables the TWO-STAGE read: all chains pay only a narrow rank-head pass,
+    and the full-width span/sp pass runs on the top-m chains per question.
+    The reference reads every chain fully (scripts/train_qa.py:380-481);
+    this trades an approximate pre-rank for most of the reader FLOPs —
+    validated by rank-score correlation + chain-EM neutrality tests.
     """
+    if rank_topm and rank_step is not None:
+        keep = rank_filter(rank_step, params, dataset,
+                           batch_size=batch_size, topm=rank_topm,
+                           rank_width=rank_width)
+        dataset = _Subset(dataset, keep)
     id2result = collections.defaultdict(list)
     id2answer = collections.defaultdict(list)
     id2gold, id2goldsp = {}, {}

@@ -121,6 +121,23 @@ def make_qa_train_step(model, tx, *, sp_weight: float = 0.05,
     return jax.jit(step, in_shardings=(None, shard), donate_argnums=(0,))
 
 
+def make_qa_rank_step(model, *, mesh: Optional[Mesh] = None) -> Callable:
+    """(params, batch) → rank scores only — the cheap first pass of the
+    two-stage read (eval/qa_eval.py::predict rank_topm): chains are ranked
+    at a NARROW truncated width, then only the top-m per question pay the
+    full-width span/sp pass.  The reference reads every chain fully at 512
+    (scripts/train_qa.py:380-481); ranking is CLS-based, so truncation only
+    perturbs scores through the encoder's view of the chain tail."""
+
+    def step(params, batch):
+        return model.apply(params, batch)["rank_score"].reshape(-1)
+
+    if mesh is None:
+        return jax.jit(step)
+    shard = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(step, in_shardings=(None, shard))
+
+
 def make_qa_predict_step(model, *, max_ans_len: int = 30,
                          mesh: Optional[Mesh] = None) -> Callable:
     """(params, batch) → rank score, sp sigmoid scores, best span + score."""

@@ -86,3 +86,15 @@ def test_end2end_cli(tmp_path, capsys):
                              "--max-q-sp-len", "96", "--max-seq-len", "128",
                              "--chunk-rows", "32", "--max-ans-len", "8"])
     assert res_bf16["n"] == 6
+    # two-stage read flags thread through the CLI (top-1 of 4 chains read
+    # fully; answers stay computable)
+    res_2s = end2end.main([str(tmp_path / "qas.jsonl"), out_dir,
+                           "--tokenizer", "hash",
+                           "--retriever-model", "tiny",
+                           "--reader-model", "tiny",
+                           "--rank-topm", "1", "--rank-width", "64",
+                           "--beam-size", "2", "--topk", "2",
+                           "--batch-size", "6", "--max-q-len", "24",
+                           "--max-q-sp-len", "96", "--max-seq-len", "128",
+                           "--chunk-rows", "32", "--max-ans-len", "8"])
+    assert res_2s["n"] == 6 and res_2s["answer_em"] is not None

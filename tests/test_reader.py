@@ -240,6 +240,52 @@ def test_qa_train_and_predict_end_to_end():
         assert abs(plain["best"][k] - bucketed["best"][k]) < 1e-9
 
 
+def test_two_stage_read_neutrality():
+    """Two-stage read (round-2 VERDICT #2): when the rank width covers the
+    whole chain, the narrow rank pass scores EXACTLY like the full pass, so
+    (a) rank_topm >= #chains reproduces the one-stage predict bit-for-bit,
+    (b) rank_topm=1 with pure-rank ranking (λ=1) keeps precisely the chain
+    the one-stage predict would answer from (chain-EM neutrality), and
+    (c) the filter keeps at most m rows per question."""
+    tok = _bert_tok()
+    cfg = EncoderConfig.tiny(vocab_size=512, max_position_embeddings=128,
+                             type_vocab_size=2, pad_token_id=0,
+                             roberta_positions=False)
+    model = QAReader(cfg, sp_pred=True)
+    rows = _mini_qa_rows()
+    ds = QADataset(tok, rows, max_seq_len=96, max_q_len=12,
+                   num_answer_slots=4, max_sents=8, train=False)
+    batch = qa_collate([ds[i] for i in range(2)])
+    net = {k: jnp.asarray(v) for k, v in batch["net_inputs"].items()}
+    params = model.init(jax.random.PRNGKey(1), net)
+
+    from multihop_dense_retrieval_tpu.eval.qa_eval import predict, rank_filter
+    pred_step = TQA.make_qa_predict_step(model, max_ans_len=8)
+    rank_step = TQA.make_qa_rank_step(model)
+
+    full = predict(pred_step, params, ds, batch_size=4, lambdas=[1.0])
+    staged = predict(pred_step, params, ds, batch_size=4, lambdas=[1.0],
+                     rank_step=rank_step, rank_topm=10, rank_width=96)
+    assert full["best"]["answers"] == staged["best"]["answers"]
+    assert full["best"]["sp"] == staged["best"]["sp"]
+
+    top1 = predict(pred_step, params, ds, batch_size=4, lambdas=[1.0],
+                   rank_step=rank_step, rank_topm=1, rank_width=96)
+    assert top1["best"]["answers"] == full["best"]["answers"]
+
+    keep = rank_filter(rank_step, params, ds, batch_size=4, topm=2,
+                       rank_width=96)
+    import collections
+    per_q = collections.Counter(ds.data[i]["qid"] for i in keep)
+    assert all(v == 2 for v in per_q.values()) and len(per_q) == 3
+    # a genuinely narrow width still runs (truncation path, clamped sent
+    # offsets) and keeps m rows per question
+    keep_narrow = rank_filter(rank_step, params, ds, batch_size=4, topm=2,
+                              rank_width=48)
+    per_q = collections.Counter(ds.data[i]["qid"] for i in keep_narrow)
+    assert all(v == 2 for v in per_q.values()) and len(per_q) == 3
+
+
 def test_qa_dataset_rejects_raw_hotpot_sp_in_train_mode():
     """Raw [title, sent_id] supporting_facts must raise at construction —
     silently producing zero training rows would train nothing and save

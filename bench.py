@@ -7,6 +7,11 @@ ranking, with a roberta-base-sized encoder in bf16.
 Headline config (serving-tuned, quality-validated):
   * int8 per-row-quantized index (100% top-1 / 97.4%@10 agreement with the
     exact bf16 search, tests/test_mips.py + README) — half the HBM traffic.
+  * PCA-prefiltered hop-2 MIPS (`pca_hops="auto"`, PERF.md) when the run's
+    MEASURED exactness-certificate fraction is ≥99%; otherwise the plain
+    int8 kernels keep the headline and the PCA run is reported as an extra
+    with its certified fraction (honesty guard — the certificate soundness
+    is proven, but aggregate certified coverage depends on the corpus).
   * length-adaptive hop-2 encode (SearchConfig.hop2_buckets): rows sorted by
     assembled length, tiles encoded at bucketed widths via lax.cond — exact
     results (tests/test_search.py::test_length_bucketed_search_is_exact).
@@ -15,14 +20,30 @@ Headline config (serving-tuned, quality-validated):
     BASELINE.md); question tokens uniform 12-38.  The reference pays the
     same encoder cost REGARDLESS of true lengths (it pads hop-2 pairs to
     350, eval_mhop_retrieval.py:159-168), so vs_baseline is conservative.
+  * index vectors drawn with the SECOND MOMENT OF REAL ENCODER OUTPUTS
+    (an encoder-output sample's covariance factor, not iid gaussian), so
+    the PCA prefilter and int8 quantization face realistic anisotropy.
   * bf16 attention scores (the reference runs apex O1, i.e. fp16 scores
     with LESS dynamic range than bf16).  Measured vs fp32 scores at 256k
     docs: query cosine 0.99996, 100% top-1 agreement, 97.5% top-10
     overlap — comparable to the int8 tier.  MDRT_BENCH_SCORES=float32
     reverts.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}
-(extras: beam-4 q/s, exact-bf16 delta config, measured tunnel correction).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+Extras, each measured on-chip every run (any failure is caught and reported
+in extra_errors rather than killing the headline):
+  * bf16_exact_qps — the exact-search delta config (bf16 index, no
+    approximation anywhere beyond bf16 storage/scores);
+  * pca_qps + pca_cert2_frac — the PCA tier and its measured certificate
+    coverage (headline when ≥0.99, see above);
+  * beam4_qps — the quality-eval beam;
+  * reader_chains_per_sec / reader_fixed512_chains_per_sec — ELECTRA-large
+    reader with length-sorted width bucketing vs fixed 512;
+  * end2end_qps / end2end_2stage_qps — the COMPOSED question→answer
+    pipeline measured in one jit per batch (beam-5 retrieval, 25 chains
+    read by the ELECTRA-large reader with span decode): one-stage reads
+    every chain at 512; two-stage ranks all chains at a narrow width and
+    reads only the top-5 fully (eval/qa_eval.py::predict rank_topm).
 
 vs_baseline derivation (the reference publishes no throughput numbers —
 BASELINE.md): the reference pipeline at beam 1 / batch 100 on a V100 does
@@ -41,9 +62,12 @@ reduction, and subtracts a MEASURED empty-program round-trip (not a guess).
 Env overrides: MDRT_BENCH_N (index rows), MDRT_BENCH_BATCH, MDRT_BENCH_BEAM,
 MDRT_BENCH_REPS, MDRT_BENCH_LAYERS (encoder depth), MDRT_BENCH_DTYPE
 (int8|bf16), MDRT_BENCH_BUCKETS + MDRT_BENCH_TILE_FRACS ("off" disables),
-MDRT_BENCH_BEAM4 (0 disables the secondary beam-4 run).
+MDRT_BENCH_B4_BUCKETS/MDRT_BENCH_B4_FRACS (beam-4-specific tile tuning),
+MDRT_BENCH_BEAM4 / MDRT_BENCH_BF16 / MDRT_BENCH_PCA / MDRT_BENCH_READER /
+MDRT_BENCH_E2E (0 disables that extra), MDRT_BENCH_FAST=1 (headline only).
 """
 
+import gc
 import json
 import os
 import sys
@@ -59,10 +83,12 @@ from multihop_dense_retrieval_tpu.core.config import EncoderConfig, SearchConfig
 from multihop_dense_retrieval_tpu.data.tokenization import TokenizerSpec
 from multihop_dense_retrieval_tpu.index.store import DenseIndex
 from multihop_dense_retrieval_tpu.models import MhopRetriever
-from multihop_dense_retrieval_tpu.search.beam import BeamSearcher
+from multihop_dense_retrieval_tpu.search.beam import (BeamSearcher,
+                                                      assemble_pair_inputs)
 
 BASELINE_QPS = 150.0  # estimated reference throughput (see module docstring)
 BASELINE_RANGE = (100.0, 250.0)
+PCA_CERT_HEADLINE_MIN = 0.99
 
 
 def _env(name, default):
@@ -88,25 +114,34 @@ def synth_doc_lens(rng, n, lo=20, hi=300):
     return np.clip(lens, lo, hi).astype(np.int32)
 
 
-def main():
-    n_docs = _env("MDRT_BENCH_N", 5_242_880)
-    for attempt in range(3):
-        try:
-            return _run(n_docs)
-        except Exception as e:  # OOM ladder: halve the index and retry
-            oom = any(t in str(e) for t in
-                      ("RESOURCE_EXHAUSTED", "Ran out of memory", "hbm"))
-            if not oom or attempt == 2:
-                raise
-            print(f"# OOM at {n_docs} docs, retrying at {n_docs // 2}",
-                  file=sys.stderr)
-            n_docs //= 2
+def _encoder_moment_factor(model, params, cfg, d, n=2048, width=128):
+    """Covariance factor + PCA rotation from REAL encoder outputs.
+
+    Index rows are drawn as z @ factor.T (z iid normal), matching the
+    uncentered second moment of actual CLS vectors — realistic spectrum for
+    the int8 quantizer and the PCA prefilter, at synthetic-corpus cost.
+    The rotation is the top-128 eigvecs of the same moment (exactly what
+    ops/mips.py::train_pca_rotation computes from a corpus sample)."""
+    bs = 256
+    key = jax.random.PRNGKey(7)
+    ids = jax.random.randint(key, (n // bs, bs, width), 10,
+                             cfg.vocab_size - 1, jnp.int32)
+    mask = jnp.ones((bs, width), jnp.int32)
+    outs = [np.asarray(model.apply(params, ids[i], mask,
+                                   method=model.encode_seq), np.float32)
+            for i in range(ids.shape[0])]
+    s = np.concatenate(outs)
+    m = (s.T.astype(np.float64) @ s.astype(np.float64)) / len(s)
+    lam, u = np.linalg.eigh(m)                       # ascending
+    lam = np.maximum(lam[::-1], 1e-9)
+    u = u[:, ::-1]
+    factor = (u * np.sqrt(lam)).astype(np.float32)   # row = z @ factor.T
+    rot = np.ascontiguousarray(u[:, :128]).astype(np.float32)
+    return jnp.asarray(factor), jnp.asarray(rot)
 
 
-def _make_data(n_pad, n_docs, d, text_len, vocab_size, dtype):
-    """Device-resident synthetic corpus.  Order + dtypes matter for peak
-    HBM: uint16 token store first (no int32 intermediates), then the index
-    built slice-wise (int8: bf16 transients stay ≤1 GB per slice)."""
+def _make_tokens(n_pad, text_len, vocab_size):
+    """Device-resident token store (uint16 — no int32 intermediates)."""
     rng = np.random.RandomState(17)
 
     @jax.jit
@@ -118,41 +153,89 @@ def _make_data(n_pad, n_docs, d, text_len, vocab_size, dtype):
     text_ids.block_until_ready()
     text_lens = jnp.asarray(synth_doc_lens(rng, n_pad))
     empty = jnp.zeros((n_pad,), bool)
+    return text_ids, text_lens, empty
+
+
+def _make_index(n_pad, n_docs, d, dtype, factor, rot=None,
+                cand_rows=512):
+    """Covariance-matched synthetic index, built slice-wise on device so
+    fp32 transients stay ≈1 GB.  With `rot`, the per-slice program also
+    emits the PCA projection and certificate bounds (same quantities as
+    ops/mips.py::build_pca_prefilter / index/store.py::_pca_ingest: bounds
+    over the rows AS STORED — dequantized int8 — with the fp32 margin)."""
+    n_slices = 8
+    while n_pad % n_slices:
+        n_slices //= 2
+    rows = n_pad // n_slices
+    assert rows % cand_rows == 0
 
     if dtype == "int8":
-        n_slices = 8
-        while n_pad % n_slices:
-            n_slices //= 2
-        rows = n_pad // n_slices
 
         @jax.jit
         def make_slice(key):
-            x = jax.random.normal(key, (rows, d), jnp.float32)
+            z = jax.random.normal(key, (rows, d), jnp.float32)
+            x = z @ factor.T
             scale = jnp.maximum(jnp.max(jnp.abs(x), axis=1, keepdims=True)
                                 / 127.0, 1e-10)
             q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
-            return q, scale[:, 0]
+            if rot is None:
+                return q, scale[:, 0]
+            xd = q.astype(jnp.float32) * scale
+            p = xd @ rot
+            pb = p.astype(jnp.bfloat16)
+            pb32 = pb.astype(jnp.float32)
+            quant = jnp.stack([
+                jnp.sqrt(jnp.maximum(jnp.sum(xd * xd, 1)
+                                     - jnp.sum(p * p, 1), 0)),
+                jnp.linalg.norm(p - pb32, axis=1),
+                jnp.linalg.norm(pb32, axis=1),
+                jnp.linalg.norm(xd, axis=1),
+            ])                                        # (4, rows)
+            b = quant.reshape(4, rows // cand_rows, cand_rows).max(-1)
+            b = b * (1 + 1e-6) + 1e-6
+            return q, scale[:, 0], pb, b
 
-        qs, scs = [], []
+        qs, scs, pjs, bds = [], [], [], []
         for s in range(n_slices):
-            q, sc = make_slice(jax.random.PRNGKey(100 + s))
-            qs.append(q)
-            scs.append(sc)
+            out = make_slice(jax.random.PRNGKey(100 + s))
+            qs.append(out[0])
+            scs.append(out[1])
+            if rot is not None:
+                pjs.append(out[2])
+                bds.append(out[3])
         vectors = jnp.concatenate(qs, axis=0)
         vectors.block_until_ready()
         del qs
         scales = jnp.concatenate(scs, axis=0)
-        index = DenseIndex(vectors=vectors, n_docs=n_docs, scales=scales)
-    else:
-        vectors = jax.random.normal(jax.random.PRNGKey(1), (n_pad, d),
-                                    jnp.bfloat16)
-        index = DenseIndex(vectors=vectors, n_docs=n_docs)
-    return index, text_ids, text_lens, empty
+        pca = {}
+        if rot is not None:
+            pca = dict(pca_rot=rot,
+                       pca_proj=jnp.concatenate(pjs, axis=0),
+                       pca_bounds=jnp.concatenate(bds, axis=1),
+                       pca_cand_rows=cand_rows)
+            del pjs, bds
+        return DenseIndex(vectors=vectors, n_docs=n_docs, scales=scales,
+                          **pca)
+
+    @jax.jit
+    def make_slice_bf16(key):
+        z = jax.random.normal(key, (rows, d), jnp.float32)
+        return (z @ factor.T).astype(jnp.bfloat16)
+
+    parts = [make_slice_bf16(jax.random.PRNGKey(100 + s))
+             for s in range(n_slices)]
+    vectors = jnp.concatenate(parts, axis=0)
+    vectors.block_until_ready()
+    del parts
+    return DenseIndex(vectors=vectors, n_docs=n_docs)
 
 
 def _timed_search(searcher, params, beam, batch, reps, q_width, vocab_size,
                   rng):
-    """Scan REPS batches of realistic-length questions inside one jit."""
+    """Scan REPS batches of realistic-length questions inside one jit.
+    Returns (dt, compile_s, cert2_frac) — cert2_frac is the measured hop-2
+    exactness-certificate fraction when the engine's PCA tier ran, else
+    None."""
     q_lens = rng.randint(12, 39, size=(reps, batch))
     qids = jax.random.randint(jax.random.PRNGKey(3), (reps, batch, q_width),
                               10, vocab_size - 1, jnp.int32)
@@ -169,19 +252,27 @@ def _timed_search(searcher, params, beam, batch, reps, q_width, vocab_size,
             out = searcher._search_impl(
                 params, store, {"input_ids": ids, "attention_mask": mask},
                 rid, rlen, beam1=beam, beam2=beam, topk=beam)
-            return carry + out["path_scores"].sum(), None
-        acc, _ = jax.lax.scan(body, jnp.float32(0),
-                              (qids, qmask, raw_ids, raw_lens))
-        return acc
+            acc, cacc = carry
+            cert = out.get("pca_cert2")
+            cm = (cacc + cert.astype(jnp.float32).mean()
+                  if cert is not None else cacc)
+            return (acc + out["path_scores"].sum(), cm), None
+        (acc, cm), _ = jax.lax.scan(
+            body, (jnp.float32(0), jnp.float32(0)),
+            (qids, qmask, raw_ids, raw_lens))
+        return acc, cm
 
+    has_cert = "pca_proj" in searcher._store and searcher._pca_on_hop(2)
     store = searcher._store
     t_c0 = time.time()
-    _ = np.asarray(run(params, store, qids, qmask, raw_ids, raw_lens))
+    _ = np.asarray(run(params, store, qids, qmask, raw_ids, raw_lens)[0])
     compile_s = time.time() - t_c0
     t0 = time.perf_counter()
-    _ = np.asarray(run(params, store, qids, qmask, raw_ids, raw_lens))
+    _, cm = run(params, store, qids, qmask, raw_ids, raw_lens)
+    cm = np.asarray(cm)
     dt = time.perf_counter() - t0
-    return dt, compile_s
+    cert_frac = float(cm) / reps if has_cert else None
+    return dt, compile_s, cert_frac
 
 
 def _reader_bench(tunnel_s, b=32, reps=8):
@@ -189,9 +280,8 @@ def _reader_bench(tunnel_s, b=32, reps=8):
     (eval/qa_eval.py::predict defaults).  Chain lengths follow the same
     wiki-like distribution as the retrieval bench; per-width ms/batch are
     measured with a scan-in-one-jit and combined by the batch-width
-    histogram.  Opt-in (MDRT_BENCH_READER=1): ~4 extra 24-layer compiles.
-    Measured 2026-08 (fp32-erf gelu): 692.4 chains/s vs 346.3 fixed-512
-    (2.0x)."""
+    histogram.  Measured 2026-08 (fp32-erf gelu): 692.4 chains/s vs 346.3
+    fixed-512 (2.0x)."""
     from multihop_dense_retrieval_tpu.models.reader import QAReader
 
     cfg = EncoderConfig.electra_large()
@@ -246,12 +336,151 @@ def _reader_bench(tunnel_s, b=32, reps=8):
             "reader_fixed512_chains_per_sec": round(b / fixed, 1)}
 
 
+def _end2end_bench(searcher, params, enc_cfg, tunnel_s, rng, *,
+                   batch=8, reps=2, beam=5, topk=25, two_stage_m=5,
+                   rank_width=192, q_width=40):
+    """MEASURED composed question→answer throughput, on chip.
+
+    One jit program per variant scans REPS batches of: 2-hop beam-5 search
+    → on-device chain assembly (question ⊕ hop-1 doc ⊕ hop-2 doc tokens,
+    BERT-style pair layout at 512) → ELECTRA-large reader → band-masked
+    span decode (train/qa.py::decode_spans).  `end2end_qps` reads all
+    `topk` chains fully (the reference's behavior, scripts/train_qa.py:
+    380-481, timed by scripts/end2end.py:103-144); `end2end_2stage_qps`
+    ranks every chain at `rank_width` tokens and reads only the top-m fully
+    (the two-stage read, eval/qa_eval.py::predict rank_topm).  Sentence-
+    marker insertion is host cosmetics (same token count) and answer-text
+    decode is host-side in production; neither changes device FLOPs, so
+    this measures the deployable pipeline's device throughput."""
+    from multihop_dense_retrieval_tpu.models.reader import QAReader
+    from multihop_dense_retrieval_tpu.train.qa import decode_spans
+
+    rcfg = EncoderConfig.electra_large()
+    reader = QAReader(rcfg, sp_pred=True)
+    spec_b = TokenizerSpec(cls_id=101, sep_id=102, pad_id=0,
+                           vocab_size=rcfg.vocab_size, roberta_style=False)
+    net0 = {"input_ids": jnp.ones((1, 64), jnp.int32),
+            "attention_mask": jnp.ones((1, 64), jnp.int32),
+            "token_type_ids": jnp.zeros((1, 64), jnp.int32),
+            "paragraph_mask": jnp.ones((1, 64), jnp.int32),
+            "sent_offsets": jnp.zeros((1, 40), jnp.int32)}
+    rparams = reader.init(jax.random.PRNGKey(5), net0)
+
+    store = searcher._store
+    Lt = store["text_ids"].shape[1]
+
+    def read_rows(rp, net, width):
+        sub = {k: net[k][:, :width]
+               for k in ("input_ids", "attention_mask", "token_type_ids")}
+        sub["paragraph_mask"] = sub["attention_mask"]
+        sub["sent_offsets"] = jnp.zeros((net["input_ids"].shape[0], 40),
+                                        jnp.int32)
+        return reader.apply(rp, sub)
+
+    def assemble(out, rid, rlen):
+        h1 = out["hop1_ids"].reshape(-1)
+        h2 = out["hop2_ids"].reshape(-1)
+        p1 = store["text_ids"][h1].astype(jnp.int32)
+        l1 = store["text_lens"][h1].astype(jnp.int32)
+        p2 = store["text_ids"][h2].astype(jnp.int32)
+        l2 = store["text_lens"][h2].astype(jnp.int32)
+        j = jnp.arange(2 * Lt, dtype=jnp.int32)[None, :]
+        g1 = jnp.clip(j, 0, Lt - 1)
+        g2 = jnp.clip(j - l1[:, None], 0, Lt - 1)
+        b_ids = jnp.where(j < l1[:, None],
+                          jnp.take_along_axis(p1, g1, axis=1),
+                          jnp.take_along_axis(p2, g2, axis=1))
+        a_ids = jnp.repeat(rid, topk, axis=0)
+        a_lens = jnp.repeat(rlen, topk, axis=0)
+        net = assemble_pair_inputs(a_ids, a_lens, b_ids, l1 + l2, 512,
+                                   spec_b)
+        # retriever vocab (50k) > reader vocab (30k): clamp for the embed
+        net["input_ids"] = jnp.minimum(net["input_ids"],
+                                       rcfg.vocab_size - 1)
+        return net
+
+    def search(pr, store, ids, mask, rid, rlen):
+        return searcher._search_impl(
+            pr, store, {"input_ids": ids, "attention_mask": mask},
+            rid, rlen, beam1=beam, beam2=beam, topk=topk)
+
+    def one_stage_body(carry, xs, pr, rp, store):
+        ids, mask, rid, rlen = xs
+        net = assemble(search(pr, store, ids, mask, rid, rlen), rid, rlen)
+        ro = read_rows(rp, net, 512)
+        s, e, sc = decode_spans(ro["start_logits"], ro["end_logits"], 30)
+        return carry + ro["rank_score"].sum() + sc.sum(), None
+
+    def two_stage_body(carry, xs, pr, rp, store):
+        ids, mask, rid, rlen = xs
+        net = assemble(search(pr, store, ids, mask, rid, rlen), rid, rlen)
+        ranks = read_rows(rp, net, rank_width)["rank_score"]
+        _, sel = jax.lax.top_k(ranks.reshape(batch, topk), two_stage_m)
+        flat = (jnp.arange(batch, dtype=jnp.int32)[:, None] * topk
+                + sel).reshape(-1)
+        net_m = {k: v[flat] for k, v in net.items()}
+        ro = read_rows(rp, net_m, 512)
+        s, e, sc = decode_spans(ro["start_logits"], ro["end_logits"], 30)
+        return carry + ro["rank_score"].sum() + sc.sum(), None
+
+    q_lens = rng.randint(12, 39, size=(reps, batch))
+    qids = jax.random.randint(jax.random.PRNGKey(9), (reps, batch, q_width),
+                              10, enc_cfg.vocab_size - 1, jnp.int32)
+    qmask = jnp.asarray(
+        (np.arange(q_width)[None, None, :] < q_lens[:, :, None]), jnp.int32)
+    raw_ids = qids[:, :, :q_width - 2]
+    raw_lens = jnp.asarray(np.maximum(q_lens - 2, 1), jnp.int32)
+
+    res = {}
+    for name, body in (("end2end_qps", one_stage_body),
+                       ("end2end_2stage_qps", two_stage_body)):
+
+        @jax.jit
+        def run(pr, rp, store, qids, qmask, raw_ids, raw_lens, body=body):
+            acc, _ = jax.lax.scan(
+                lambda c, xs: body(c, xs, pr, rp, store), jnp.float32(0),
+                (qids, qmask, raw_ids, raw_lens))
+            return acc
+
+        t_c = time.time()
+        np.asarray(run(params, rparams, store, qids, qmask, raw_ids,
+                       raw_lens))
+        c_s = time.time() - t_c
+        t0 = time.perf_counter()
+        np.asarray(run(params, rparams, store, qids, qmask, raw_ids,
+                       raw_lens))
+        dt = time.perf_counter() - t0 - tunnel_s
+        res[name] = round(reps * batch / dt, 1)
+        print(f"# {name}: compile {c_s:.0f}s, steady "
+              f"{dt / reps * 1000:.1f} ms/batch (batch={batch}, beam={beam},"
+              f" topk={topk})", file=sys.stderr)
+    res["end2end_config"] = (f"beam{beam}_top{topk}_read512"
+                             f"_2stage{two_stage_m}@{rank_width}")
+    return res
+
+
+def main():
+    n_docs = _env("MDRT_BENCH_N", 5_242_880)
+    for attempt in range(3):
+        try:
+            return _run(n_docs)
+        except Exception as e:  # OOM ladder: halve the index and retry
+            oom = any(t in str(e) for t in
+                      ("RESOURCE_EXHAUSTED", "Ran out of memory", "hbm"))
+            if not oom or attempt == 2:
+                raise
+            print(f"# OOM at {n_docs} docs, retrying at {n_docs // 2}",
+                  file=sys.stderr)
+            n_docs //= 2
+
+
 def _run(n_docs):
     batch = _env("MDRT_BENCH_BATCH", 192)
     beam = _env("MDRT_BENCH_BEAM", 1)
     reps = _env("MDRT_BENCH_REPS", 8)
     layers = _env("MDRT_BENCH_LAYERS", 12)
     dtype = os.environ.get("MDRT_BENCH_DTYPE", "int8")
+    fast = _env("MDRT_BENCH_FAST", 0)
     buckets_env = os.environ.get("MDRT_BENCH_BUCKETS", "128,160,192,256,350")
     buckets = (() if buckets_env in ("off", "") else
                tuple(int(x) for x in buckets_env.split(",")))
@@ -259,7 +488,17 @@ def _run(n_docs):
                                "0.25,0.25,0.25,0.125,0.125")
     tile_fracs = (tuple(float(x) for x in fracs_env.split(","))
                   if fracs_env else ())
-    run_beam4 = _env("MDRT_BENCH_BEAM4", 1) and beam == 1
+    b4_buckets_env = os.environ.get("MDRT_BENCH_B4_BUCKETS", "")
+    b4_buckets = (tuple(int(x) for x in b4_buckets_env.split(","))
+                  if b4_buckets_env else buckets)
+    b4_fracs_env = os.environ.get("MDRT_BENCH_B4_FRACS", "")
+    b4_fracs = (tuple(float(x) for x in b4_fracs_env.split(","))
+                if b4_fracs_env else tile_fracs)
+    run_beam4 = (not fast) and _env("MDRT_BENCH_BEAM4", 1) and beam == 1
+    run_bf16 = (not fast) and _env("MDRT_BENCH_BF16", 1) and dtype == "int8"
+    run_pca = (not fast) and _env("MDRT_BENCH_PCA", 1) and dtype == "int8"
+    run_reader = (not fast) and _env("MDRT_BENCH_READER", 1)
+    run_e2e = (not fast) and _env("MDRT_BENCH_E2E", 1)
     max_q_sp_len, text_len = 350, 300
     q_width = 40  # static question width: fits the 12-38-token question
     # distribution + specials (host-side q_width_multiple bucketing serves
@@ -278,18 +517,18 @@ def _run(n_docs):
 
     chunk = 2048
     n_pad = -(-n_docs // chunk) * chunk
-    index, text_ids, text_lens, empty = _make_data(
-        n_pad, n_docs, d, text_len, cfg.vocab_size, dtype)
-
+    factor, rot = _encoder_moment_factor(model, params, cfg, d)
+    text_ids, text_lens, empty = _make_tokens(n_pad, text_len,
+                                              cfg.vocab_size)
     spec = TokenizerSpec(cls_id=0, sep_id=2, pad_id=1,
                          vocab_size=cfg.vocab_size, roberta_style=True)
 
-    def build_searcher(b1, b2, topk):
+    def build_searcher(index, b1, b2, topk, bks, fracs, use_pca=False):
         scfg = SearchConfig(beam_size_1=b1, beam_size_2=b2, topk=topk,
                             max_q_len=q_width, max_q_sp_len=max_q_sp_len,
                             chunk_rows=chunk, use_pallas=True,
-                            hop2_buckets=buckets,
-                            hop2_tile_fracs=tile_fracs)
+                            hop2_buckets=bks, hop2_tile_fracs=fracs,
+                            use_pca=use_pca)
         return BeamSearcher(
             encode_fn=lambda p, ids, mask, tt=None: model.apply(
                 p, ids, mask, tt, method=model.encode_seq),
@@ -299,37 +538,103 @@ def _run(n_docs):
 
     tunnel_s = measure_tunnel_overhead()
     nprng = np.random.RandomState(23)
+    extras, errors = {}, {}
 
-    searcher = build_searcher(beam, beam, beam)
-    dt, compile_s = _timed_search(searcher, params, beam, batch, reps,
-                                  q_width, cfg.vocab_size, nprng)
+    # --- exact-bf16 delta config (own index; freed before the int8 build)
+    if run_bf16:
+        try:
+            bf16_index = _make_index(n_pad, n_docs, d, "bf16", factor)
+            s_bf = build_searcher(bf16_index, beam, beam, beam, buckets,
+                                  tile_fracs)
+            dtb, cb, _ = _timed_search(s_bf, params, beam, batch, reps,
+                                       q_width, cfg.vocab_size, nprng)
+            dtb -= tunnel_s
+            extras["bf16_exact_qps"] = round(reps * batch / dtb, 1)
+            print(f"# bf16 exact: compile {cb:.0f}s, steady "
+                  f"{dtb/reps*1000:.1f} ms/batch", file=sys.stderr)
+            del s_bf, bf16_index
+            gc.collect()
+        except Exception as e:
+            errors["bf16_exact"] = repr(e)[:200]
+
+    index = _make_index(n_pad, n_docs, d, dtype, factor,
+                        rot=rot if run_pca else None)
+
+    searcher = build_searcher(index, beam, beam, beam, buckets, tile_fracs)
+    dt, compile_s, _ = _timed_search(searcher, params, beam, batch, reps,
+                                     q_width, cfg.vocab_size, nprng)
     dt -= tunnel_s
-    qps = reps * batch / dt
-    print(f"# headline: compile {compile_s:.0f}s, steady "
+    plain_qps = reps * batch / dt
+    print(f"# plain {dtype}: compile {compile_s:.0f}s, steady "
           f"{dt/reps*1000:.1f} ms/batch, tunnel {tunnel_s*1000:.1f} ms",
           file=sys.stderr)
 
-    extras = {}
-    if _env("MDRT_BENCH_READER", 0):
-        extras.update(_reader_bench(tunnel_s))
-    if run_beam4:
-        # batch 96 measured 830 q/s vs 784 at 48 (the old default) — the
-        # larger hop-2 tile pool amortizes the wide buckets better
-        b4_batch = _env("MDRT_BENCH_B4BATCH", min(batch // 2, 96))
-        s4 = build_searcher(4, 4, 4)
-        dt4, c4 = _timed_search(s4, params, 4, b4_batch, reps, q_width,
-                                cfg.vocab_size, nprng)
-        dt4 -= tunnel_s
-        extras["beam4_qps"] = round(reps * b4_batch / dt4, 1)
-        print(f"# beam4: compile {c4:.0f}s, steady {dt4/reps*1000:.1f} "
-              f"ms/batch (batch={b4_batch})", file=sys.stderr)
+    # --- PCA tier: measured certified fraction decides the headline
+    headline_qps, headline_cfg, pca_ok = plain_qps, "plain", False
+    if run_pca and index.pca_proj is not None:
+        try:
+            s_pca = build_searcher(index, beam, beam, beam, buckets,
+                                   tile_fracs, use_pca=True)
+            dtp, cp, cert = _timed_search(s_pca, params, beam, batch, reps,
+                                          q_width, cfg.vocab_size, nprng)
+            dtp -= tunnel_s
+            pca_qps = reps * batch / dtp
+            extras["pca_qps"] = round(pca_qps, 1)
+            extras["pca_cert2_frac"] = (None if cert is None
+                                        else round(cert, 4))
+            print(f"# pca auto: compile {cp:.0f}s, steady "
+                  f"{dtp/reps*1000:.1f} ms/batch, cert2 {cert}",
+                  file=sys.stderr)
+            pca_ok = (cert is not None and cert >= PCA_CERT_HEADLINE_MIN)
+            if pca_ok and pca_qps > plain_qps:
+                headline_qps, headline_cfg = pca_qps, "pca_auto"
+                extras["plain_qps"] = round(plain_qps, 1)
+        except Exception as e:
+            errors["pca"] = repr(e)[:200]
 
+    if run_beam4:
+        try:
+            # batch 96 measured 830 q/s vs 784 at 48 (the old default) — the
+            # larger hop-2 tile pool amortizes the wide buckets better
+            b4_batch = _env("MDRT_BENCH_B4BATCH", min(batch // 2, 96))
+            s4 = build_searcher(index, 4, 4, 4, b4_buckets, b4_fracs,
+                                use_pca=pca_ok)
+            dt4, c4, _ = _timed_search(s4, params, 4, b4_batch, reps,
+                                       q_width, cfg.vocab_size, nprng)
+            dt4 -= tunnel_s
+            extras["beam4_qps"] = round(reps * b4_batch / dt4, 1)
+            print(f"# beam4: compile {c4:.0f}s, steady {dt4/reps*1000:.1f} "
+                  f"ms/batch (batch={b4_batch})", file=sys.stderr)
+            del s4
+        except Exception as e:
+            errors["beam4"] = repr(e)[:200]
+
+    if run_e2e:
+        try:
+            # buckets off: 40 hop-2 rows would make 8-row tiles, and
+            # per-tile fixed costs beat token savings at that size (PERF.md)
+            s5 = build_searcher(index, 5, 5, 25, (), (), use_pca=pca_ok)
+            extras.update(_end2end_bench(s5, params, cfg, tunnel_s, nprng))
+            del s5
+            gc.collect()
+        except Exception as e:
+            errors["end2end"] = repr(e)[:200]
+
+    if run_reader:
+        try:
+            extras.update(_reader_bench(tunnel_s))
+        except Exception as e:
+            errors["reader"] = repr(e)[:200]
+
+    if errors:
+        extras["extra_errors"] = errors
     print(json.dumps({
         "metric": "2hop_beam_search_queries_per_sec",
-        "value": round(qps, 1),
+        "value": round(headline_qps, 1),
         "unit": f"questions/s (beam={beam}, {n_docs} docs x {d} {dtype}, "
-                f"{layers}-layer encoder, batch={batch}, 1 TPU chip)",
-        "vs_baseline": round(qps / BASELINE_QPS, 2),
+                f"{layers}-layer encoder, batch={batch}, 1 TPU chip, "
+                f"engine={headline_cfg})",
+        "vs_baseline": round(headline_qps / BASELINE_QPS, 2),
         "baseline_qps_range": list(BASELINE_RANGE),
         "tunnel_correction_ms": round(tunnel_s * 1000, 1),
         "hop2_buckets": list(buckets),

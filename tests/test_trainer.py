@@ -297,6 +297,73 @@ def test_nq_momentum_composition():
     assert moved
 
 
+def test_gradient_accumulation_with_remat_matches_averaged_grads():
+    """optax.MultiSteps(k) + --remat (the one-chip reference-budget recipe,
+    train_mhop.py:168-190 parity): k micro-steps must produce exactly ONE
+    optimizer update from the AVERAGE of the k micro-gradients, with params
+    frozen until the k-th call."""
+    from multihop_dense_retrieval_tpu.train.losses import mhop_loss
+
+    cfg = EncoderConfig.tiny(vocab_size=256, hidden_size=32, num_heads=4,
+                             intermediate_size=64, max_position_embeddings=40)
+    rng = np.random.RandomState(0)
+
+    def mk_batch(seed):
+        r = np.random.RandomState(seed)
+        b = {}
+        for k in ("q", "q_sp", "c1", "c2", "neg1", "neg2"):
+            b[f"{k}_input_ids"] = jnp.asarray(
+                r.randint(5, 250, size=(4, 16)).astype(np.int32))
+            b[f"{k}_mask"] = jnp.ones((4, 16), jnp.int32)
+        return b
+
+    micro = [mk_batch(s) for s in range(3)]
+    model = MhopRetriever(cfg, remat=True)
+    params = model.init(jax.random.PRNGKey(0), micro[0])
+
+    tcfg = RetrieverTrainConfig(warmup_ratio=0.0, learning_rate=1e-3,
+                                gradient_accumulation=3)
+    tx = T.make_optimizer(tcfg, 10)
+    state = T.TrainState.create(params, tx)
+    step = T.make_train_step(model, tx)
+    for i, b in enumerate(micro):
+        prev = state
+        state, loss = step(state, b)
+        assert np.isfinite(float(loss))
+        if i < 2:  # params must not move before the k-th micro step
+            for x, y in zip(jax.tree_util.tree_leaves(prev.params),
+                            jax.tree_util.tree_leaves(state.params)):
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    # oracle: one plain-optimizer update from the mean micro-gradient
+    plain_tx = T.make_optimizer(
+        RetrieverTrainConfig(warmup_ratio=0.0, learning_rate=1e-3), 10)
+    grads = [jax.grad(lambda p: mhop_loss(model.apply(p, b)))(params)
+             for b in micro]
+    mean_g = jax.tree_util.tree_map(
+        lambda *gs: sum(gs) / len(gs), *grads)
+    import optax
+    upd, _ = plain_tx.update(mean_g, plain_tx.init(params), params)
+    expect = optax.apply_updates(params, upd)
+    # where the true mean gradient is ~0 (key biases exactly, by softmax
+    # shift-invariance), Adam's first step is ±lr·sign(ulp noise) and the
+    # two paths may disagree by up to 2·lr — bound those ELEMENTS by the
+    # update magnitude, compare everything else tightly (same treatment as
+    # test_remat_train_step_matches_plain)
+    lr = 1e-3
+    for (path, a), (_, b), g in zip(
+            jax.tree_util.tree_leaves_with_path(expect),
+            jax.tree_util.tree_leaves_with_path(state.params),
+            jax.tree_util.tree_leaves(mean_g)):
+        a, b, g = np.asarray(a), np.asarray(b), np.abs(np.asarray(g))
+        tiny = g < 1e-6
+        name = jax.tree_util.keystr(path)
+        assert np.abs(a - b)[tiny].max(initial=0.0) <= 2.5 * lr, name
+        np.testing.assert_allclose(np.where(tiny, 0.0, a),
+                                   np.where(tiny, 0.0, b),
+                                   rtol=2e-4, atol=2e-6, err_msg=name)
+
+
 def test_remat_train_step_matches_plain():
     """--remat (per-layer jax.checkpoint) changes memory, not math: same
     loss and same updated params as the plain step."""

@@ -77,6 +77,11 @@ def add_pipeline_args(p):
                    help="PCA-prefiltered MIPS (index built with --pca-dims)")
     p.add_argument("--pca-k-chunks", type=int, default=8)
     p.add_argument("--lambda", dest="lam", type=float, default=0.8)
+    p.add_argument("--rank-topm", type=int, default=0,
+                   help="two-stage read: rank all chains at --rank-width "
+                        "tokens, full span/sp pass on the top-m per question "
+                        "(0 = read every chain fully)")
+    p.add_argument("--rank-width", type=int, default=192)
 
 
 def resolve_tokenizer(spec: str, vocab_size: int = 50265,

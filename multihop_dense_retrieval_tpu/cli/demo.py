@@ -53,6 +53,12 @@ class DemoPipeline:
                           else "float32"))
         self.pred_step = TQA.make_qa_predict_step(
             self.reader, max_ans_len=args.max_ans_len)
+        self.rank_kw = {}
+        if getattr(args, "rank_topm", 0):
+            self.rank_kw = dict(
+                rank_step=TQA.make_qa_rank_step(self.reader),
+                rank_topm=args.rank_topm,
+                rank_width=getattr(args, "rank_width", 192))
         self.max_c_len = getattr(args, "max_c_len", 300)
         self.args = args
 
@@ -113,7 +119,7 @@ class DemoPipeline:
         n_chains = sum(len(c) for c in all_chains)
         res = predict(self.pred_step, self.reader_params, ds,
                       batch_size=max(min(n_chains, 32), 1),
-                      lambdas=[self.args.lam])
+                      lambdas=[self.args.lam], **self.rank_kw)
         t2 = time.time()
         return [{
             "answer": res["best"]["answers"].get(f"q{i}", ""),

@@ -88,6 +88,10 @@ def main(argv=None):
     p.add_argument("--sp-weight", type=float, default=0.05)
     p.add_argument("--no-sp", action="store_true")
     p.add_argument("--fixed-lambda", type=float, default=None)
+    p.add_argument("--rank-topm", type=int, default=0,
+                   help="two-stage predict: rank all chains at --rank-width "
+                        "tokens, full span/sp pass on the top-m per question")
+    p.add_argument("--rank-width", type=int, default=192)
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args(argv)
 
@@ -100,12 +104,16 @@ def main(argv=None):
               num_answer_slots=args.num_answer_slots, max_sents=args.max_sents)
     eval_ds = QADataset(tok, args.predict_file, train=False, **kw)
     pred_step = TQA.make_qa_predict_step(model, max_ans_len=args.max_ans_len)
+    rank_kw = {}
+    if args.rank_topm:
+        rank_kw = dict(rank_step=TQA.make_qa_rank_step(model),
+                       rank_topm=args.rank_topm, rank_width=args.rank_width)
     lambdas = [args.fixed_lambda] if args.fixed_lambda is not None else None
 
     if args.do_predict or not args.train_file:
         res = predict(pred_step, params, eval_ds,
                       batch_size=args.predict_batch_size, sp_pred=sp_pred,
-                      lambdas=lambdas)
+                      lambdas=lambdas, **rank_kw)
         logger.info("chain ranking em: %.4f", res["chain_em"])
         best = {k: v for k, v in res["best"].items()
                 if k not in ("answers", "sp")}

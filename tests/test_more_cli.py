@@ -88,6 +88,16 @@ def test_demo_single_question(tmp_path):
     assert isinstance(out["answer"], str)
     assert len(out["chains"]) == 2
     assert out["retrieval_s"] > 0
+    # two-stage read threads through the demo/serve pipeline
+    out2 = demo.main([out_dir, "--tokenizer", "hash",
+                      "--retriever-model", "tiny", "--reader-model", "tiny",
+                      "--beam-size", "2", "--topk", "2",
+                      "--rank-topm", "1", "--rank-width", "48",
+                      "--max-q-len", "16", "--max-q-sp-len", "48",
+                      "--max-seq-len", "96", "--max-ans-len", "6",
+                      "--chunk-rows", "16",
+                      "--question", "what links things?"])
+    assert isinstance(out2["answer"], str)
 
 
 def test_launch_grid(tmp_path):

@@ -114,7 +114,7 @@ def synth_doc_lens(rng, n, lo=20, hi=300):
     return np.clip(lens, lo, hi).astype(np.int32)
 
 
-def _encoder_moment_factor(model, params, cfg, d, n=2048, width=128):
+def _encoder_moment_factor(model, params, cfg, d, n=256, width=32):
     """Covariance factor + PCA rotation from REAL encoder outputs.
 
     Index rows are drawn as z @ factor.T (z iid normal), matching the
@@ -122,21 +122,44 @@ def _encoder_moment_factor(model, params, cfg, d, n=2048, width=128):
     the int8 quantizer and the PCA prefilter, at synthetic-corpus cost.
     The rotation is the top-128 eigvecs of the same moment (exactly what
     ops/mips.py::train_pca_rotation computes from a corpus sample)."""
-    bs = 256
-    key = jax.random.PRNGKey(7)
-    ids = jax.random.randint(key, (n // bs, bs, width), 10,
-                             cfg.vocab_size - 1, jnp.int32)
-    mask = jnp.ones((bs, width), jnp.int32)
-    outs = [np.asarray(model.apply(params, ids[i], mask,
-                                   method=model.encode_seq), np.float32)
-            for i in range(ids.shape[0])]
+    # the sample encode runs on the in-process CPU backend (a one-off
+    # 12-layer program costs ~12 min of REMOTE compile on the tunnel TPU)
+    # and the spectrum is cached on disk — the encoder params are
+    # deterministic (PRNGKey(0)), so the moment only varies with
+    # (layers, scores dtype).  n=256 estimates the top-128 eigvecs; a ridge
+    # at 1% of the mean eigenvalue keeps the factor full-rank (the tail
+    # beyond rank-n is isotropic-small rather than exactly zero).
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_cache")
+    os.makedirs(cache, exist_ok=True)
+    key = (f"moment_{cfg.num_layers}_{cfg.attention_scores_dtype}"
+           f"_{n}x{width}.npz")
+    path = os.path.join(cache, key)
+    if os.path.exists(path):
+        z = np.load(path)
+        return jnp.asarray(z["factor"]), jnp.asarray(z["rot"])
+    bs = 128
+    cpu = jax.devices("cpu")[0]
+    rng = np.random.RandomState(7)
+    ids_np = rng.randint(10, cfg.vocab_size - 1,
+                         size=(n // bs, bs, width)).astype(np.int32)
+    with jax.default_device(cpu):
+        cpu_params = jax.device_put(params, cpu)
+        mask = jnp.ones((bs, width), jnp.int32)
+        enc = jax.jit(lambda p, i: model.apply(p, i, mask,
+                                               method=model.encode_seq))
+        outs = [np.asarray(enc(cpu_params, jax.device_put(ids_np[i], cpu)),
+                           np.float32)
+                for i in range(ids_np.shape[0])]
     s = np.concatenate(outs)
     m = (s.T.astype(np.float64) @ s.astype(np.float64)) / len(s)
+    m += np.eye(d) * (np.trace(m) / d) * 0.01
     lam, u = np.linalg.eigh(m)                       # ascending
     lam = np.maximum(lam[::-1], 1e-9)
     u = u[:, ::-1]
     factor = (u * np.sqrt(lam)).astype(np.float32)   # row = z @ factor.T
     rot = np.ascontiguousarray(u[:, :128]).astype(np.float32)
+    np.savez(path, factor=factor, rot=rot)
     return jnp.asarray(factor), jnp.asarray(rot)
 
 
@@ -158,12 +181,21 @@ def _make_tokens(n_pad, text_len, vocab_size):
 
 def _make_index(n_pad, n_docs, d, dtype, factor, rot=None,
                 cand_rows=512):
-    """Covariance-matched synthetic index, built slice-wise on device so
-    fp32 transients stay ≈1 GB.  With `rot`, the per-slice program also
-    emits the PCA projection and certificate bounds (same quantities as
-    ops/mips.py::build_pca_prefilter / index/store.py::_pca_ingest: bounds
-    over the rows AS STORED — dequantized int8 — with the fp32 margin)."""
-    n_slices = 8
+    """Covariance-matched synthetic index, built slice-wise on device.
+
+    Slices land in pre-allocated buffers via DONATED dynamic_update_slice
+    (index/store.py::_update_rows) — a jnp.concatenate would keep parts AND
+    result co-resident (2× the index: 16 GB for the bf16 phase alone, OOM
+    at 5.2M next to the 3.1 GB token store), while the donated update is
+    in-place on TPU.  16 slices keep the fp32 transients ≈1 GB each.
+    With `rot`, the per-slice program also emits the PCA projection and
+    certificate bounds (same quantities as ops/mips.py::build_pca_prefilter
+    / index/store.py::_pca_ingest: bounds over the rows AS STORED —
+    dequantized int8 — with the fp32 margin)."""
+    from multihop_dense_retrieval_tpu.index.store import (_update_rows,
+                                                          _update_scales)
+
+    n_slices = 16
     while n_pad % n_slices:
         n_slices //= 2
     rows = n_pad // n_slices
@@ -195,25 +227,24 @@ def _make_index(n_pad, n_docs, d, dtype, factor, rot=None,
             b = b * (1 + 1e-6) + 1e-6
             return q, scale[:, 0], pb, b
 
-        qs, scs, pjs, bds = [], [], [], []
+        vectors = jnp.zeros((n_pad, d), jnp.int8)
+        scales = jnp.zeros((n_pad,), jnp.float32)
+        proj = (jnp.zeros((n_pad, rot.shape[1]), jnp.bfloat16)
+                if rot is not None else None)
+        bds = []
         for s in range(n_slices):
             out = make_slice(jax.random.PRNGKey(100 + s))
-            qs.append(out[0])
-            scs.append(out[1])
+            vectors = _update_rows(vectors, out[0], s * rows)
+            scales = _update_scales(scales, out[1], s * rows)
             if rot is not None:
-                pjs.append(out[2])
+                proj = _update_rows(proj, out[2], s * rows)
                 bds.append(out[3])
-        vectors = jnp.concatenate(qs, axis=0)
         vectors.block_until_ready()
-        del qs
-        scales = jnp.concatenate(scs, axis=0)
         pca = {}
         if rot is not None:
-            pca = dict(pca_rot=rot,
-                       pca_proj=jnp.concatenate(pjs, axis=0),
+            pca = dict(pca_rot=rot, pca_proj=proj,
                        pca_bounds=jnp.concatenate(bds, axis=1),
                        pca_cand_rows=cand_rows)
-            del pjs, bds
         return DenseIndex(vectors=vectors, n_docs=n_docs, scales=scales,
                           **pca)
 
@@ -222,11 +253,11 @@ def _make_index(n_pad, n_docs, d, dtype, factor, rot=None,
         z = jax.random.normal(key, (rows, d), jnp.float32)
         return (z @ factor.T).astype(jnp.bfloat16)
 
-    parts = [make_slice_bf16(jax.random.PRNGKey(100 + s))
-             for s in range(n_slices)]
-    vectors = jnp.concatenate(parts, axis=0)
+    vectors = jnp.zeros((n_pad, d), jnp.bfloat16)
+    for s in range(n_slices):
+        vectors = _update_rows(vectors, make_slice_bf16(
+            jax.random.PRNGKey(100 + s)), s * rows)
     vectors.block_until_ready()
-    del parts
     return DenseIndex(vectors=vectors, n_docs=n_docs)
 
 
@@ -472,6 +503,12 @@ def main():
             print(f"# OOM at {n_docs} docs, retrying at {n_docs // 2}",
                   file=sys.stderr)
             n_docs //= 2
+        # e is now unbound (frames referenced by its traceback held the
+        # failed attempt's multi-GB arrays alive); drop compiled-program
+        # caches and collect so HBM is actually empty before the retry —
+        # without this, even a 1.3M retry OOMs on its first allocation
+        jax.clear_caches()
+        gc.collect()
 
 
 def _run(n_docs):

@@ -89,6 +89,8 @@ from multihop_dense_retrieval_tpu.search.beam import (BeamSearcher,
 BASELINE_QPS = 150.0  # estimated reference throughput (see module docstring)
 BASELINE_RANGE = (100.0, 250.0)
 PCA_CERT_HEADLINE_MIN = 0.99
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".bench_cache")
 
 
 def _env(name, default):
@@ -129,8 +131,7 @@ def _encoder_moment_factor(model, params, cfg, d, n=256, width=32):
     # (layers, scores dtype).  n=256 estimates the top-128 eigvecs; a ridge
     # at 1% of the mean eigenvalue keeps the factor full-rank (the tail
     # beyond rank-n is isotropic-small rather than exactly zero).
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         ".bench_cache")
+    cache = _CACHE_DIR
     os.makedirs(cache, exist_ok=True)
     key = (f"moment_{cfg.num_layers}_{cfg.attention_scores_dtype}"
            f"_{n}x{width}.npz")

@@ -409,7 +409,10 @@ def _end2end_bench(searcher, params, enc_cfg, tunnel_s, rng, *,
                                         jnp.int32)
         return reader.apply(rp, sub)
 
-    def assemble(out, rid, rlen):
+    def assemble(out, store, rid, rlen):
+        # store comes in as a jit ARGUMENT — a closure over searcher._store
+        # here would bake the 3.1GB token array into the HLO as constants
+        # (the serialized program then breaks the remote-compile transport)
         h1 = out["hop1_ids"].reshape(-1)
         h2 = out["hop2_ids"].reshape(-1)
         p1 = store["text_ids"][h1].astype(jnp.int32)
@@ -441,7 +444,7 @@ def _end2end_bench(searcher, params, enc_cfg, tunnel_s, rng, *,
         out = searcher._search_impl(
             pr, store, {"input_ids": ids, "attention_mask": mask},
             rid, rlen, beam1=beam, beam2=beam, topk=topk)
-        return assemble(out, rid, rlen)
+        return assemble(out, store, rid, rlen)
 
     @jax.jit
     def read_one_stage(rp, net):

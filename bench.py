@@ -79,7 +79,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from multihop_dense_retrieval_tpu.core.config import EncoderConfig, SearchConfig
+from multihop_dense_retrieval_tpu.core.config import (
+    EncoderConfig, SearchConfig, HOP2_BUCKETS_6TILE, HOP2_TILE_FRACS_6TILE)
 from multihop_dense_retrieval_tpu.data.tokenization import TokenizerSpec
 from multihop_dense_retrieval_tpu.index.store import DenseIndex
 from multihop_dense_retrieval_tpu.models import MhopRetriever
@@ -368,6 +369,43 @@ def _reader_bench(tunnel_s, b=32, reps=8):
             "reader_fixed512_chains_per_sec": round(b / fixed, 1)}
 
 
+def _bucketed_score(score_fn, net, buckets, full_width):
+    """Per-row scalar scores summed over length-sorted width tiles.
+
+    Rows are sorted by attention-mask length and split into EQUAL tiles;
+    tile t is scored at ``buckets[t]`` columns when every row fits
+    (lax.cond — fallback scores at ``full_width``).  Equal tile sizes +
+    repeated bucket widths keep the number of distinct compiled subgraphs
+    small (XLA CSEs identical tiles), which matters for the remote-compile
+    transport.  EXACT for any score_fn whose per-row value ignores pad
+    columns beyond the row's length (the QA reader qualifies: span logits
+    are paragraph-masked, rank pooling is attention-masked) — asserted by
+    tests/test_bench_helpers.py::test_bucketed_score_matches_full_width.
+    Summing per tile (not concatenating logits) sidesteps ragged-width
+    outputs; the bench only needs a sync scalar.
+    """
+    n = net["input_ids"].shape[0]
+    n_tiles = len(buckets)
+    assert n % n_tiles == 0, (n, n_tiles)
+    lens = net["attention_mask"].sum(1).astype(jnp.int32)
+    order = jnp.argsort(lens)
+    net_s = {k: v[order] for k, v in net.items()}
+    lens_s = lens[order]
+    ts = n // n_tiles
+    total = jnp.float32(0)
+    for t, w in enumerate(buckets):
+        sub = {k: v[t * ts:(t + 1) * ts] for k, v in net_s.items()}
+        if w >= full_width:
+            total += score_fn(sub, full_width)
+        else:
+            tile_max = lens_s[(t + 1) * ts - 1]
+            total += jax.lax.cond(
+                tile_max <= w,
+                lambda sub=sub, w=w: score_fn(sub, w),
+                lambda sub=sub: score_fn(sub, full_width))
+    return total
+
+
 def _end2end_bench(searcher, params, enc_cfg, tunnel_s, rng, *,
                    batch=8, reps=2, beam=5, topk=25, two_stage_m=5,
                    rank_width=192, q_width=40):
@@ -446,11 +484,25 @@ def _end2end_bench(searcher, params, enc_cfg, tunnel_s, rng, *,
             rid, rlen, beam1=beam, beam2=beam, topk=topk)
         return assemble(out, store, rid, rlen)
 
-    @jax.jit
-    def read_one_stage(rp, net):
-        ro = read_rows(rp, net, 512)
+    def score_rows(rp, net, width):
+        ro = read_rows(rp, net, width)
         s, e, sc = decode_spans(ro["start_logits"], ro["end_logits"], 30)
         return ro["rank_score"].sum() + sc.sum()
+
+    # Length-bucketed read, the device-side analogue of qa_eval.predict's
+    # host-side width bucketing (692 vs 345 chains/s standalone).  Chain-
+    # length CDF here: P(len<=256)=.61, P(len<=320)=.82, so cumulative
+    # tile fracs .25/.50/.75 leave safe margin before the lax.cond
+    # fallback fires.
+    read_buckets = (256, 256, 320, 512)
+
+    def score_bucketed(rp, net):
+        return _bucketed_score(lambda sub, w: score_rows(rp, sub, w),
+                               net, read_buckets, 512)
+
+    @jax.jit
+    def read_one_stage(rp, net):
+        return score_bucketed(rp, net)
 
     @jax.jit
     def read_two_stage(rp, net):
@@ -459,9 +511,7 @@ def _end2end_bench(searcher, params, enc_cfg, tunnel_s, rng, *,
         flat = (jnp.arange(batch, dtype=jnp.int32)[:, None] * topk
                 + sel).reshape(-1)
         net_m = {k: v[flat] for k, v in net.items()}
-        ro = read_rows(rp, net_m, 512)
-        s, e, sc = decode_spans(ro["start_logits"], ro["end_logits"], 30)
-        return ro["rank_score"].sum() + sc.sum()
+        return score_bucketed(rp, net_m)
 
     q_lens = rng.randint(12, 39, size=(reps, batch))
     qids = np.random.RandomState(9).randint(
@@ -498,7 +548,8 @@ def _end2end_bench(searcher, params, enc_cfg, tunnel_s, rng, *,
         print(f"# {name}: compile+warm {c_s:.0f}s, steady "
               f"{dt / reps * 1000:.1f} ms/batch (batch={batch}, beam={beam},"
               f" topk={topk})", file=sys.stderr)
-    res["end2end_config"] = (f"beam{beam}_top{topk}_read512"
+    res["end2end_config"] = (f"beam{beam}_top{topk}_readbkt"
+                             f"{'-'.join(map(str, read_buckets))}"
                              f"_2stage{two_stage_m}@{rank_width}")
     return res
 
@@ -538,12 +589,15 @@ def _run(n_docs):
                                "0.25,0.25,0.25,0.125,0.125")
     tile_fracs = (tuple(float(x) for x in fracs_env.split(","))
                   if fracs_env else ())
+    # beam-4 default: the 6-tile split that WINS at 768 hop-2 rows (920 vs
+    # 849 q/s sweep, batch 192) even though it loses 23% at beam-1's 192
+    # rows — config.default_hop2_tiling encodes the same rule
     b4_buckets_env = os.environ.get("MDRT_BENCH_B4_BUCKETS", "")
     b4_buckets = (tuple(int(x) for x in b4_buckets_env.split(","))
-                  if b4_buckets_env else buckets)
+                  if b4_buckets_env else HOP2_BUCKETS_6TILE)
     b4_fracs_env = os.environ.get("MDRT_BENCH_B4_FRACS", "")
     b4_fracs = (tuple(float(x) for x in b4_fracs_env.split(","))
-                if b4_fracs_env else tile_fracs)
+                if b4_fracs_env else HOP2_TILE_FRACS_6TILE)
     run_beam4 = (not fast) and _env("MDRT_BENCH_BEAM4", 1) and beam == 1
     run_bf16 = (not fast) and _env("MDRT_BENCH_BF16", 1) and dtype == "int8"
     run_pca = (not fast) and _env("MDRT_BENCH_PCA", 1) and dtype == "int8"
@@ -644,9 +698,9 @@ def _run(n_docs):
 
     if run_beam4:
         try:
-            # batch 96 measured 830 q/s vs 784 at 48 (the old default) — the
-            # larger hop-2 tile pool amortizes the wide buckets better
-            b4_batch = _env("MDRT_BENCH_B4BATCH", min(batch // 2, 96))
+            # sweep (scripts_dev/beam4_sweep.py): batch 192 + 6-tile split
+            # 920.1 q/s vs 846.8 at the old batch-96 5-tile default
+            b4_batch = _env("MDRT_BENCH_B4BATCH", min(batch, 192))
             s4 = build_searcher(index, 4, 4, 4, b4_buckets, b4_fracs,
                                 use_pca=pca_ok)
             dt4, c4, _ = _timed_search(s4, params, 4, b4_batch, reps,

@@ -82,6 +82,37 @@ def add_pipeline_args(p):
                         "tokens, full span/sp pass on the top-m per question "
                         "(0 = read every chain fully)")
     p.add_argument("--rank-width", type=int, default=192)
+    add_hop2_tiling_args(p)
+
+
+def add_hop2_tiling_args(p):
+    """Length-adaptive hop-2 encode flags (exact results, ~9-20%% measured
+    serving win depending on beam width — PERF.md)."""
+    p.add_argument("--hop2-buckets", default="auto",
+                   help='hop-2 encode width tiles: "auto" (measured preset '
+                        'picked by batch×beam row count), "off", or a comma '
+                        'list of multiples of 32 ending at max-q-sp-len, '
+                        'e.g. "128,160,192,256,350"')
+    p.add_argument("--hop2-tile-fracs", default="",
+                   help="comma row-fractions per bucket (sum to 1); empty = "
+                        "preset fracs for auto, equal tiles otherwise")
+
+
+def resolve_hop2_tiling(args, n_rows: int, max_width: int):
+    """Map the --hop2-buckets/--hop2-tile-fracs flags to SearchConfig
+    fields.  ``n_rows`` is the hop-2 row count (batch × beam_size_1)."""
+    from ..core.config import default_hop2_tiling
+
+    spec = getattr(args, "hop2_buckets", "auto")
+    if spec == "off":
+        return (), ()
+    if spec == "auto":
+        return default_hop2_tiling(n_rows, max_width)
+    buckets = tuple(int(x) for x in spec.split(","))
+    fracs_spec = getattr(args, "hop2_tile_fracs", "")
+    fracs = (tuple(float(x) for x in fracs_spec.split(","))
+             if fracs_spec else ())
+    return buckets, fracs
 
 
 def resolve_tokenizer(spec: str, vocab_size: int = 50265,

@@ -34,11 +34,17 @@ class DemoPipeline:
         self.r_tok = common.resolve_tokenizer(args.tokenizer)
         r_model, r_params = common.init_retriever(
             enc_cfg, checkpoint=args.retriever_checkpoint)
+        # hop-2 rows per search = micro-batch × beam (the serve worker pads
+        # to max_batch; the REPL runs single questions)
+        h2b, h2f = common.resolve_hop2_tiling(
+            args, getattr(args, "max_batch", 1) * args.beam_size,
+            args.max_q_sp_len)
         cfg = SearchConfig(beam_size_1=args.beam_size,
                            beam_size_2=args.beam_size, topk=args.topk,
                            max_q_len=args.max_q_len,
                            max_q_sp_len=args.max_q_sp_len,
                            chunk_rows=args.chunk_rows,
+                           hop2_buckets=h2b, hop2_tile_fracs=h2f,
                            use_pca=getattr(args, "pca", False),
                            pca_k_chunks=getattr(args, "pca_k_chunks", 8))
         self.searcher = load_searcher(args.index_dir, self.r_tok, r_model,

@@ -84,6 +84,7 @@ def main(argv=None):
                         "per question (0 = read every chain fully, the "
                         "reference behavior)")
     p.add_argument("--rank-width", type=int, default=192)
+    common.add_hop2_tiling_args(p)
     p.add_argument("--save-path", default="")
     args = p.parse_args(argv)
 
@@ -93,9 +94,12 @@ def main(argv=None):
     r_tok = common.resolve_tokenizer(args.tokenizer)
     r_model, r_params = common.init_retriever(
         enc_cfg, checkpoint=args.retriever_checkpoint)
+    h2b, h2f = common.resolve_hop2_tiling(
+        args, args.batch_size * args.beam_size, args.max_q_sp_len)
     cfg = SearchConfig(beam_size_1=args.beam_size, beam_size_2=args.beam_size,
                        topk=args.topk, max_q_len=args.max_q_len,
                        max_q_sp_len=args.max_q_sp_len,
+                       hop2_buckets=h2b, hop2_tile_fracs=h2f,
                        chunk_rows=args.chunk_rows)
     searcher = load_searcher(args.index_dir, r_tok, r_model, r_params, cfg)
     corpus = Corpus.from_id2doc(f"{args.index_dir}/id2doc.json")

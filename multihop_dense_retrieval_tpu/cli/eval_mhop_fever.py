@@ -61,6 +61,7 @@ def main(argv=None):
                         "asymmetric beams fetch large k per query")
     p.add_argument("--pca-hops", default="auto",
                    choices=["auto", "1", "2", "12"])
+    common.add_hop2_tiling_args(p)
     p.add_argument("--save-path", default="")
     args = p.parse_args(argv)
 
@@ -72,12 +73,15 @@ def main(argv=None):
     with open(args.raw_data) as f:
         ds_items = [json.loads(l) for l in f if l.strip()]
 
+    h2b, h2f = common.resolve_hop2_tiling(
+        args, args.batch_size * args.beam_size_1, args.max_q_sp_len)
     cfg = SearchConfig(beam_size_1=args.beam_size_1,
                        beam_size_2=args.beam_size_2,
                        topk=args.topk, max_q_len=args.max_q_len,
                        max_q_sp_len=args.max_q_sp_len,
                        chunk_rows=args.chunk_rows,
                        use_pallas=not args.no_pallas,
+                       hop2_buckets=h2b, hop2_tile_fracs=h2f,
                        use_pca=args.pca, pca_k_chunks=args.pca_k_chunks,
                        pca_hops=args.pca_hops)
     corpus = Corpus.from_id2doc(os.path.join(args.index_dir, "id2doc.json"))

@@ -207,6 +207,7 @@ def main(argv=None):
                    help="which hops use the prefilter; auto = hop 2 always, "
                         "hop 1 only without hop-2 buckets (measured lax.cond "
                         "interaction, PERF.md)")
+    common.add_hop2_tiling_args(p)
     p.add_argument("--save-path", default="")
     args = p.parse_args(argv)
 
@@ -219,12 +220,15 @@ def main(argv=None):
     with open(args.raw_data) as f:
         ds_items = [json.loads(l) for l in f if l.strip()]
 
+    h2b, h2f = common.resolve_hop2_tiling(
+        args, args.batch_size * args.beam_size, args.max_q_sp_len)
     cfg = SearchConfig(beam_size_1=args.beam_size,
                        beam_size_2=args.beam_size_2 or args.beam_size,
                        topk=args.topk, max_q_len=args.max_q_len,
                        max_q_sp_len=args.max_q_sp_len,
                        chunk_rows=args.chunk_rows,
                        use_pallas=not args.no_pallas,
+                       hop2_buckets=h2b, hop2_tile_fracs=h2f,
                        use_pca=args.pca, pca_k_chunks=args.pca_k_chunks,
                        pca_hops=args.pca_hops)
     corpus = Corpus.from_id2doc(os.path.join(args.index_dir, "id2doc.json"))

@@ -204,6 +204,51 @@ class SearchConfig:
     pca_hops: str = "auto"
 
 
+# Measured hop-2 tiling presets (PERF.md; v5e, 5.2M int8 index, wiki-like
+# lengths).  Which split wins depends on the hop-2 ROW COUNT
+# (batch_size × beam_size_1): tiles must stay large enough that per-tile
+# fixed costs don't eat the padded-token savings.
+HOP2_BUCKETS_5TILE = (128, 160, 192, 256, 350)
+HOP2_TILE_FRACS_5TILE = (0.25, 0.25, 0.25, 0.125, 0.125)
+HOP2_BUCKETS_6TILE = (96, 128, 160, 192, 224, 350)
+HOP2_TILE_FRACS_6TILE = (0.125, 0.25, 0.25, 0.125, 0.125, 0.125)
+
+
+def default_hop2_tiling(n_rows: int, max_width: int = 350):
+    """Measured-best length-adaptive hop-2 tiling for a given row count.
+
+    Returns ``(hop2_buckets, hop2_tile_fracs)`` for SearchConfig.  Rules
+    (all measured on v5e, beam-4 sweep + beam-1 dead-end table, PERF.md):
+
+    * >=512 rows: the 6-tile split — 920 vs 849 q/s at beam-4 batch-192
+      (+8.6%); with 768 rows even the 96-row tiles stay MXU-efficient.
+    * 128..511 rows: the 5-tile split — +20% at beam-1 batch-192; the
+      6-tile split LOSES 23% there (per-tile fixed costs).
+    * <128 rows: no tiling — the smallest tile would drop below ~16 rows
+      (8-row tiles at 40 rows regressed, bench.py e2e phase note).
+
+    For a non-default ``max_width`` the preset is clipped: buckets >=
+    max_width are dropped and their row fractions merge into a final
+    max_width tile.  Results are EXACT either way (lax.cond falls back to
+    the full width whenever a tile's longest row exceeds its bucket).
+    """
+    if n_rows >= 512:
+        b, f = HOP2_BUCKETS_6TILE, HOP2_TILE_FRACS_6TILE
+    elif n_rows >= 128:
+        b, f = HOP2_BUCKETS_5TILE, HOP2_TILE_FRACS_5TILE
+    else:
+        return (), ()
+    if max_width != 350:
+        k = sum(1 for w in b if w < max_width)
+        if k < 2:
+            return (), ()
+        if k == len(b):            # wider pad: the full tile widens with it
+            return b[:-1] + (max_width,), f
+        b = tuple(b[:k]) + (max_width,)
+        f = tuple(f[:k]) + (round(1.0 - sum(f[:k]), 6),)
+    return b, f
+
+
 @_frozen
 class ReaderConfig:
     """QA reader settings (mdr/qa/config.py, scripts/train_qa.py)."""

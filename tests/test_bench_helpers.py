@@ -91,6 +91,60 @@ def test_pca_certified_queries_match_bruteforce(built):
             assert int(rows[i, 0]) == int(top1[i])
 
 
+def test_bucketed_score_matches_full_width():
+    """_bucketed_score (the e2e bench's length-bucketed read) must produce
+    the same total as the fixed full-width read, for a real QAReader score:
+    span logits are paragraph-masked and rank pooling is attention-masked,
+    so narrowing a tile to its bucket width only drops pad columns.  Both
+    cond branches are exercised: generous buckets take the narrow path,
+    too-tight buckets must fall back to full width."""
+    from multihop_dense_retrieval_tpu.core.config import EncoderConfig
+    from multihop_dense_retrieval_tpu.models.reader import QAReader
+    from multihop_dense_retrieval_tpu.train.qa import decode_spans
+
+    cfg = EncoderConfig.tiny(vocab_size=128, hidden_size=32, num_heads=4,
+                             intermediate_size=64,
+                             max_position_embeddings=32)
+    reader = QAReader(cfg, sp_pred=True)
+    n, full = 16, 24
+    rng = np.random.RandomState(7)
+    # explicit lengths so the narrow path is deterministically taken for
+    # tiles 0-1 under the generous buckets below
+    lens = np.array([4, 5, 6, 7, 8, 9, 10, 12, 17, 18, 20, 22,
+                     23, 24, 24, 24], np.int32)
+    rng.shuffle(lens)
+    net = {
+        "input_ids": jnp.asarray(rng.randint(5, 127, (n, full), "int32")),
+        "attention_mask": jnp.asarray(
+            (np.arange(full)[None, :] < lens[:, None]).astype(np.int32)),
+        "token_type_ids": jnp.zeros((n, full), jnp.int32),
+    }
+    rp = reader.init(jax.random.PRNGKey(0), {
+        "input_ids": net["input_ids"][:1],
+        "attention_mask": net["attention_mask"][:1],
+        "token_type_ids": net["token_type_ids"][:1],
+        "paragraph_mask": net["attention_mask"][:1],
+        "sent_offsets": jnp.zeros((1, 8), jnp.int32)})
+
+    def score_fn(sub, w):
+        s = {k: sub[k][:, :w] for k in
+             ("input_ids", "attention_mask", "token_type_ids")}
+        s["paragraph_mask"] = s["attention_mask"]
+        s["sent_offsets"] = jnp.zeros((sub["input_ids"].shape[0], 8),
+                                      jnp.int32)
+        ro = reader.apply(rp, s)
+        _, _, sc = decode_spans(ro["start_logits"], ro["end_logits"], 5)
+        return ro["rank_score"].sum() + sc.sum()
+
+    ref = float(score_fn(net, full))
+    generous = float(B._bucketed_score(score_fn, net, (16, 16, 24, 24),
+                                       full))
+    np.testing.assert_allclose(generous, ref, rtol=2e-5)
+    # every tile's bucket is too tight -> all conds take the full branch
+    fallback = float(B._bucketed_score(score_fn, net, (1, 1, 1, 24), full))
+    np.testing.assert_allclose(fallback, ref, rtol=2e-5)
+
+
 def test_moment_factor_cache_roundtrip(tmp_path, monkeypatch):
     """The disk-cached spectrum must be reused (the driver's bench run
     cannot afford the one-off CPU encode every round)."""

@@ -57,6 +57,40 @@ def test_encode_then_eval(artifacts, capsys):
     assert {"title", "text"} <= set(chains[0]["candidate_chains"][0][0])
 
 
+def test_eval_hop2_tiling_flag_parity(artifacts, tmp_path, capsys):
+    """--hop2-buckets (now wired through the serving CLIs) must not change
+    results: an auto-tiled run (batch 48 x beam 3 = 144 rows -> the 5-tile
+    preset clipped to max-q-sp-len 200) emits the same chains as
+    --hop2-buckets off."""
+    tmp, corpus_path, qas_path, _ = artifacts
+    from multihop_dense_retrieval_tpu.cli import (encode_corpus,
+                                                  eval_mhop_retrieval)
+
+    out_dir = str(tmp / "index_tiling")
+    encode_corpus.main([str(corpus_path), out_dir,
+                        "--tokenizer", "hash", "--model-name", "tiny",
+                        "--batch-size", "16", "--chunk-rows", "64",
+                        "--max-c-len", "64"])
+
+    def run(flags, name):
+        path = str(tmp_path / name)
+        eval_mhop_retrieval.main([str(qas_path), out_dir,
+                                  "--tokenizer", "hash",
+                                  "--model-name", "tiny",
+                                  "--beam-size", "3", "--topk", "3",
+                                  "--batch-size", "48", "--chunk-rows", "64",
+                                  "--max-q-len", "24",
+                                  "--max-q-sp-len", "200",
+                                  "--save-path", path] + flags)
+        capsys.readouterr()
+        with open(path) as f:
+            return [json.loads(l) for l in f]
+
+    off = run(["--hop2-buckets", "off"], "off.jsonl")
+    auto = run([], "auto.jsonl")          # default --hop2-buckets auto
+    assert auto == off
+
+
 def test_eval_mhop_fever(artifacts, tmp_path):
     """FEVER claims path: asymmetric beams + the reference dump schema —
     rows keyed id/claim with candidate_chains as (title, text) PAIRS

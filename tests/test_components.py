@@ -280,3 +280,47 @@ def test_metric_writer_jsonl(tmp_path):
     import glob
     files = glob.glob(str(tmp_path / "tb" / "*"))
     assert files  # either tb events or metrics.jsonl
+
+
+def test_default_hop2_tiling_presets():
+    """Row-count thresholds and max_width clipping of the measured hop-2
+    tiling presets (core/config.py::default_hop2_tiling)."""
+    from multihop_dense_retrieval_tpu.core.config import (
+        default_hop2_tiling, HOP2_BUCKETS_5TILE, HOP2_BUCKETS_6TILE,
+        HOP2_TILE_FRACS_5TILE, HOP2_TILE_FRACS_6TILE)
+
+    assert default_hop2_tiling(768) == (HOP2_BUCKETS_6TILE,
+                                        HOP2_TILE_FRACS_6TILE)
+    assert default_hop2_tiling(512) == (HOP2_BUCKETS_6TILE,
+                                        HOP2_TILE_FRACS_6TILE)
+    assert default_hop2_tiling(192) == (HOP2_BUCKETS_5TILE,
+                                        HOP2_TILE_FRACS_5TILE)
+    assert default_hop2_tiling(127) == ((), ())
+    # wider static pad: the final (full) tile widens with it
+    b, f = default_hop2_tiling(4500, max_width=400)
+    assert b == HOP2_BUCKETS_6TILE[:-1] + (400,)
+    assert f == HOP2_TILE_FRACS_6TILE
+    # narrower pad: over-wide buckets drop, their fracs merge into the tail
+    b, f = default_hop2_tiling(192, max_width=200)
+    assert b == (128, 160, 192, 200)
+    assert abs(sum(f) - 1.0) < 1e-9 and len(f) == 4
+    # pad too narrow for any useful split
+    assert default_hop2_tiling(192, max_width=96) == ((), ())
+
+
+def test_resolve_hop2_tiling_flags():
+    import argparse
+    from multihop_dense_retrieval_tpu.cli import common
+    from multihop_dense_retrieval_tpu.core.config import HOP2_BUCKETS_5TILE
+
+    p = argparse.ArgumentParser()
+    common.add_hop2_tiling_args(p)
+    args = p.parse_args([])
+    assert common.resolve_hop2_tiling(args, 192, 350)[0] == HOP2_BUCKETS_5TILE
+    assert common.resolve_hop2_tiling(args, 24, 350) == ((), ())
+    args = p.parse_args(["--hop2-buckets", "off"])
+    assert common.resolve_hop2_tiling(args, 4500, 350) == ((), ())
+    args = p.parse_args(["--hop2-buckets", "64,96,128",
+                         "--hop2-tile-fracs", "0.5,0.25,0.25"])
+    assert common.resolve_hop2_tiling(args, 64, 128) == (
+        (64, 96, 128), (0.5, 0.25, 0.25))

@@ -80,7 +80,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from multihop_dense_retrieval_tpu.core.config import (
-    EncoderConfig, SearchConfig, HOP2_BUCKETS_6TILE, HOP2_TILE_FRACS_6TILE)
+    EncoderConfig, SearchConfig, HOP2_BUCKETS_5TILE, HOP2_TILE_FRACS_5TILE,
+    HOP2_BUCKETS_6TILE, HOP2_TILE_FRACS_6TILE)
 from multihop_dense_retrieval_tpu.data.tokenization import TokenizerSpec
 from multihop_dense_retrieval_tpu.index.store import DenseIndex
 from multihop_dense_retrieval_tpu.models import MhopRetriever
@@ -201,7 +202,12 @@ def _make_index(n_pad, n_docs, d, dtype, factor, rot=None,
     while n_pad % n_slices:
         n_slices //= 2
     rows = n_pad // n_slices
-    assert rows % cand_rows == 0
+    # cand_rows only matters for the PCA bound blocks; halve it until it
+    # divides the slice so small MDRT_BENCH_N smoke runs still build
+    # (pick_pca_step_rows falls back to interpret mode for odd shapes).
+    if rot is not None:
+        while cand_rows > 1 and rows % cand_rows:
+            cand_rows //= 2
 
     if dtype == "int8":
 
@@ -582,11 +588,12 @@ def _run(n_docs):
     layers = _env("MDRT_BENCH_LAYERS", 12)
     dtype = os.environ.get("MDRT_BENCH_DTYPE", "int8")
     fast = _env("MDRT_BENCH_FAST", 0)
-    buckets_env = os.environ.get("MDRT_BENCH_BUCKETS", "128,160,192,256,350")
+    buckets_env = os.environ.get(
+        "MDRT_BENCH_BUCKETS", ",".join(map(str, HOP2_BUCKETS_5TILE)))
     buckets = (() if buckets_env in ("off", "") else
                tuple(int(x) for x in buckets_env.split(",")))
-    fracs_env = os.environ.get("MDRT_BENCH_TILE_FRACS",
-                               "0.25,0.25,0.25,0.125,0.125")
+    fracs_env = os.environ.get(
+        "MDRT_BENCH_TILE_FRACS", ",".join(map(str, HOP2_TILE_FRACS_5TILE)))
     tile_fracs = (tuple(float(x) for x in fracs_env.split(","))
                   if fracs_env else ())
     # beam-4 default: the 6-tile split that WINS at 768 hop-2 rows (920 vs
@@ -644,8 +651,11 @@ def _run(n_docs):
     nprng = np.random.RandomState(23)
     extras, errors = {}, {}
 
-    # --- exact-bf16 delta config (own index; freed before the int8 build)
+    # --- exact-bf16 delta config (own index; freed before the int8 build
+    # even on failure — the ~8 GB bf16 index outliving an exception would
+    # cascade into a headline OOM and a silent half-scale retry)
     if run_bf16:
+        s_bf = bf16_index = None
         try:
             bf16_index = _make_index(n_pad, n_docs, d, "bf16", factor)
             s_bf = build_searcher(bf16_index, beam, beam, beam, buckets,
@@ -656,10 +666,11 @@ def _run(n_docs):
             extras["bf16_exact_qps"] = round(reps * batch / dtb, 1)
             print(f"# bf16 exact: compile {cb:.0f}s, steady "
                   f"{dtb/reps*1000:.1f} ms/batch", file=sys.stderr)
-            del s_bf, bf16_index
-            gc.collect()
         except Exception as e:
             errors["bf16_exact"] = repr(e)[:200]
+        finally:
+            del s_bf, bf16_index
+            gc.collect()
 
     index = _make_index(n_pad, n_docs, d, dtype, factor,
                         rot=rot if run_pca else None)
@@ -676,6 +687,7 @@ def _run(n_docs):
     # --- PCA tier: measured certified fraction decides the headline
     headline_qps, headline_cfg, pca_ok = plain_qps, "plain", False
     if run_pca and index.pca_proj is not None:
+        s_pca = None
         try:
             s_pca = build_searcher(index, beam, beam, beam, buckets,
                                    tile_fracs, use_pca=True)
@@ -695,8 +707,12 @@ def _run(n_docs):
                 extras["plain_qps"] = round(plain_qps, 1)
         except Exception as e:
             errors["pca"] = repr(e)[:200]
+        finally:
+            del s_pca
+            gc.collect()
 
     if run_beam4:
+        s4 = None
         try:
             # sweep (scripts_dev/beam4_sweep.py): batch 192 + 6-tile split
             # 920.1 q/s vs 846.8 at the old batch-96 5-tile default
@@ -709,20 +725,24 @@ def _run(n_docs):
             extras["beam4_qps"] = round(reps * b4_batch / dt4, 1)
             print(f"# beam4: compile {c4:.0f}s, steady {dt4/reps*1000:.1f} "
                   f"ms/batch (batch={b4_batch})", file=sys.stderr)
-            del s4
         except Exception as e:
             errors["beam4"] = repr(e)[:200]
+        finally:
+            del s4
+            gc.collect()
 
     if run_e2e:
+        s5 = None
         try:
             # buckets off: 40 hop-2 rows would make 8-row tiles, and
             # per-tile fixed costs beat token savings at that size (PERF.md)
             s5 = build_searcher(index, 5, 5, 25, (), (), use_pca=pca_ok)
             extras.update(_end2end_bench(s5, params, cfg, tunnel_s, nprng))
-            del s5
-            gc.collect()
         except Exception as e:
             errors["end2end"] = repr(e)[:200]
+        finally:
+            del s5
+            gc.collect()
 
     if run_reader:
         try:

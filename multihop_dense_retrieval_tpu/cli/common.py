@@ -77,12 +77,19 @@ def add_pipeline_args(p):
                    help="PCA-prefiltered MIPS (index built with --pca-dims)")
     p.add_argument("--pca-k-chunks", type=int, default=8)
     p.add_argument("--lambda", dest="lam", type=float, default=0.8)
-    p.add_argument("--rank-topm", type=int, default=0,
-                   help="two-stage read: rank all chains at --rank-width "
-                        "tokens, full span/sp pass on the top-m per question "
-                        "(0 = read every chain fully)")
-    p.add_argument("--rank-width", type=int, default=192)
+    add_rank_args(p)
     add_hop2_tiling_args(p)
+
+
+def add_rank_args(p):
+    """Two-stage read flags (shared by the pipeline CLIs, end2end and
+    train_qa predict)."""
+    p.add_argument("--rank-topm", type=int, default=0,
+                   help="two-stage read: rank ALL chains at --rank-width "
+                        "tokens, run the full span/sp pass on the top-m per "
+                        "question (0 = read every chain fully, the "
+                        "reference behavior)")
+    p.add_argument("--rank-width", type=int, default=192)
 
 
 def add_hop2_tiling_args(p):
@@ -112,6 +119,24 @@ def resolve_hop2_tiling(args, n_rows: int, max_width: int):
     fracs_spec = getattr(args, "hop2_tile_fracs", "")
     fracs = (tuple(float(x) for x in fracs_spec.split(","))
              if fracs_spec else ())
+    # Fail loud on configs the engine would silently discard (its
+    # _encode_hop2 falls back to equal tiles / full-width when the tiling
+    # doesn't apply — fine for library defaults, wrong for explicit flags).
+    if fracs:
+        if len(fracs) != len(buckets):
+            raise ValueError(
+                f"--hop2-tile-fracs has {len(fracs)} entries for "
+                f"{len(buckets)} buckets")
+        sizes = [int(round(f * n_rows)) for f in fracs]
+        sizes[-1] = n_rows - sum(sizes[:-1])
+        if min(sizes) <= 0:
+            raise ValueError(
+                f"--hop2-tile-fracs {fracs_spec} leaves an empty tile at "
+                f"{n_rows} hop-2 rows (batch x beam)")
+    elif n_rows % len(buckets):
+        raise ValueError(
+            f"--hop2-buckets: {n_rows} hop-2 rows do not split into "
+            f"{len(buckets)} equal tiles; pass --hop2-tile-fracs")
     return buckets, fracs
 
 

@@ -78,12 +78,7 @@ def main(argv=None):
                    help="bf16 reader attention scores (+5-11%% at widths "
                         "384-512, PERF.md); fp32 default — span agreement "
                         "is not validated without trained weights")
-    p.add_argument("--rank-topm", type=int, default=0,
-                   help="two-stage read: rank ALL chains at --rank-width "
-                        "tokens, run the full span/sp pass on the top-m "
-                        "per question (0 = read every chain fully, the "
-                        "reference behavior)")
-    p.add_argument("--rank-width", type=int, default=192)
+    common.add_rank_args(p)
     common.add_hop2_tiling_args(p)
     p.add_argument("--save-path", default="")
     args = p.parse_args(argv)

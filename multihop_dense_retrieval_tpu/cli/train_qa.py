@@ -88,10 +88,7 @@ def main(argv=None):
     p.add_argument("--sp-weight", type=float, default=0.05)
     p.add_argument("--no-sp", action="store_true")
     p.add_argument("--fixed-lambda", type=float, default=None)
-    p.add_argument("--rank-topm", type=int, default=0,
-                   help="two-stage predict: rank all chains at --rank-width "
-                        "tokens, full span/sp pass on the top-m per question")
-    p.add_argument("--rank-width", type=int, default=192)
+    common.add_rank_args(p)
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args(argv)
 

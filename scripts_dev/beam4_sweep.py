@@ -12,8 +12,9 @@ import jax, jax.numpy as jnp
 sys.path.insert(0, ".")
 from bench import (_encoder_moment_factor, _make_tokens, _make_index,
                    _timed_search, measure_tunnel_overhead)
-from multihop_dense_retrieval_tpu.core.config import (EncoderConfig,
-                                                      SearchConfig)
+from multihop_dense_retrieval_tpu.core.config import (
+    EncoderConfig, SearchConfig, HOP2_BUCKETS_5TILE, HOP2_TILE_FRACS_5TILE,
+    HOP2_BUCKETS_6TILE, HOP2_TILE_FRACS_6TILE)
 from multihop_dense_retrieval_tpu.models import MhopRetriever
 from multihop_dense_retrieval_tpu.data.tokenization import TokenizerSpec
 from multihop_dense_retrieval_tpu.search.beam import BeamSearcher
@@ -65,16 +66,13 @@ def run(tag, batch, buckets, fracs, use_pca=True):
     return qps
 
 
-DEF_B = (128, 160, 192, 256, 350)
-DEF_F = (.25, .25, .25, .125, .125)
+DEF_B, DEF_F = HOP2_BUCKETS_5TILE, HOP2_TILE_FRACS_5TILE
 
 SWEEP = [
     ("A_default_b96", 96, DEF_B, DEF_F),
     ("B_default_b192", 192, DEF_B, DEF_F),
-    ("C_6tile_b96", 96, (96, 128, 160, 192, 224, 350),
-     (.125, .25, .25, .125, .125, .125)),
-    ("D_6tile_b192", 192, (96, 128, 160, 192, 224, 350),
-     (.125, .25, .25, .125, .125, .125)),
+    ("C_6tile_b96", 96, HOP2_BUCKETS_6TILE, HOP2_TILE_FRACS_6TILE),
+    ("D_6tile_b192", 192, HOP2_BUCKETS_6TILE, HOP2_TILE_FRACS_6TILE),
     ("E_downshift_b192", 192, (128, 160, 192, 224, 350),
      (.25, .25, .25, .125, .125)),
 ]

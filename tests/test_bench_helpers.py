@@ -167,3 +167,22 @@ def test_moment_factor_cache_roundtrip(tmp_path, monkeypatch):
                                       width=16)
     np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
     np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+
+
+def test_make_index_small_n_adapts_cand_rows():
+    """Smoke-sized MDRT_BENCH_N (slice smaller than the default 512-row
+    candidate block) must still build: cand_rows halves until it divides
+    the slice instead of asserting (review r3 finding — a 4096-doc bf16 or
+    int8 build died before the dtype branch)."""
+    d, n_pad = 32, 2048          # 16 slices -> 128 rows/slice < 512
+    rng = np.random.RandomState(1)
+    u, _ = np.linalg.qr(rng.randn(d, d))
+    factor = jnp.asarray(u.astype(np.float32))
+    rot = jnp.asarray(np.ascontiguousarray(u[:, :8]).astype(np.float32))
+
+    bf = B._make_index(n_pad, 2000, d, "bf16", factor)
+    assert bf.vectors.shape == (n_pad, d) and bf.vectors.dtype == jnp.bfloat16
+
+    idx = B._make_index(n_pad, 2000, d, "int8", factor, rot=rot)
+    assert idx.pca_cand_rows == 128          # 512 -> 256 -> 128 divides
+    assert idx.pca_bounds.shape == (4, n_pad // 128)

@@ -324,3 +324,18 @@ def test_resolve_hop2_tiling_flags():
                          "--hop2-tile-fracs", "0.5,0.25,0.25"])
     assert common.resolve_hop2_tiling(args, 64, 128) == (
         (64, 96, 128), (0.5, 0.25, 0.25))
+    # explicit configs the engine would silently discard must fail loud
+    # (review r3 finding: a fracs/buckets length mismatch measured the
+    # equal-tile fallback while claiming the user's config)
+    import pytest
+    args = p.parse_args(["--hop2-buckets", "64,96,128",
+                         "--hop2-tile-fracs", "0.5,0.5"])
+    with pytest.raises(ValueError, match="2 entries for 3 buckets"):
+        common.resolve_hop2_tiling(args, 64, 128)
+    args = p.parse_args(["--hop2-buckets", "64,96,128"])
+    with pytest.raises(ValueError, match="equal tiles"):
+        common.resolve_hop2_tiling(args, 64, 128)  # 64 % 3 != 0
+    args = p.parse_args(["--hop2-buckets", "64,96,128",
+                         "--hop2-tile-fracs", "0.99,0.005,0.005"])
+    with pytest.raises(ValueError, match="empty tile"):
+        common.resolve_hop2_tiling(args, 64, 128)

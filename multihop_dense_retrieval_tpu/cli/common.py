@@ -28,11 +28,21 @@ def setup_logging(output_dir: Optional[str] = None) -> logging.Logger:
     logger.setLevel(logging.INFO)
     if not logger.handlers:
         logger.addHandler(logging.StreamHandler())
-        if output_dir:
+        # multi-host pods share one output dir — only process 0 owns
+        # log.txt (every process appending interleaves/corrupts lines)
+        if output_dir and is_primary():
             os.makedirs(output_dir, exist_ok=True)
             logger.addHandler(logging.FileHandler(
                 os.path.join(output_dir, "log.txt")))
     return logger
+
+
+def is_primary() -> bool:
+    """True on the process that should own shared-filesystem writes
+    (process 0 of a pod; always true single-process)."""
+    import jax
+
+    return jax.process_index() == 0
 
 
 MODEL_PRESETS = {
@@ -174,12 +184,23 @@ def init_retriever(config: EncoderConfig, *, unified: bool = False,
     # consumes CLS, so gradients are unchanged).
     # remat: per-layer rematerialization (jax.checkpoint) — required to
     # train production batch sizes (activation memory + XLA program size).
+    params = None
     if unified:
-        model = UnifiedRetriever(config)
+        kw = {}
+        if checkpoint.endswith(".pt"):
+            # reference checkpoints decide the head layout (convert.py::
+            # unified_ckpt_to_flax: project only for roberta names, stop
+            # head on the tanh pooler)
+            params = load_retriever_params(checkpoint, config, unified=True)
+            kw = dict(use_projection="project" in params["params"],
+                      stop_on_pooled="pooler" in params["params"])
+        model = UnifiedRetriever(config, **kw)
     else:
         model = MhopRetriever(config, cls_only=True, remat=remat)
     if checkpoint:
-        params = load_retriever_params(checkpoint, config, unified=unified)
+        if params is None:
+            params = load_retriever_params(checkpoint, config,
+                                           unified=unified)
     else:
         ids = jnp.ones((1, 8), jnp.int32)
         if unified:

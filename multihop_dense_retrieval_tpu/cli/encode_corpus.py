@@ -54,9 +54,51 @@ def main(argv=None):
     p.add_argument("--unified", action="store_true",
                    help="encode with a UnifiedRetriever checkpoint "
                         "(variable-hop serving, see eval --unified)")
+    p.add_argument("--num-shards", type=int, default=1,
+                   help="split the corpus into N contiguous slices; this "
+                        "invocation encodes one slice (see --shard-id) and "
+                        "writes a shard artifact instead of the final index "
+                        "(merge with --merge-only).  Under cli.pod this is "
+                        "auto-set to the process count.")
+    p.add_argument("--shard-id", type=int, default=None,
+                   help="which slice to encode (default: the jax process "
+                        "index — the right value under cli.pod)")
+    p.add_argument("--merge-only", action="store_true",
+                   help="skip encoding; merge existing shard artifacts in "
+                        "OUT_DIR into index.npz/tokens.npz/id2doc.json")
+    p.add_argument("--keep-shards", action="store_true",
+                   help="keep the per-shard artifacts after merging")
     args = p.parse_args(argv)
 
     logger = common.setup_logging(args.out_dir)
+
+    import jax
+    import jax.numpy as jnp
+    from ..index import shards as sh
+
+    build_kw = dict(chunk_rows=args.chunk_rows, dtype=args.index_dtype,
+                    multi_vector=args.multi_vector, pca_dims=args.pca_dims,
+                    pca_cand_rows=args.pca_cand_rows)
+    if args.merge_only:
+        index = sh.merge_shards(args.out_dir,
+                                args.num_shards if args.num_shards > 1
+                                else None,
+                                keep_shards=args.keep_shards, **build_kw)
+        logger.info("merged shards: index (%d docs, padded %d) in %s",
+                    index.n_docs, index.vectors.shape[0], args.out_dir)
+        return
+
+    # pod mode: every process encodes its own slice on LOCAL devices (a
+    # global-mesh jit cannot consume process-local host arrays), then
+    # process 0 merges after a barrier — see index/shards.py.
+    pod = jax.process_count() > 1
+    num_shards = args.num_shards
+    if pod and num_shards == 1:
+        num_shards = jax.process_count()
+    shard_id = args.shard_id
+    if shard_id is None:
+        shard_id = jax.process_index()
+
     cfg = common.resolve_encoder_config(args.model_name)
     tok = common.resolve_tokenizer(args.tokenizer)
     model, params = common.init_retriever(cfg, unified=args.unified,
@@ -64,11 +106,17 @@ def main(argv=None):
 
     logger.info("loading corpus %s", args.corpus)
     corpus = Corpus.from_jsonl(args.corpus, max_docs=args.max_docs)
+    if num_shards > 1:
+        lo, hi = sh.shard_bounds(len(corpus), num_shards, shard_id)
+        logger.info("shard %d/%d: docs [%d, %d)", shard_id, num_shards,
+                    lo, hi)
+        corpus = Corpus(corpus.docs[lo:hi])
     logger.info("tokenizing %d docs", len(corpus))
     tc = TokenizedCorpus.build(corpus, tok, max_text_len=args.max_c_len)
 
-    import jax
-    mesh = make_mesh(data=args.data_parallel or len(jax.devices()), index=1)
+    devs = jax.local_devices() if pod else jax.devices()
+    mesh = make_mesh(data=args.data_parallel or len(devs), index=1,
+                     devices=devs)
 
     if args.multi_vector > 1:
         from ..models.retriever import MultiVectorCtxEncoder
@@ -90,7 +138,33 @@ def main(argv=None):
                                method=model.encode_seq)
 
     logger.info("encoding on %s", mesh)
-    import jax.numpy as jnp
+    if num_shards > 1:
+        from ..index.build import encode_corpus as encode_slice
+
+        emb = encode_slice(encode_fn, params, tc, tok.spec,
+                           max_c_len=args.max_c_len,
+                           batch_size=args.batch_size, mesh=mesh,
+                           progress=True, multi_vector=args.multi_vector,
+                           length_sort=not args.no_length_sort)
+        sh.save_shard(args.out_dir, shard_id, num_shards, emb, tc, corpus)
+        logger.info("wrote shard %d/%d (%d docs) to %s", shard_id,
+                    num_shards, len(corpus), args.out_dir)
+        if pod:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("encode_corpus_shards")
+            if jax.process_index() == 0:
+                index = sh.merge_shards(args.out_dir, num_shards,
+                                        keep_shards=args.keep_shards,
+                                        **build_kw)
+                logger.info("merged %d shards: index (%d docs, padded %d)",
+                            num_shards, index.n_docs,
+                            index.vectors.shape[0])
+        else:
+            logger.info("encode the remaining shards, then run with "
+                        "--merge-only to produce the final index")
+        return
+
     index = build_index(encode_fn, params, tc, tok.spec,
                         max_c_len=args.max_c_len, batch_size=args.batch_size,
                         chunk_rows=args.chunk_rows, mesh=mesh, progress=True,

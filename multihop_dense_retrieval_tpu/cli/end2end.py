@@ -145,7 +145,7 @@ def main(argv=None):
     logger.info("end2end: %s", out)
     print(json.dumps(out))
 
-    if args.save_path:
+    if args.save_path and common.is_primary():
         with open(args.save_path, "w") as f:
             for i, r in enumerate(items):
                 qid = r.get("_id", str(i))

@@ -142,7 +142,7 @@ def main(argv=None):
                         vals["avg_1_recall"], vals["path_recall"])
         print(json.dumps(agg["overall"]))
 
-    if args.save_path:
+    if args.save_path and common.is_primary():
         with open(args.save_path, "w") as f:
             for o in outputs:
                 f.write(json.dumps(o) + "\n")

@@ -150,7 +150,7 @@ def main(argv=None):
     logger.info("metrics: %s", out)
     print(json.dumps(out))
 
-    if args.save_path:
+    if args.save_path and common.is_primary():
         with open(args.save_path, "w") as f:
             for i, row in enumerate(items):
                 f.write(json.dumps({

@@ -2,9 +2,11 @@
 
 The reference grid-searches lr × temperature × warmup over SLURM jobs
 (submitit_train.py:70-105) and picks the best run by returned MRR.  On a TPU
-pod there is no SLURM; this launcher runs the grid as sequential (or
-subprocess-parallel on CPU) trainer invocations with per-run output dirs and
-preemption-safe state, then reports the argmax.
+pod there is no SLURM; this launcher runs the grid as sequential trainer
+invocations with per-run output dirs and preemption-safe state, then reports
+the argmax.  On a preemption requeue, grid points already recorded in
+sweep_results.jsonl are skipped (their result lines are reused), and
+unfinished points resume through the trainer's own checkpoint state.
 
 Usage:
   python -m multihop_dense_retrieval_tpu.cli.launch \
@@ -37,10 +39,27 @@ def main(argv=None):
     warmups = [float(x) for x in args.grid_warmup.split(",")]
     seeds = [int(x) for x in args.grid_seed.split(",")]
 
-    results = []
     root = base_args.output_dir or "sweep_out"
+    # requeue support: reuse completed grid points (one JSONL line each,
+    # written AFTER the trainer returns) instead of re-running AND
+    # re-appending them — duplicate lines with divergent best_mrr for the
+    # same run dir would corrupt the sweep record
+    results_path = os.path.join(root, "sweep_results.jsonl")
+    done = {}
+    if os.path.exists(results_path):
+        with open(results_path) as f:
+            for line in f:
+                if line.strip():
+                    r = json.loads(line)
+                    done[r["dir"]] = r
+
+    results = []
     for lr, wu, seed in itertools.product(lrs, warmups, seeds):
         run_dir = os.path.join(root, f"lr{lr}_wu{wu}_seed{seed}")
+        if run_dir in done:
+            logger.info("grid point %s already complete, skipping", run_dir)
+            results.append(done[run_dir])
+            continue
         run_argv = list(rest)
         # override the grid fields
         for flag, val in (("--learning-rate", lr), ("--warmup-ratio", wu),
@@ -54,7 +73,7 @@ def main(argv=None):
         res = train_retriever.main(run_argv)
         results.append({"lr": lr, "warmup": wu, "seed": seed,
                         "best_mrr": res["best_mrr"], "dir": run_dir})
-        with open(os.path.join(root, "sweep_results.jsonl"), "a") as f:
+        with open(results_path, "a") as f:
             f.write(json.dumps(results[-1]) + "\n")
 
     best = max(results, key=lambda r: r["best_mrr"])

@@ -33,14 +33,3 @@ def restore_pytree(directory: str, template: Optional[Any] = None) -> Any:
     return ckpt.restore(_path(directory))
 
 
-def latest_step_dir(root: str) -> Optional[str]:
-    """Scan `root` for step_<N> subdirs; return the newest (resume support)."""
-    if not os.path.isdir(root):
-        return None
-    steps = []
-    for name in os.listdir(root):
-        if name.startswith("step_") and name[5:].isdigit():
-            steps.append(int(name[5:]))
-    if not steps:
-        return None
-    return os.path.join(root, f"step_{max(steps)}")

@@ -79,7 +79,7 @@ def encode_corpus(encode_fn: Callable, params, tc: TokenizedCorpus,
     per shape).  Wiki-like corpora average ~1/3 of the 300-token budget.
     """
     mv = max(multi_vector, 1)
-    n_special = 4 if spec.roberta_style else 3
+    n_special = spec.num_special_pair
 
     fn = _scan_encoder(encode_fn, spec, mesh)
 

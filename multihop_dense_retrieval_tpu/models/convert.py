@@ -107,8 +107,29 @@ def retriever_ckpt_to_flax(sd: StateDict, config: EncoderConfig) -> Dict:
 
 
 def unified_ckpt_to_flax(sd: StateDict, config: EncoderConfig) -> Dict:
-    params = retriever_ckpt_to_flax(sd, config)
-    params["stop_head"] = _dense(sd, "stop")
+    """UnifiedRetriever state dict → flax params.
+
+    The reference module (unified_retriever.py:10-30) stores its
+    transformer under `encoder_c.` (NOT `encoder.`), creates the
+    `project.0/project.1` Sequential only for roberta model names, and
+    feeds the stop head from the HF tanh pooler (`encoder_c.pooler.dense`)
+    rather than raw CLS.  Construct the model with
+    `use_projection="project" in params, stop_on_pooled="pooler" in
+    params` (cli/common.py::init_retriever does this)."""
+    prefix = ("encoder_c."
+              if "encoder_c.embeddings.word_embeddings.weight" in sd
+              else "encoder.")
+    params = {
+        "encoder": hf_encoder_to_flax(sd, config, prefix=prefix),
+        "stop_head": _dense(sd, "stop"),
+    }
+    if "project.0.weight" in sd:
+        params["project"] = {
+            "dense": _dense(sd, "project.0"),
+            "layer_norm": _layer_norm(sd, "project.1"),
+        }
+    if f"{prefix}pooler.dense.weight" in sd:
+        params["pooler"] = _dense(sd, f"{prefix}pooler.dense")
     return params
 
 

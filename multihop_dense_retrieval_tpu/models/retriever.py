@@ -140,24 +140,44 @@ class UnifiedRetriever(nn.Module):
     """Variable-hop retriever: MhopRetriever + a stop classifier over the
     pooled q⊕sp representation deciding whether a second hop is needed
     (unified_retriever.py:23,34-52).
+
+    Defaults are the from-scratch redesign (projection head for vectors,
+    stop head on raw CLS).  The two flags exist to ingest REAL reference
+    checkpoints (models/convert.py::unified_ckpt_to_flax picks them from
+    the state dict): the reference creates `project` only for roberta
+    model names (unified_retriever.py:18-22) and ALWAYS feeds the stop
+    head from the HF tanh pooler output, not CLS (unified_retriever.py:43
+    `self.encoder_c(...)[1]`).
     """
 
     config: EncoderConfig
+    use_projection: bool = True
+    stop_on_pooled: bool = False
 
     def setup(self):
         self.encoder = TransformerEncoder(self.config, name="encoder")
-        self.project = ProjectionHead(self.config, name="project")
+        if self.use_projection:
+            self.project = ProjectionHead(self.config, name="project")
         self.stop_head = nn.Dense(2, name="stop_head", dtype=jnp.float32)
+        if self.stop_on_pooled:
+            self.pooler = nn.Dense(self.config.hidden_size, name="pooler",
+                                   dtype=jnp.float32)
+
+    def _vec(self, cls):
+        return self.project(cls) if self.use_projection else cls
 
     def encode_seq(self, input_ids, mask, token_type_ids=None):
         hidden = self.encoder(input_ids, mask, token_type_ids)
-        return self.project(hidden[:, 0, :])
+        return self._vec(hidden[:, 0, :])
 
     def encode_qsp(self, input_ids, mask, token_type_ids=None):
         """Returns (vector, stop_logits) for a reformulated query."""
         hidden = self.encoder(input_ids, mask, token_type_ids)
         cls = hidden[:, 0, :]
-        return self.project(cls), self.stop_head(cls.astype(jnp.float32))
+        stop_in = cls.astype(jnp.float32)
+        if self.stop_on_pooled:
+            stop_in = jnp.tanh(self.pooler(stop_in))
+        return self._vec(cls), self.stop_head(stop_in)
 
     def __call__(self, batch):
         q_sp1, stop_logits = self.encode_qsp(

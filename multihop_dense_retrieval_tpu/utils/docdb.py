@@ -35,9 +35,15 @@ class DocDB:
         return DocDB(db_path)
 
     def insert(self, doc_id: str, text: str, sentence_spans: str = ""):
-        self.connection.execute("INSERT OR REPLACE INTO documents VALUES (?,?,?)",
-                                (unicodedata.normalize("NFD", doc_id), text,
-                                 sentence_spans))
+        self.insert_many([(doc_id, text, sentence_spans)])
+
+    def insert_many(self, rows):
+        """Bulk insert of (doc_id, text, sentence_spans) tuples in ONE
+        transaction — per-row commits fsync once per document, which at
+        full-Wikipedia scale (~5M rows) is hours of pure commit overhead."""
+        self.connection.executemany(
+            "INSERT OR REPLACE INTO documents VALUES (?,?,?)",
+            ((unicodedata.normalize("NFD", i), t, s) for i, t, s in rows))
         self.connection.commit()
 
     def get_doc_ids(self) -> List[str]:

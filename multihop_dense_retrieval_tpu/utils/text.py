@@ -53,17 +53,3 @@ def para_has_answer(answers: Sequence[str], para: str,
     return False
 
 
-def match_answer_spans(doc_words: List[str], answers: Sequence[str],
-                       tokenizer: SimpleTokenizer) -> List:
-    """Word-index spans in `doc_words` matching any normalized answer."""
-    doc_norm = [w.lower() for w in doc_words]
-    spans = []
-    for ans in answers:
-        toks = tokenizer.words(_normalize(ans), uncased=True)
-        if not toks:
-            continue
-        n = len(toks)
-        for i in range(len(doc_norm) - n + 1):
-            if doc_norm[i:i + n] == toks:
-                spans.append((i, i + n - 1))
-    return spans

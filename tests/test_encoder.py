@@ -245,3 +245,64 @@ def test_electra_reader_ckpt_parity():
                                expected_start, atol=1e-3, rtol=1e-3)
     assert out["rank_score"].shape == (B, 1)
     assert out["sp_score"].shape == (B, 3)
+
+
+def test_unified_ckpt_reference_layout_parity():
+    """A reference-layout UnifiedRetriever state dict (unified_retriever.py:
+    10-30: transformer under `encoder_c.`, roberta-only `project`, stop head
+    fed by the HF tanh pooler) converts and matches a torch oracle — both
+    the projected vector and the stop logits."""
+    torch = pytest.importorskip("torch")
+    import transformers
+    from multihop_dense_retrieval_tpu.models import UnifiedRetriever
+
+    torch.manual_seed(1)
+    hf_cfg = transformers.RobertaConfig(
+        vocab_size=128, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=40, type_vocab_size=1, pad_token_id=1,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    hf_model = transformers.RobertaModel(hf_cfg)   # WITH pooling layer
+    hf_model.eval()
+    sd = {f"encoder_c.{k}": v.detach().numpy()
+          for k, v in hf_model.state_dict().items()}
+    lin, ln = torch.nn.Linear(32, 32), torch.nn.LayerNorm(32)
+    stop = torch.nn.Linear(32, 2)
+    for mod, name in ((lin, "project.0"), (ln, "project.1"), (stop, "stop")):
+        sd.update({f"{name}.{k}": v.detach().numpy()
+                   for k, v in mod.state_dict().items()})
+
+    cfg = EncoderConfig(vocab_size=128, hidden_size=32, num_layers=2,
+                        num_heads=4, intermediate_size=64,
+                        max_position_embeddings=40, type_vocab_size=1,
+                        pad_token_id=1, dtype="float32")
+    params = {"params": convert.unified_ckpt_to_flax(sd, cfg)}
+    assert "project" in params["params"] and "pooler" in params["params"]
+    model = UnifiedRetriever(cfg, use_projection=True, stop_on_pooled=True)
+
+    ids = jnp.ones((2, 8), jnp.int32) * 5
+    mask = jnp.ones((2, 8), jnp.int32)
+    vec, stop_logits = model.apply(params, ids, mask,
+                                   method=model.encode_qsp)
+
+    with torch.no_grad():
+        out = hf_model(input_ids=torch.ones(2, 8, dtype=torch.long) * 5,
+                       attention_mask=torch.ones(2, 8, dtype=torch.long))
+        exp_vec = ln(lin(out.last_hidden_state[:, 0])).numpy()
+        exp_stop = stop(out.pooler_output).numpy()   # tanh pooler feed
+    np.testing.assert_allclose(np.asarray(vec), exp_vec,
+                               atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(stop_logits), exp_stop,
+                               atol=1e-3, rtol=1e-3)
+
+    # non-roberta layout: no project keys -> raw-CLS vectors, same stop path
+    sd_bert = {k: v for k, v in sd.items() if not k.startswith("project.")}
+    p2 = {"params": convert.unified_ckpt_to_flax(sd_bert, cfg)}
+    assert "project" not in p2["params"] and "pooler" in p2["params"]
+    m2 = UnifiedRetriever(cfg, use_projection=False, stop_on_pooled=True)
+    vec2, stop2 = m2.apply(p2, ids, mask, method=m2.encode_qsp)
+    np.testing.assert_allclose(
+        np.asarray(vec2), out.last_hidden_state[:, 0].numpy(),
+        atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(stop2), exp_stop,
+                               atol=1e-3, rtol=1e-3)

@@ -120,6 +120,22 @@ def test_launch_grid(tmp_path):
     with open(tmp_path / "sweep" / "sweep_results.jsonl") as f:
         assert len(f.readlines()) == 2
 
+    # requeue after preemption: completed grid points are reused, not
+    # re-run and re-appended (review r3 finding — duplicate lines with
+    # divergent best_mrr corrupted the sweep record)
+    best2 = launch.main([
+        "--grid-lr", "1e-4,1e-3", "--grid-warmup", "0.0",
+        "--train-file", str(tmp_path / "t.jsonl"),
+        "--predict-file", str(tmp_path / "t.jsonl"),
+        "--output-dir", str(tmp_path / "sweep"),
+        "--tokenizer", "hash", "--model-name", "tiny",
+        "--train-batch-size", "4", "--predict-batch-size", "4",
+        "--num-epochs", "1", "--max-q-len", "12", "--max-q-sp-len", "32",
+        "--max-c-len", "24", "--data-parallel", "2"])
+    assert best2["dir"] == best["dir"]
+    with open(tmp_path / "sweep" / "sweep_results.jsonl") as f:
+        assert len(f.readlines()) == 2
+
 
 def test_eval_reranked_cli(tmp_path, capsys):
     from multihop_dense_retrieval_tpu.cli import eval_reranked
@@ -249,3 +265,73 @@ def test_eval_retrieval_cli_int8_and_pca(tmp_path):
     plain = eval_retrieval.main(base)
     pca = eval_retrieval.main(base + ["--pca", "--pca-k-chunks", "3"])
     assert "answer_recall@20" in plain and "answer_recall@20" in pca
+
+
+def test_encode_corpus_sharded_matches_single(tmp_path):
+    """Two-shard encode + merge produces the same artifacts as a single
+    run (index/shards.py; the multi-host `cli.pod encode_corpus` story —
+    each process encodes a slice on local devices, process 0 merges).
+    length_sort off: the sorted encode is exact but bf16-ulp
+    shape-sensitive (index/build.py), and this asserts bit-equality."""
+    import json
+    from multihop_dense_retrieval_tpu.cli import encode_corpus
+    from multihop_dense_retrieval_tpu.index.store import DenseIndex
+    from multihop_dense_retrieval_tpu.data.corpus import TokenizedCorpus
+
+    rng = np.random.RandomState(7)
+    docs = synth.make_corpus(rng, 24)
+    synth.write_jsonl(tmp_path / "corpus.jsonl",
+                      [{"title": d["title"], "text": d["text"]} for d in docs])
+    base = ["--tokenizer", "hash", "--model-name", "tiny",
+            "--batch-size", "8", "--chunk-rows", "16",
+            "--max-c-len", "32", "--no-length-sort"]
+
+    single = str(tmp_path / "single")
+    encode_corpus.main([str(tmp_path / "corpus.jsonl"), single] + base)
+
+    sharded = str(tmp_path / "sharded")
+    for sid in ("0", "1"):
+        encode_corpus.main([str(tmp_path / "corpus.jsonl"), sharded,
+                            "--num-shards", "2", "--shard-id", sid] + base)
+    import os
+    assert os.path.exists(os.path.join(sharded, "emb_shard1-of-2.npy"))
+    encode_corpus.main([str(tmp_path / "corpus.jsonl"), sharded,
+                        "--merge-only"] + base)
+    # shard artifacts cleaned up after the merge
+    assert not os.path.exists(os.path.join(sharded, "emb_shard0-of-2.npy"))
+
+    a = DenseIndex.load(os.path.join(single, "index.npz"))
+    b = DenseIndex.load(os.path.join(sharded, "index.npz"))
+    assert a.n_docs == b.n_docs
+    np.testing.assert_array_equal(
+        np.asarray(a.vectors, np.float32), np.asarray(b.vectors, np.float32))
+
+    ta = TokenizedCorpus.load(os.path.join(single, "tokens.npz"))
+    tb = TokenizedCorpus.load(os.path.join(sharded, "tokens.npz"))
+    np.testing.assert_array_equal(ta.text_ids, tb.text_ids)
+    np.testing.assert_array_equal(ta.text_lens, tb.text_lens)
+
+    with open(os.path.join(single, "id2doc.json")) as f:
+        ja = json.load(f)
+    with open(os.path.join(sharded, "id2doc.json")) as f:
+        jb = json.load(f)
+    assert ja == jb
+
+
+def test_merge_shards_missing_shard_fails_loud(tmp_path):
+    from multihop_dense_retrieval_tpu.index import shards as sh
+
+    emb = np.ones((4, 8), np.float32)
+    tc_arrs = (np.ones((4, 6), np.int32), np.full(4, 6, np.int32),
+               np.ones((4, 3), np.int32), np.full(4, 3, np.int32),
+               np.zeros(4, bool))
+    from multihop_dense_retrieval_tpu.data.corpus import (Corpus,
+                                                          TokenizedCorpus)
+    tc = TokenizedCorpus(*tc_arrs)
+    corpus = Corpus([{"title": f"t{i}", "text": f"x{i}"} for i in range(4)])
+    sh.save_shard(str(tmp_path), 0, 3, emb, tc, corpus)
+    with pytest.raises(FileNotFoundError, match=r"missing embedding shards"):
+        sh.merge_shards(str(tmp_path))
+    assert sh.shard_bounds(10, 3, 2) == (6, 10)
+    with pytest.raises(ValueError):
+        sh.shard_bounds(10, 3, 3)

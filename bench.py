@@ -413,7 +413,7 @@ def _bucketed_score(score_fn, net, buckets, full_width):
 
 
 def _end2end_bench(searcher, params, enc_cfg, tunnel_s, rng, *,
-                   batch=8, reps=2, beam=5, topk=25, two_stage_m=5,
+                   batch=16, reps=2, beam=5, topk=25, two_stage_m=5,
                    rank_width=192, q_width=40):
     """MEASURED composed question→answer throughput, on chip.
 

@@ -85,7 +85,11 @@ def main(argv=None):
     p.add_argument("--num-answer-slots", type=int, default=10)
     p.add_argument("--max-sents", type=int, default=40)
     p.add_argument("--neg-num", type=int, default=5)
-    p.add_argument("--sp-weight", type=float, default=0.05)
+    p.add_argument("--sp-weight", type=float, default=0.05,
+                   help="sp BCE weight.  NOTE: the reference's 0.05 was "
+                        "tuned with its offset-multiply inflation (~100x, "
+                        "train/qa.py) — sweep upward (1-10) when chasing "
+                        "its sp_em/sp_f1")
     p.add_argument("--no-sp", action="store_true")
     p.add_argument("--fixed-lambda", type=float, default=None)
     common.add_rank_args(p)
@@ -120,7 +124,7 @@ def main(argv=None):
 
     train_ds = QADataset(tok, args.train_file, train=True, **kw)
     sampler = QAGroupSampler(train_ds, neg_num=args.neg_num, seed=args.seed)
-    steps_per_epoch = max(len(sampler.epoch_indices()) // args.batch_size, 1)
+    steps_per_epoch = max(len(sampler) // args.batch_size, 1)
     tcfg = RetrieverTrainConfig(learning_rate=args.learning_rate,
                                 warmup_ratio=args.warmup_ratio)
     tx = make_optimizer(tcfg, steps_per_epoch * args.num_epochs)
@@ -128,9 +132,15 @@ def main(argv=None):
     train_step = TQA.make_qa_train_step(model, tx, sp_weight=args.sp_weight,
                                         sp_pred=sp_pred)
 
-    best_joint_f1, result = -1.0, None
+    best_metric, result = -1.0, None
     for epoch in range(args.num_epochs):
         idxs = sampler.epoch_indices()
+        if len(idxs) < args.batch_size:
+            raise ValueError(
+                f"epoch has {len(idxs)} sampled rows < batch size "
+                f"{args.batch_size}: zero optimizer steps would run (and "
+                "untrained weights would be saved) — shrink --batch-size "
+                "or add training data")
         losses = []
         for s in range(0, len(idxs) - args.batch_size + 1, args.batch_size):
             batch = qa_collate([train_ds[i] for i in idxs[s:s + args.batch_size]])
@@ -140,19 +150,26 @@ def main(argv=None):
         res = predict(pred_step, state.params, eval_ds,
                       batch_size=args.predict_batch_size, sp_pred=sp_pred,
                       lambdas=lambdas)
+        # best-ckpt selection follows predict's own sweep metric: joint F1
+        # when sp gold is live, answer F1 otherwise (a --no-sp run or an
+        # sp-gold-less dev file pins joint_f1 at 0.0 — selecting on it
+        # would freeze checkpoint_best at epoch 0)
+        sel = res["best"]["selection_metric"]
         logger.info("epoch %d: loss=%.4f chain_em=%.4f em=%.4f f1=%.4f "
                     "joint_f1=%.4f", epoch, float(np.mean(losses)),
                     res["chain_em"], res["best"]["em"], res["best"]["f1"],
                     res["best"]["joint_f1"])
-        if res["best"]["joint_f1"] > best_joint_f1:
-            best_joint_f1 = res["best"]["joint_f1"]
+        if res["best"][sel] > best_metric:
+            best_metric = res["best"][sel]
             result = res
             if args.output_dir:
                 ckpt.save_pytree(f"{args.output_dir}/checkpoint_best",
                                  state.params)
         if args.output_dir:
             ckpt.save_pytree(f"{args.output_dir}/checkpoint_last", state.params)
-    logger.info("training finished, best joint_f1=%.4f", best_joint_f1)
+    logger.info("training finished, best %s=%.4f",
+                result["best"]["selection_metric"] if result else "metric",
+                best_metric)
     return result
 
 

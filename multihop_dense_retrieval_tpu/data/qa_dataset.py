@@ -303,6 +303,13 @@ class QAGroupSampler:
         self.neg_num = neg_num
         self.rng = np.random.RandomState(seed)
 
+    def __len__(self) -> int:
+        """Rows per epoch, WITHOUT consuming RNG state (an epoch_indices
+        call just for its length would silently shift every epoch's
+        shuffle)."""
+        return sum(len(gold) + min(self.neg_num, len(self.ds.qid2neg[qid]))
+                   for qid, gold in self.ds.qid2gold.items())
+
     def epoch_indices(self) -> List[int]:
         qids = list(self.ds.qid2gold)
         self.rng.shuffle(qids)

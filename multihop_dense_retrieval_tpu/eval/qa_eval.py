@@ -29,6 +29,16 @@ def _row_len_proxy(row: Dict) -> int:
     return n
 
 
+def _truncate_width(ni: Dict, w: int):
+    """Drop token columns past `w` on every width-dependent net input
+    (shared by the batch width-bucketing and the rank pass)."""
+    if w < ni["input_ids"].shape[1]:
+        for k in ("input_ids", "attention_mask", "token_type_ids",
+                  "paragraph_mask"):
+            if k in ni:
+                ni[k] = ni[k][:, :w]
+
+
 def _batches(dataset: QADataset, batch_size: int, *,
              length_sort: bool = False, width_multiple: int = 0):
     idxs = list(range(len(dataset)))
@@ -43,61 +53,68 @@ def _batches(dataset: QADataset, batch_size: int, *,
         if width_multiple:
             ni = batch["net_inputs"]
             max_len = int(ni["attention_mask"].sum(1).max())
-            w = max(width_multiple,
-                    -(-max_len // width_multiple) * width_multiple)
-            if w < ni["input_ids"].shape[1]:
-                for k in ("input_ids", "attention_mask", "token_type_ids",
-                          "paragraph_mask"):
-                    if k in ni:
-                        ni[k] = ni[k][:, :w]
+            _truncate_width(ni, max(width_multiple,
+                                    -(-max_len // width_multiple)
+                                    * width_multiple))
         yield batch, len(chunk)
 
 
 class _Subset:
     """Index-mapped view of a QADataset (two-stage read keep-list): exposes
-    the same .data / __getitem__ surface `_batches` consumes."""
+    the same .data / __getitem__ surface `_batches` consumes.  `cache`
+    holds samples already featurized by rank_filter so the kept rows are
+    not tokenized/offset-mapped a second time."""
 
-    def __init__(self, parent, indices: List[int]):
+    def __init__(self, parent, indices: List[int],
+                 cache: Optional[Dict[int, Dict]] = None):
         self._parent = parent
         self._indices = indices
+        self._cache = cache or {}
         self.data = [parent.data[i] for i in indices]
 
     def __len__(self):
         return len(self._indices)
 
     def __getitem__(self, i: int):
-        return self._parent[self._indices[i]]
+        j = self._indices[i]
+        hit = self._cache.get(j)
+        return hit if hit is not None else self._parent[j]
 
 
 def rank_filter(rank_step: Callable, params, dataset: QADataset, *,
                 batch_size: int = 16, topm: int = 5,
-                rank_width: int = 192) -> List[int]:
+                rank_width: int = 192):
     """Stage 1 of the two-stage read: score EVERY chain with the rank head
     at a fixed narrow width (one compiled shape), keep the top-m rows per
     question.  Gold-labeled rows compete like any other — the filter is a
-    serving-path accelerator, not an oracle.  Returns kept dataset indices.
-    """
-    scores = collections.defaultdict(list)
+    serving-path accelerator, not an oracle.
+
+    Returns (kept dataset indices, {index: featurized sample} for the kept
+    rows) — the samples were already built for the rank pass; memory stays
+    bounded at topm per question via the streaming heaps."""
+    import heapq
+
+    best = collections.defaultdict(list)   # qid -> min-heap of (score, i)
+    cache: Dict[int, Dict] = {}
     idxs = list(range(len(dataset)))
     for s in range(0, len(idxs), batch_size):
         chunk = idxs[s:s + batch_size]
         pad = batch_size - len(chunk)
-        batch = qa_collate([dataset[i] for i in chunk + chunk[-1:] * pad])
+        samples = [dataset[i] for i in chunk]
+        batch = qa_collate(samples + samples[-1:] * pad)
         ni = batch["net_inputs"]
-        for k in ("input_ids", "attention_mask", "token_type_ids",
-                  "paragraph_mask"):
-            if k in ni:
-                ni[k] = ni[k][:, :rank_width]
+        _truncate_width(ni, rank_width)
         net = {k: jnp.asarray(v) for k, v in ni.items()}
         ranks = np.asarray(rank_step(params, net))
         for j, i in enumerate(chunk):
-            scores[dataset.data[i]["qid"]].append((float(ranks[j]), i))
-    keep = []
-    for qid in scores:
-        lst = sorted(scores[qid], reverse=True)
-        keep.extend(i for _, i in lst[:topm])
-    keep.sort()
-    return keep
+            heap = best[dataset.data[i]["qid"]]
+            heapq.heappush(heap, (float(ranks[j]), i))
+            cache[i] = samples[j]
+            if len(heap) > topm:
+                _, drop = heapq.heappop(heap)
+                del cache[drop]
+    keep = sorted(i for heap in best.values() for _, i in heap)
+    return keep, cache
 
 
 def predict(predict_step: Callable, params, dataset: QADataset, *,
@@ -121,10 +138,10 @@ def predict(predict_step: Callable, params, dataset: QADataset, *,
     validated by rank-score correlation + chain-EM neutrality tests.
     """
     if rank_topm and rank_step is not None:
-        keep = rank_filter(rank_step, params, dataset,
-                           batch_size=batch_size, topm=rank_topm,
-                           rank_width=rank_width)
-        dataset = _Subset(dataset, keep)
+        keep, cache = rank_filter(rank_step, params, dataset,
+                                  batch_size=batch_size, topm=rank_topm,
+                                  rank_width=rank_width)
+        dataset = _Subset(dataset, keep, cache)
     id2result = collections.defaultdict(list)
     id2answer = collections.defaultdict(list)
     id2gold, id2goldsp = {}, {}
@@ -180,7 +197,7 @@ def predict(predict_step: Callable, params, dataset: QADataset, *,
     chain_em = float(np.mean(chain_acc)) if chain_acc else 0.0
 
     lambdas = lambdas or [i / 10 for i in range(11)]
-    per_lambda, best = {}, None
+    per_lambda, sweep = {}, []
     for lam in lambdas:
         m = new_metrics()
         n = len(id2result)
@@ -198,11 +215,16 @@ def predict(predict_step: Callable, params, dataset: QADataset, *,
         stats = {k: v / max(n, 1) for k, v in m.items()}
         stats["lambda"] = lam
         per_lambda[lam] = stats
-        # select by joint F1 when sp scores exist (train_qa.py:350-361
-        # --final-metric joint_f1); without an sp head every joint_f1 is 0,
-        # so fall back to answer F1 instead of silently keeping lambda[0]
-        metric = "joint_f1" if sp_pred else "f1"
-        if best is None or stats[metric] > best[metric]:
-            best = dict(stats, answers=answers, sp=sps)
+        sweep.append((stats, answers, sps))
+    # select by joint F1 when sp scores exist (train_qa.py:350-361
+    # --final-metric joint_f1).  Without an sp head — OR when the eval
+    # rows simply carry no sp gold, which also pins joint_f1 at 0 for
+    # every lambda — fall back to answer F1 instead of silently keeping
+    # lambdas[0].  The chosen metric is reported so callers (best-ckpt
+    # selection in cli/train_qa.py) track the same signal.
+    metric = ("joint_f1" if sp_pred
+              and any(s["joint_f1"] > 0 for s, _, _ in sweep) else "f1")
+    stats, answers, sps = max(sweep, key=lambda t: t[0][metric])
+    best = dict(stats, selection_metric=metric, answers=answers, sp=sps)
     return {"chain_em": chain_em, "best": best, "per_lambda": per_lambda,
             "n_questions": len(id2result)}

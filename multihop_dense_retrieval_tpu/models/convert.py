@@ -136,9 +136,15 @@ def unified_ckpt_to_flax(sd: StateDict, config: EncoderConfig) -> Dict:
 def reader_ckpt_to_flax(sd: StateDict, config: EncoderConfig,
                         sp_pred: bool = True) -> Dict:
     """QAModel state dict → ElectraReader params (qa_model.py:37-46)."""
+    # electra has no HF pooler, so the reference adds its own BertPooler
+    # at top-level `pooler.dense` (qa_model.py:39-41); BERT readers reuse
+    # the HF pooler at `encoder.pooler.dense` (qa_model.py:53-57).  Both
+    # are dense+tanh, so either maps onto QAReader's pooler slot.
+    pooler_key = ("pooler.dense" if "pooler.dense.weight" in sd
+                  else "encoder.pooler.dense")
     params = {
         "encoder": hf_encoder_to_flax(sd, config, prefix="encoder."),
-        "pooler": _dense(sd, "pooler.dense"),
+        "pooler": _dense(sd, pooler_key),
         "qa_outputs": _dense(sd, "qa_outputs"),
         "rank": _dense(sd, "rank"),
     }

@@ -74,6 +74,15 @@ def qa_loss(outputs: Dict[str, jnp.ndarray], batch: Dict[str, jnp.ndarray],
 
     total = rank_loss + span_loss
     if sp_pred and outputs["sp_score"] is not None:
+        # The reference weights each sentence's BCE by its TOKEN OFFSET
+        # (qa_model.py:78 `sp_loss * batch["sent_offsets"]` — positions
+        # ~70-500 used as loss weights), which reads as an accidental
+        # stand-in for a 0/1 valid-slot mask; we use the explicit mask.
+        # MAGNITUDE NOTE: that bug inflates the reference's effective sp
+        # term by ~the mean marker offset (~2 orders of magnitude), and
+        # its default sp_weight=0.05 was tuned WITH the inflation — runs
+        # chasing the reference's sp_em/sp_f1 should sweep --sp-weight
+        # upward (e.g. 1-10), not assume 0.05 transfers.
         sp_bce = optax.sigmoid_binary_cross_entropy(
             outputs["sp_score"], batch["sent_labels"].astype(jnp.float32))
         sp_bce = sp_bce * batch["sent_mask"].astype(jnp.float32)

@@ -273,15 +273,21 @@ def test_two_stage_read_neutrality():
                    rank_step=rank_step, rank_topm=1, rank_width=96)
     assert top1["best"]["answers"] == full["best"]["answers"]
 
-    keep = rank_filter(rank_step, params, ds, batch_size=4, topm=2,
-                       rank_width=96)
+    keep, cache = rank_filter(rank_step, params, ds, batch_size=4, topm=2,
+                              rank_width=96)
     import collections
     per_q = collections.Counter(ds.data[i]["qid"] for i in keep)
     assert all(v == 2 for v in per_q.values()) and len(per_q) == 3
+    # the cache covers exactly the kept rows with FULL-width features
+    # (stage 2 must not re-featurize, nor inherit the rank truncation)
+    assert sorted(cache) == keep
+    for i in keep:
+        np.testing.assert_array_equal(cache[i]["features"]["input_ids"],
+                                      ds[i]["features"]["input_ids"])
     # a genuinely narrow width still runs (truncation path, clamped sent
     # offsets) and keeps m rows per question
-    keep_narrow = rank_filter(rank_step, params, ds, batch_size=4, topm=2,
-                              rank_width=48)
+    keep_narrow, _ = rank_filter(rank_step, params, ds, batch_size=4,
+                                 topm=2, rank_width=48)
     per_q = collections.Counter(ds.data[i]["qid"] for i in keep_narrow)
     assert all(v == 2 for v in per_q.values()) and len(per_q) == 3
 
@@ -302,3 +308,44 @@ def test_qa_dataset_rejects_raw_hotpot_sp_in_train_mode():
     # eval mode tolerates it (labels aren't needed)
     ds = QADataset(tok, rows, train=False)
     assert len(ds) >= 0
+
+
+def test_lambda_sweep_metric_fallback_without_sp_gold():
+    """With an sp head but NO sp gold in the eval rows, joint_f1 is pinned
+    at 0 for every lambda; the sweep must select on answer F1 and report
+    which metric it used (review r3 finding — it silently kept lambdas[0],
+    and cli/train_qa's best-ckpt selection froze at epoch 0)."""
+    from multihop_dense_retrieval_tpu.eval.qa_eval import predict
+    from multihop_dense_retrieval_tpu.models.reader import QAReader
+    from multihop_dense_retrieval_tpu.train import qa as TQA
+    from multihop_dense_retrieval_tpu.core.config import EncoderConfig
+
+    tok = _bert_tok()
+    rows = _mini_qa_rows()
+    for r in rows:                       # strip sp gold, keep candidates
+        r["sp"] = []
+    ds = QADataset(tok, rows, max_seq_len=96, max_q_len=12,
+                   num_answer_slots=4, max_sents=8, train=False)
+    cfg = EncoderConfig.tiny(vocab_size=512, hidden_size=32, num_heads=4,
+                             intermediate_size=64,
+                             max_position_embeddings=128, type_vocab_size=2)
+    model = QAReader(cfg, sp_pred=True)
+    batch = qa_collate([ds[i] for i in range(2)])
+    net = {k: jnp.asarray(v) for k, v in batch["net_inputs"].items()}
+    params = model.init(jax.random.PRNGKey(0), net)
+    pred_step = TQA.make_qa_predict_step(model, max_ans_len=8)
+
+    res = predict(pred_step, params, ds, batch_size=4, sp_pred=True,
+                  lambdas=[0.0, 0.5, 1.0])
+    assert res["best"]["selection_metric"] == "f1"
+    assert res["best"]["joint_f1"] == 0.0
+    best_f1 = max(s["f1"] for s in res["per_lambda"].values())
+    assert res["best"]["f1"] == best_f1
+
+    # with sp gold present, joint F1 drives selection as before
+    res2 = predict(pred_step, params,
+                   QADataset(tok, _mini_qa_rows(), max_seq_len=96,
+                             max_q_len=12, num_answer_slots=4, max_sents=8,
+                             train=False),
+                   batch_size=4, sp_pred=True, lambdas=[0.0, 0.5, 1.0])
+    assert res2["best"]["selection_metric"] in ("joint_f1", "f1")

@@ -37,6 +37,19 @@ def setup_logging(output_dir: Optional[str] = None) -> logging.Logger:
     return logger
 
 
+def load_json_flex(path: str):
+    """Load a .json array OR .jsonl file (sniffs the first non-whitespace
+    char — raw HotpotQA ships as a json array, our dumps as jsonl)."""
+    import json
+
+    with open(path) as f:
+        head = f.read(64)
+        f.seek(0)
+        if head.lstrip()[:1] == "[":
+            return json.load(f)
+        return [json.loads(l) for l in f if l.strip()]
+
+
 def is_primary() -> bool:
     """True on the process that should own shared-filesystem writes
     (process 0 of a pod; always true single-process)."""

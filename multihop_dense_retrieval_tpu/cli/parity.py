@@ -256,11 +256,7 @@ def run_qa_block(args, logger):
     q_tok = common.resolve_tokenizer(qa_tok_spec, roberta_style=False)
     _, model, params = init_reader(args.qa_model, args.qa_checkpoint,
                                    sp_pred=True)
-    with open(args.qa_predict_file) as f:
-        head = f.read(1)
-        f.seek(0)
-        rows = json.load(f) if head == "[" else \
-            [json.loads(l) for l in f if l.strip()]
+    rows = common.load_json_flex(args.qa_predict_file)
     ds = QADataset(q_tok, rows, max_seq_len=512, train=False)
     pred_step = TQA.make_qa_predict_step(model, max_ans_len=30)
     res = predict(pred_step, params, ds, batch_size=16, lambdas=[0.8])

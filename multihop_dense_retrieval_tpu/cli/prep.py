@@ -23,15 +23,7 @@ import argparse
 import json
 
 from ..data import prep
-
-
-def _load(path):
-    with open(path) as f:
-        head = f.read(1)
-        f.seek(0)
-        if head == "[":
-            return json.load(f)
-        return [json.loads(l) for l in f if l.strip()]
+from .common import load_json_flex as _load
 
 
 def _dump_jsonl(rows, path):
@@ -52,6 +44,14 @@ def main(argv=None):
     hm = sub.add_parser("hotpot-to-mhop")
     hm.add_argument("raw")
     hm.add_argument("out")
+    hm.add_argument("--linked-abstracts", default="",
+                    help="wiki abstracts with hyperlink targets, json "
+                        '{title: [linked titles]} or jsonl rows with '
+                        '"title" + "linked"/"hyperlinks" — enables '
+                        "pick_bridge's link-direction fallback when the "
+                        "answer string does not disambiguate the hop order "
+                        "(without it, ambiguous bridges default to the "
+                        "second supporting-facts title)")
 
     im = sub.add_parser("index-id-map")
     im.add_argument("id2doc")
@@ -67,14 +67,46 @@ def main(argv=None):
             for title, sents in item.get("context", []):
                 title2sents[title] = sents
         # align by question (the retrieved dump preserves input order, but
-        # be safe against filtered rows)
-        by_q = {r["question"]: r for r in raw}
+        # be safe against filtered rows); fail loud on ambiguity — a
+        # duplicate question text would silently attach the wrong gold
+        by_q = {}
+        for r in raw:
+            if r["question"] in by_q:
+                raise ValueError(
+                    f"duplicate question in ORIGINAL: {r['question']!r} — "
+                    "question-keyed alignment would mispair gold labels; "
+                    "dedupe the raw file first")
+            by_q[r["question"]] = r
+        missing = [r["question"] for r in retrieved
+                   if r["question"] not in by_q]
+        if missing:
+            raise ValueError(
+                f"{len(missing)} retrieved questions absent from ORIGINAL "
+                f"(first: {missing[0]!r}) — was the dump produced from a "
+                "different split?")
         raw_aligned = [by_q[r["question"]] for r in retrieved]
         out = prep.add_sp_labels(raw_aligned, retrieved, title2sents)
         _dump_jsonl(out, args.out)
         print(f"wrote {len(out)} rows to {args.out}")
     elif args.cmd == "hotpot-to-mhop":
-        rows = prep.hotpot_to_mhop_rows(_load(args.raw))
+        title2linked = None
+        if args.linked_abstracts:
+            with open(args.linked_abstracts) as f:
+                txt = f.read()
+            try:                                 # one {title: [...]} map
+                blob = json.loads(txt)
+            except json.JSONDecodeError:         # jsonl abstract rows
+                blob = [json.loads(l) for l in txt.splitlines()
+                        if l.strip()]
+            if isinstance(blob, dict):
+                title2linked = blob
+            else:
+                title2linked = {
+                    r["title"]: list(r.get("linked",
+                                           r.get("hyperlinks", [])))
+                    for r in blob}
+        rows = prep.hotpot_to_mhop_rows(_load(args.raw),
+                                        title2linked=title2linked)
         _dump_jsonl(rows, args.out)
         print(f"wrote {len(rows)} rows to {args.out}")
     elif args.cmd == "index-id-map":

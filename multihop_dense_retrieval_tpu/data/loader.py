@@ -5,11 +5,21 @@ shuffle indices with a seeded RNG; partial trailing batches are dropped in
 training (static shapes) and padded-by-repeat in eval (with a `valid` mask so
 metrics ignore the padding).  Prefetches with a small thread pool — host-side
 tokenization overlaps device compute.
+
+Determinism under threading: datasets that randomize per sample (negative
+shuffles etc.) expose `getitem_rng(i, rng)`; the loader derives ONE RandomState
+per sample from (an epoch base drawn from the loader RNG, the sample index),
+so sample content is independent of thread scheduling.  Sharing the dataset's
+own RandomState across pool workers raced draws (non-thread-safe state,
+schedule-dependent order) and silently broke seeded reproducibility AND the
+preemption resume replay below.
 """
 
 from __future__ import annotations
 
+import collections
 import concurrent.futures as cf
+import itertools
 from typing import Dict, Iterator, Optional
 
 import numpy as np
@@ -35,7 +45,8 @@ class BatchLoader:
 
     # -- data-order RNG snapshot (preemption resume) ---------------------
     # JSON-serializable Mersenne state: a resumed run replays the SAME
-    # shuffle sequence an uninterrupted run would have seen.
+    # shuffle sequence (and per-sample seed bases) an uninterrupted run
+    # would have seen.
 
     def rng_state(self) -> dict:
         alg, keys, pos, has_gauss, cached = self.rng.get_state()
@@ -52,6 +63,8 @@ class BatchLoader:
         order = np.arange(n)
         if self.shuffle:
             self.rng.shuffle(order)
+        # one sequential draw per epoch; per-sample streams derive from it
+        base = int(self.rng.randint(0, 2**31 - 1))
         batches = []
         for s in range(0, n, self.bs):
             chunk = order[s:s + self.bs]
@@ -65,9 +78,18 @@ class BatchLoader:
             else:
                 batches.append((chunk, np.ones(self.bs, bool)))
 
+        fetch_rng = getattr(self.ds, "getitem_rng", None)
+
+        def fetch(i: int):
+            if fetch_rng is None:
+                return self.ds[int(i)]
+            seed = int(np.random.SeedSequence([base, int(i)])
+                       .generate_state(1)[0])
+            return fetch_rng(int(i), np.random.RandomState(seed))
+
         def make(args):
             idxs, valid = args
-            batch = self.collate([self.ds[int(i)] for i in idxs])
+            batch = self.collate([fetch(i) for i in idxs])
             batch["valid"] = valid
             return batch
 
@@ -75,6 +97,18 @@ class BatchLoader:
             for b in batches:
                 yield make(b)
             return
+        # bounded in-flight window: Executor.map would submit the WHOLE
+        # epoch up front, piling every tokenized-but-unconsumed batch in
+        # host memory while the device drains them one at a time
+        window = self.num_workers * 2
         with cf.ThreadPoolExecutor(self.num_workers) as pool:
-            for out in pool.map(make, batches):
+            futs = collections.deque()
+            it = iter(batches)
+            for b in itertools.islice(it, window):
+                futs.append(pool.submit(make, b))
+            while futs:
+                out = futs.popleft().result()
+                nxt = next(it, None)
+                if nxt is not None:
+                    futs.append(pool.submit(make, nxt))
                 yield out

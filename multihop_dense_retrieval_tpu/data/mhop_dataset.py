@@ -54,6 +54,11 @@ class MhopDataset:
                                     max_len)
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        return self.getitem_rng(index, self.rng)
+
+    def getitem_rng(self, index: int, rng) -> Dict[str, np.ndarray]:
+        """Per-call RNG variant (BatchLoader passes a sample-derived stream
+        so pool workers never race the shared `self.rng`)."""
         sample = self.data[index]
         question = sample["question"]
         if question.endswith("?"):
@@ -61,7 +66,7 @@ class MhopDataset:
         pos = list(sample["pos_paras"])
         if sample["type"] == "comparison":
             if self.train:
-                self.rng.shuffle(pos)
+                rng.shuffle(pos)
             start_para, bridge_para = pos
         else:
             start_para = bridge_para = None
@@ -72,7 +77,7 @@ class MhopDataset:
                     bridge_para = para
         negs = list(sample["neg_paras"])
         if self.train:
-            self.rng.shuffle(negs)
+            rng.shuffle(negs)
 
         q = self.tok.encode_one(question, self.max_q_len)
         q_sp = self.tok.encode_pair(question, start_para["text"].strip(),

@@ -77,6 +77,15 @@ def add_sp_labels(raw_items: List[Dict], retrieved: List[Dict],
             sp_map = collections.defaultdict(list)
             for title, sent_id in raw["supporting_facts"]:
                 sp_map[title].append(sent_id)
+            absent = [t for t in sp_map if t not in title2sents]
+            if absent:
+                raise ValueError(
+                    f"gold SP title(s) {absent} not in title2sents for "
+                    f"question {raw['question']!r} — fullwiki-style raw "
+                    "files hold retrieved (not gold) context; build the "
+                    "sentence map from a corpus that covers every gold "
+                    "paragraph (the reference used the full abstracts "
+                    "dump, mhop_utils.py add_sp_labels)")
             inst["sp"] = [{"title": t, "sents": title2sents[t],
                            "sp_sent_ids": ids} for t, ids in sp_map.items()]
             inst["answer"] = [raw["answer"]] if isinstance(raw["answer"], str) \

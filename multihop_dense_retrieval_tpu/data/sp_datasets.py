@@ -60,17 +60,22 @@ class SPDataset:
         return question, pos_paras, neg_paras
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        return self.getitem_rng(index, self.rng)
+
+    def getitem_rng(self, index: int, rng) -> Dict[str, np.ndarray]:
+        """Per-call RNG variant (BatchLoader derives one stream per sample
+        so pool workers never race the shared `self.rng`)."""
         sample = self.data[index]
         question, pos_paras, neg_paras = self._row_pos_neg(sample)
         if self.train:
-            pos = pos_paras[self.rng.randint(len(pos_paras))]
-            self.rng.shuffle(neg_paras)
+            pos = pos_paras[rng.randint(len(pos_paras))]
+            rng.shuffle(neg_paras)
         else:
             pos = pos_paras[0]
         if neg_paras:
             neg = neg_paras[0]
         elif self.train:
-            other = self.data[self.rng.randint(len(self.data))]
+            other = self.data[rng.randint(len(self.data))]
             _, other_pos, _ = self._row_pos_neg(other)
             neg = other_pos[0]
         else:
@@ -119,11 +124,14 @@ class NQMhopDataset:
         return self.tok.encode_pair(para["title"].strip(), text, max_len)
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        return self.getitem_rng(index, self.rng)
+
+    def getitem_rng(self, index: int, rng) -> Dict[str, np.ndarray]:
         sample = self.data[index]
         question = sample["question"]
         negs = list(sample["top_neg"])
         if self.train:
-            self.rng.shuffle(negs)
+            rng.shuffle(negs)
         error_para, neg_para = negs[0], negs[1]
         pos_para = sample["pos_paras"][0]
 

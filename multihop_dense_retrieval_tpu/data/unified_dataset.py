@@ -55,6 +55,11 @@ class UnifiedDataset:
         return self.tok.encode_pair(para["title"].strip(), text, max_len)
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        return self.getitem_rng(index, self.rng)
+
+    def getitem_rng(self, index: int, rng) -> Dict[str, np.ndarray]:
+        """Per-call RNG variant (BatchLoader derives one stream per sample
+        so pool workers never race the shared `self.rng`)."""
         sample = self.data[index]
         question = sample["question"]
         if question.endswith("?"):
@@ -64,7 +69,7 @@ class UnifiedDataset:
         negs = list(sample.get("neg_paras", []))
         if sample["type"] == "comparison":
             if self.train:
-                self.rng.shuffle(pos)
+                rng.shuffle(pos)
             start_para, bridge_para = pos
         elif sample["type"] == "bridge":
             start_para = bridge_para = None
@@ -76,13 +81,13 @@ class UnifiedDataset:
         elif sample["type"] == "single":
             mhop = False
             start_para = pos[0]
-            bridge_para = (negs[self.rng.randint(len(negs))]
+            bridge_para = (negs[rng.randint(len(negs))]
                            if negs else dict(DUMMY))
         else:
             raise ValueError(f"unknown type {sample['type']}")
 
         if self.train:
-            self.rng.shuffle(negs)
+            rng.shuffle(negs)
         neg1 = negs[0] if negs else dict(DUMMY)
         neg2 = negs[1] if len(negs) > 1 else dict(DUMMY)
 
@@ -144,6 +149,9 @@ class FeverDataset:
                                     para["text"].strip(), max_len)
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        return self.getitem_rng(index, self.rng)
+
+    def getitem_rng(self, index: int, rng) -> Dict[str, np.ndarray]:
         sample = self.data[index]
         question = sample["claim"]
         evidence_multi = [e for e in sample["evidence"]
@@ -151,8 +159,8 @@ class FeverDataset:
         negs = list(sample.get("tfidf_neg", [])) + \
             list(sample.get("linked_neg", []))
         if self.train:
-            self.rng.shuffle(evidence_multi)
-            self.rng.shuffle(negs)
+            rng.shuffle(evidence_multi)
+            rng.shuffle(negs)
         start_para, bridge_para = evidence_multi[0][0], evidence_multi[0][1]
 
         q = self.tok.encode_one(question, self.max_q_len)
@@ -192,7 +200,10 @@ class FeverSampler:
         self.rng = np.random.RandomState(seed)
 
     def __len__(self):
-        return len(self.multi_ids) * (self.ratio + 1)
+        # must agree with epoch_indices(): the singles pool can run short
+        # of multi_ids * ratio
+        return len(self.multi_ids) + min(len(self.single_ids),
+                                         len(self.multi_ids) * self.ratio)
 
     def epoch_indices(self) -> List[int]:
         singles = list(self.single_ids)

@@ -18,7 +18,19 @@ from typing import Dict, List, Sequence
 def chain_metrics(sp_titles: Sequence[str], qtype: str,
                   path_titles: List[List[str]],
                   hop1_titles: List[str]) -> Dict:
-    """Metrics for one question given its ranked chains' titles."""
+    """Metrics for one question given its ranked chains' titles.
+
+    Gold SP titles are validated like the reference's
+    `assert len(set(sp)) == 2` (eval_mhop_retrieval.py:222): an EMPTY sp
+    list would score p_em=1 with p_recall=0 (vacuous all([])), silently
+    inflating P-EM.  Hotpot types require exactly 2 distinct titles;
+    single-hop rows (the --unified serving extension) may carry 1."""
+    distinct = len(set(sp_titles))
+    if distinct == 0 or (qtype in ("bridge", "comparison")
+                         and distinct != 2):
+        raise ValueError(
+            f"bad gold SP titles {list(sp_titles)} for type={qtype!r} — "
+            "malformed qas row?")
     retrieved = [t for pair in path_titles for t in pair]
     sp_covered = [t in retrieved for t in sp_titles]
     covered_1 = [t in hop1_titles for t in sp_titles]

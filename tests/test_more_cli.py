@@ -335,3 +335,57 @@ def test_merge_shards_missing_shard_fails_loud(tmp_path):
     assert sh.shard_bounds(10, 3, 2) == (6, 10)
     with pytest.raises(ValueError):
         sh.shard_bounds(10, 3, 3)
+
+
+def test_prep_cli_alignment_and_linked_abstracts(tmp_path):
+    """add-sp-label fails loud on unmatched/duplicate questions and on gold
+    titles missing from the sentence map; hotpot-to-mhop's
+    --linked-abstracts enables the hyperlink bridge fallback (review r3 —
+    it was silently dead, defaulting ambiguous bridges to titles[1])."""
+    from multihop_dense_retrieval_tpu.cli import prep as prep_cli
+
+    raw = [{
+        "_id": "x1", "question": "who did what?", "answer": "mystery",
+        "type": "bridge",
+        "context": [["T1", ["the mystery word."]], ["T2", ["also mystery."]]],
+        "supporting_facts": [["T1", 0], ["T2", 0]],
+    }]
+    (tmp_path / "raw.json").write_text(json.dumps(raw))
+
+    # retrieved dump from a different split -> clear error, not KeyError
+    synth.write_jsonl(tmp_path / "other.jsonl",
+                      [{"question": "unrelated?", "candidate_chains": []}])
+    with pytest.raises(ValueError, match="absent from ORIGINAL"):
+        prep_cli.main(["add-sp-label", str(tmp_path / "raw.json"),
+                       str(tmp_path / "other.jsonl"),
+                       str(tmp_path / "o.jsonl")])
+
+    # duplicate question text in ORIGINAL -> refuse to mispair
+    (tmp_path / "dup.json").write_text(json.dumps(raw + raw))
+    synth.write_jsonl(tmp_path / "retr.jsonl",
+                      [{"question": "who did what?", "candidate_chains": []}])
+    with pytest.raises(ValueError, match="duplicate question"):
+        prep_cli.main(["add-sp-label", str(tmp_path / "dup.json"),
+                       str(tmp_path / "retr.jsonl"),
+                       str(tmp_path / "o.jsonl")])
+
+    # gold sp title missing from the context-derived sentence map
+    raw_missing = [dict(raw[0], supporting_facts=[["T1", 0], ["GONE", 0]])]
+    (tmp_path / "rm.json").write_text(json.dumps(raw_missing))
+    with pytest.raises(ValueError, match="not in title2sents"):
+        prep_cli.main(["add-sp-label", str(tmp_path / "rm.json"),
+                       str(tmp_path / "retr.jsonl"),
+                       str(tmp_path / "o.jsonl")])
+
+    # ambiguous bridge ("mystery" in both passages): without links ->
+    # titles[1]; with T2 -> T1 hyperlink -> T1 is the bridge
+    out_plain = tmp_path / "mhop_plain.jsonl"
+    prep_cli.main(["hotpot-to-mhop", str(tmp_path / "raw.json"),
+                   str(out_plain)])
+    assert json.loads(open(out_plain).readline())["bridge"] == "T2"
+    (tmp_path / "links.json").write_text(json.dumps({"T2": ["T1"]}))
+    out_linked = tmp_path / "mhop_linked.jsonl"
+    prep_cli.main(["hotpot-to-mhop", str(tmp_path / "raw.json"),
+                   str(out_linked), "--linked-abstracts",
+                   str(tmp_path / "links.json")])
+    assert json.loads(open(out_linked).readline())["bridge"] == "T1"

@@ -47,8 +47,14 @@ def make_mesh(
         data = n // index
     elif index is None:
         index = n // data
-    if data * index > n:
-        raise ValueError(f"mesh {data}x{index} needs more than {n} devices")
+    # fail HERE, not deep inside shard_map/device_put: an axis larger than
+    # the device count floor-divides the other axis to 0 and built an
+    # EMPTY mesh.  Using a strict subset of devices stays allowed (e.g.
+    # --data-parallel 2 on an 8-device host).
+    if data < 1 or index < 1 or data * index > n:
+        raise ValueError(
+            f"mesh {data}x{index} does not fit the {n} available "
+            f"device(s)")
     arr = np.asarray(devs[: data * index]).reshape(data, index)
     return Mesh(arr, (DATA_AXIS, INDEX_AXIS))
 

@@ -54,6 +54,11 @@ class DenseIndex:
     # passage: doc_id = row // multi_vector — the reference's idx→id map,
     # utils/gen_index_id_map.py:6-14, by layout instead of a table)
     multi_vector: int = 1
+    # LAYOUT granularity: the padded row count stays a multiple of this
+    # (× n_shards).  Distinct from SearchConfig.chunk_rows (the XLA scan
+    # tile) — growing by the scan tile (131072 default) would add up to
+    # ~1M zero rows on a one-document append.
+    chunk_rows: int = 4096
     # Optional PCA prefilter (ops/mips.py::mips_topk_pca): rotation,
     # projected rows, and per-chunk certificate bounds.  Built with
     # `build(..., pca_dims=R)`; online updates keep the bounds SOUND
@@ -86,12 +91,26 @@ class DenseIndex:
         scales = None
         if jnp.dtype(dtype) == jnp.int8:
             # symmetric per-row int8: halves HBM vs bf16, quarter of the
-            # reference's fp32 FAISS index; recall parity tested
-            from ..ops.mips import quantize_rows
-
-            arr, scales = quantize_rows(jnp.asarray(out))
+            # reference's fp32 FAISS index; recall parity tested.
+            # Quantize HOST-side in chunks (same arithmetic as
+            # ops/mips.py::quantize_rows): the eager device path put the
+            # full padded fp32 corpus (16 GB at 5.2M×768) plus elementwise
+            # temporaries in HBM for an output that is only ~4 GB.
+            q = np.empty((n_pad, d), np.int8)
+            sc = np.empty((n_pad,), np.float32)
+            for s0 in range(0, n_pad, 65536):
+                e0 = min(s0 + 65536, n_pad)
+                x = out[s0:e0]
+                s_chunk = np.maximum(np.max(np.abs(x), axis=1) / 127.0,
+                                     1e-10).astype(np.float32)
+                q[s0:e0] = np.clip(np.round(x / s_chunk[:, None]),
+                                   -127, 127).astype(np.int8)
+                sc[s0:e0] = s_chunk
+            arr, scales = jnp.asarray(q), jnp.asarray(sc)
         else:
-            arr = jnp.asarray(out, dtype=dtype)
+            # convert host-side too: transferring fp32 then casting on
+            # device doubles the peak HBM of a bf16 build
+            arr = jnp.asarray(out.astype(jnp.dtype(dtype)))
         rot = proj = bounds = None
         if pca_dims:
             from ..ops.mips import build_pca_prefilter, train_pca_rotation
@@ -112,10 +131,18 @@ class DenseIndex:
             arr = jax.device_put(arr, sh)
             if scales is not None:
                 scales = jax.device_put(scales, NamedSharding(mesh, P(INDEX_AXIS)))
+            if proj is not None:
+                # same placements as shard()/load(mesh=) — leaving the
+                # (N, R) projection unsharded would redistribute it to
+                # match shard_map's in_spec on every search call
+                proj = jax.device_put(proj, sh)
+                bounds = jax.device_put(
+                    bounds, NamedSharding(mesh, P(None, INDEX_AXIS)))
+                rot = jax.device_put(rot, NamedSharding(mesh, P(None, None)))
         return cls(vectors=arr, n_docs=n, scales=scales,
                    multi_vector=max(multi_vector, 1),
                    pca_rot=rot, pca_proj=proj, pca_bounds=bounds,
-                   pca_cand_rows=pca_cand_rows)
+                   pca_cand_rows=pca_cand_rows, chunk_rows=chunk_rows)
 
     def shard(self, mesh: Mesh) -> "DenseIndex":
         arr = jax.device_put(self.vectors, NamedSharding(mesh, P(INDEX_AXIS, None)))
@@ -178,12 +205,15 @@ class DenseIndex:
         bounds = bounds.at[:, cols].max(quant)
         return proj, bounds
 
-    def append(self, embeddings: np.ndarray, *, chunk_rows: int = 4096,
+    def append(self, embeddings: np.ndarray, *,
+               chunk_rows: Optional[int] = None,
                n_shards: int = 1) -> "DenseIndex":
         """Add documents; returns the updated index.  New rows land in the
         existing tail padding when they fit (in-place slice update); the
-        buffer grows to the next (chunk_rows × n_shards) multiple otherwise.
+        buffer grows to the next (chunk_rows × n_shards) multiple otherwise
+        (default: the index's own layout granularity).
         """
+        chunk_rows = chunk_rows or self.chunk_rows
         rows, scales_new = self._quantize_like(embeddings)
         m = rows.shape[0]
         assert m % self.multi_vector == 0, \
@@ -275,7 +305,8 @@ class DenseIndex:
     # ---- persistence -----------------------------------------------------
 
     def save(self, path: str):
-        extra = {"multi_vector": self.multi_vector}
+        extra = {"multi_vector": self.multi_vector,
+                 "chunk_rows": self.chunk_rows}
         if self.scales is not None:
             extra["scales"] = np.asarray(jax.device_get(self.scales))
         if self.pca_proj is not None:
@@ -312,8 +343,9 @@ class DenseIndex:
                     jnp.asarray(z["pca_proj"]), jnp.bfloat16),
                 pca_bounds=jnp.asarray(z["pca_bounds"]),
                 pca_cand_rows=int(z["pca_cand_rows"]))
+        cr = int(z["chunk_rows"]) if "chunk_rows" in z.files else 4096
         idx = cls(vectors=arr, n_docs=int(z["n_docs"]), scales=scales,
-                  multi_vector=mv, **pca)
+                  multi_vector=mv, chunk_rows=cr, **pca)
         return idx.shard(mesh) if mesh is not None else idx
 
     @classmethod

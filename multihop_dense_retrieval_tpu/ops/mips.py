@@ -71,7 +71,11 @@ def auto_chunk_rows(b: int, d: int, itemsize: int = 2,
         if need <= VMEM_BUDGET:
             return chunk
         chunk //= 2
-    return chunk
+    # the floor chunk can STILL overflow VMEM for huge query blocks — tell
+    # the dispatcher to take the XLA tier instead of shipping a kernel
+    # that fails Mosaic compilation (or thrashes)
+    need = 2 * chunk * d * itemsize + 3 * b * chunk * 4
+    return chunk if need <= VMEM_BUDGET else 0
 
 
 def _merge_topk(vals_a, idx_a, vals_b, idx_b, k: int):
@@ -158,30 +162,19 @@ def mips_topk_xla(index: jnp.ndarray, queries: jnp.ndarray, k: int,
 # --------------------------------------------------------------------------
 
 
-def _mips_kernel(q_ref, chunk_ref, nv_ref, vals_ref, idx_ref, k: int,
-                 chunk_rows: int, mask_valid: bool, k_eff: int = None):
-    """One grid step: score a (C, D) chunk against (B, D) queries and merge
-    into the running (B, K) top-k carried in the output refs.
+def _merge_chunk_topk(scores, step, nv_ref, vals_ref, idx_ref, k: int,
+                      chunk_rows: int, mask_valid: bool, k_eff):
+    """Shared tail of the fused kernels: mask padding rows, then merge this
+    chunk's scores into the running (B, K) top-k refs.
 
     `lax.top_k` does not lower in Mosaic, so the merge is K rounds of
     max → one-hot select (ties broken toward the smallest column, matching
     lax.top_k/FAISS ordering).  The merge runs only when the chunk can beat
-    some row's current k-th best — for large N almost every chunk is skipped,
-    so the steady-state cost is the matmul alone (MXU/HBM bound).
+    some row's current k-th best — for large N almost every chunk is
+    skipped, so the steady-state cost is the scoring alone.  ONE definition
+    serves the bf16 and int8 tiers (a tie-break or pad fix applied to one
+    copy would silently de-sync the other).
     """
-    step = pl.program_id(0)
-
-    @pl.when(step == 0)
-    def _init():
-        vals_ref[:] = jnp.full_like(vals_ref, NEG_INF)
-        idx_ref[:] = jnp.zeros_like(idx_ref)
-
-    scores = jax.lax.dot_general(
-        q_ref[:], chunk_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (B, C)
-
     if mask_valid:  # mask padding rows (bound is an SMEM scalar: the
         # sharded path passes a per-shard value computed from the shard id)
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
@@ -224,6 +217,28 @@ def _mips_kernel(q_ref, chunk_ref, nv_ref, vals_ref, idx_ref, k: int,
         idx_ref[:] = jnp.stack(new_idx, axis=1)
 
 
+def _mips_kernel(q_ref, chunk_ref, nv_ref, vals_ref, idx_ref, k: int,
+                 chunk_rows: int, mask_valid: bool, k_eff: int = None):
+    """One grid step: score a (C, D) chunk against (B, D) queries and merge
+    into the running (B, K) top-k carried in the output refs
+    (_merge_chunk_topk).  Steady state is the matmul alone (MXU/HBM bound).
+    """
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        vals_ref[:] = jnp.full_like(vals_ref, NEG_INF)
+        idx_ref[:] = jnp.zeros_like(idx_ref)
+
+    scores = jax.lax.dot_general(
+        q_ref[:], chunk_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (B, C)
+    _merge_chunk_topk(scores, step, nv_ref, vals_ref, idx_ref, k,
+                      chunk_rows, mask_valid, k_eff)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "chunk_rows", "interpret", "n_valid"))
 def mips_topk_pallas(index: jnp.ndarray, queries: jnp.ndarray, k: int,
                      chunk_rows: int = 4096, interpret: bool = False,
@@ -236,6 +251,11 @@ def mips_topk_pallas(index: jnp.ndarray, queries: jnp.ndarray, k: int,
     b = queries.shape[0]
     if n % chunk_rows:
         raise ValueError(f"index rows {n} not a multiple of chunk {chunk_rows}")
+    if k > chunk_rows:
+        raise ValueError(
+            f"k={k} exceeds chunk_rows={chunk_rows}: the kernel tracks at "
+            "most one chunk of candidates and would silently return "
+            f"{chunk_rows} columns — raise chunk_rows or use mips_topk")
     k_pad = max(8, -(-k // 8) * 8)
     k_pad = min(k_pad, chunk_rows)
     num_chunks = n // chunk_rows
@@ -313,41 +333,8 @@ def _mips_kernel_int8(q_ref, qscale_ref, chunk_ref, dscale_ref, nv_ref,
     scores = (raw.astype(jnp.float32)
               * qscale_ref[:]            # (B, 1)
               * dscale_ref[:].reshape(1, -1))  # (1, C)
-
-    if mask_valid:
-        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        scores = jnp.where(col + step * chunk_rows < nv_ref[0], scores, NEG_INF)
-
-    k_eff = k if k_eff is None else k_eff
-    chunk_best = jnp.max(scores, axis=1)
-    kth_best = vals_ref[:, k_eff - 1]
-    improves = jnp.any(chunk_best > kth_best)
-
-    @pl.when(improves)
-    def _merge():
-        b, c = scores.shape
-        work_vals = jnp.concatenate([vals_ref[:], scores], axis=1)
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, (b, k + c), 1)
-        work_idx = jnp.concatenate(
-            [idx_ref[:],
-             jax.lax.broadcasted_iota(jnp.int32, (b, c), 1) + step * chunk_rows],
-            axis=1)
-        new_vals, new_idx = [], []
-        for _ in range(k_eff):
-            m = jnp.max(work_vals, axis=1, keepdims=True)
-            at_max = work_vals == m
-            sel_col = jnp.min(jnp.where(at_max, col_ids, jnp.int32(2**30)),
-                              axis=1, keepdims=True)
-            onehot = col_ids == sel_col
-            new_vals.append(m[:, 0])
-            new_idx.append(jnp.sum(jnp.where(onehot, work_idx, 0), axis=1))
-            work_vals = jnp.where(onehot, NEG_INF, work_vals)
-        pad = k - k_eff
-        if pad:
-            new_vals += [jnp.full((b,), NEG_INF, jnp.float32)] * pad
-            new_idx += [jnp.zeros((b,), jnp.int32)] * pad
-        vals_ref[:] = jnp.stack(new_vals, axis=1)
-        idx_ref[:] = jnp.stack(new_idx, axis=1)
+    _merge_chunk_topk(scores, step, nv_ref, vals_ref, idx_ref, k,
+                      chunk_rows, mask_valid, k_eff)
 
 
 @functools.partial(jax.jit,
@@ -363,6 +350,11 @@ def mips_topk_pallas_int8(index_int8: jnp.ndarray, doc_scales: jnp.ndarray,
     b = queries.shape[0]
     if n % chunk_rows:
         raise ValueError(f"index rows {n} not a multiple of chunk {chunk_rows}")
+    if k > chunk_rows:
+        raise ValueError(
+            f"k={k} exceeds chunk_rows={chunk_rows}: the kernel tracks at "
+            "most one chunk of candidates and would silently return "
+            f"{chunk_rows} columns — raise chunk_rows or use mips_topk")
     k_pad = min(max(8, -(-k // 8) * 8), chunk_rows)
     num_chunks = n // chunk_rows
     bound = _valid_bound(n, n_valid, n_valid_dyn)
@@ -1050,8 +1042,11 @@ def mips_topk(index, queries, k: int, *, use_pallas: bool = True,
     chunk = min(chunk_rows,
                 auto_chunk_rows(queries.shape[0], index.shape[1],
                                 jnp.dtype(index.dtype).itemsize))
-    pallas_ok = use_pallas and (on_tpu or interpret) \
-        and index.shape[0] % chunk == 0
+    # chunk == 0: even the floor tile overflows VMEM for this query block;
+    # k > chunk: the kernel can't track that many candidates — both route
+    # to the exact XLA tier instead of a Mosaic failure / loud kernel error
+    pallas_ok = use_pallas and (on_tpu or interpret) and chunk > 0 \
+        and k <= chunk and index.shape[0] % chunk == 0
     if index.dtype == jnp.int8 and not interpret \
             and chunk < 1024 and chunk != index.shape[0]:
         # packed-scales block needs >= 8 sublanes on real Mosaic

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import math
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -196,9 +197,15 @@ class BeamSearcher:
         n_shards = (1 if self.mesh is None
                     else self.mesh.shape.get(INDEX_AXIS, 1))
         old_pad = self.index.vectors.shape[0]
-        self.index = self.index.append(
-            embeddings, chunk_rows=self.config.chunk_rows,
-            n_shards=n_shards)
+        # growth unit: the kernels require the (per-shard) row count to be
+        # a multiple of the scan tile (config.chunk_rows), and the store
+        # keeps its own layout granularity — grow by the lcm.  With the
+        # CLI defaults both are 4096; passing config.chunk_rows alone
+        # (the old behavior) made a one-doc append grow by the 131072-row
+        # SearchConfig default (~1M zero rows across 8 shards).
+        unit = math.lcm(self.index.chunk_rows, self.config.chunk_rows)
+        self.index = self.index.append(embeddings, chunk_rows=unit,
+                                       n_shards=n_shards)
         n_pad = self.index.vectors.shape[0]
         if n_pad != old_pad:
             grow = n_pad - self.text_ids.shape[0]
@@ -272,10 +279,17 @@ class BeamSearcher:
         k_rows = k * m
         cert = None
         use_pca = pca and "pca_proj" in store
-        if use_pca and vectors.shape[0] // self.index.pca_cand_rows < 2:
-            # a single candidate chunk leaves nothing unselected for the
-            # ub_next certificate comparison — the prefilter is meaningless
-            # at this scale, so route the hop to the plain kernels
+        n_index_shards = (self.mesh.shape.get(INDEX_AXIS, 1)
+                          if self.mesh is not None else 1)
+        chunks_per_shard = (vectors.shape[0]
+                            // max(n_index_shards, 1)
+                            // self.index.pca_cand_rows)
+        if use_pca and chunks_per_shard < 2:
+            # a single candidate chunk (PER SHARD — the sharded prefilter
+            # hard-fails below 2, while this global-count guard used to
+            # pass) leaves nothing unselected for the ub_next certificate
+            # comparison — the prefilter is meaningless at this scale, so
+            # route the hop to the plain kernels
             use_pca = False
         if self.mesh is not None and self.mesh.shape.get(INDEX_AXIS, 1) > 1:
             if use_pca:

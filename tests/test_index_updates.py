@@ -350,3 +350,23 @@ def test_live_pca_engine_add_docs():
     for r in np.nonzero(np.asarray(got["pca_cert1"]))[0]:
         np.testing.assert_array_equal(np.asarray(got["hop1_cand_ids"])[r],
                                       bi[r])
+
+
+def test_index_remembers_layout_chunk(tmp_path):
+    """DenseIndex carries its LAYOUT granularity: append without an
+    explicit chunk_rows grows by the build chunk, and save/load keeps it
+    (review r3 — the live engine grew by SearchConfig.chunk_rows, the
+    131072-row scan tile, adding ~1M zero rows on a one-doc append)."""
+    rng = np.random.RandomState(0)
+    base = _vecs(rng, 30)
+    idx = DenseIndex.build(base, chunk_rows=16, dtype=jnp.float32)
+    assert idx.chunk_rows == 16 and idx.vectors.shape[0] == 32
+
+    idx = idx.append(_vecs(rng, 5))           # no chunk_rows argument
+    assert idx.n_docs == 35
+    assert idx.vectors.shape[0] == 48         # grew by 16, not a default
+
+    path = str(tmp_path / "idx.npz")
+    idx.save(path)
+    idx2 = DenseIndex.load(path)
+    assert idx2.chunk_rows == 16

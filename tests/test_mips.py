@@ -433,3 +433,39 @@ def test_sharded_pca_certified_matches_bruteforce():
         jnp.asarray(rot), jnp.asarray(bounds2), q, k, mesh, k_chunks=3,
         cand_rows=128, n_valid_dyn=jnp.int32(n_valid), interpret=True)
     assert np.asarray(i2).max() < n_valid
+
+
+def test_pallas_k_exceeding_chunk_fails_loud_and_dispatcher_falls_back():
+    """k > chunk_rows used to silently return chunk_rows columns (review
+    r3); the kernels now raise and the dispatcher routes to the XLA tier."""
+    import pytest
+    from multihop_dense_retrieval_tpu.ops.mips import (
+        mips_topk, mips_topk_pallas, mips_topk_pallas_int8, quantize_rows)
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1024, 32).astype(np.float32))
+    q = jnp.asarray(rng.randn(4, 32).astype(np.float32))
+    with pytest.raises(ValueError, match="exceeds chunk_rows"):
+        mips_topk_pallas(x, q, k=600, chunk_rows=512, interpret=True)
+    xi, sc = quantize_rows(x)
+    with pytest.raises(ValueError, match="exceeds chunk_rows"):
+        mips_topk_pallas_int8(xi, sc, q, k=600, chunk_rows=512,
+                              interpret=True)
+    # dispatcher: same request routes to the exact XLA tier instead
+    vals, idx = mips_topk(x, q, k=600, chunk_rows=512, interpret=True)
+    assert idx.shape == (4, 600)
+    ref_i = np.argsort(-np.asarray(x @ q.T).T, axis=1, kind="stable")[:, :600]
+    np.testing.assert_array_equal(np.asarray(idx), ref_i)
+
+
+def test_make_mesh_rejects_oversized_axes():
+    import pytest
+    from multihop_dense_retrieval_tpu.core.mesh import make_mesh
+
+    n = len(jax.devices())
+    with pytest.raises(ValueError, match="does not fit"):
+        make_mesh(index=n * 2)          # floor-divided data to 0 before
+    with pytest.raises(ValueError, match="does not fit"):
+        make_mesh(data=n, index=2)
+    m = make_mesh(data=2, index=1)      # strict subset stays allowed
+    assert m.shape == {"data": 2, "index": 1}

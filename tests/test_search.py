@@ -637,3 +637,68 @@ def test_pca_hops_auto_with_buckets():
     hop1_only = build(SearchConfig(**base, pca_hops="1")).search(
         dict(q_inputs), rid, rlen)
     assert "pca_cert2" not in hop1_only and "pca_cert1" in hop1_only
+
+
+def test_sharded_pca_small_corpus_falls_back_to_plain():
+    """PCA engine on a sharded mesh where each shard holds only ONE
+    candidate chunk: the small-corpus guard must count chunks PER SHARD
+    and route to the plain kernels (review r3 — the global-count guard
+    passed and sharded_mips_topk_pca raised at serve time)."""
+    from multihop_dense_retrieval_tpu.core.mesh import make_mesh
+
+    tok = HashTokenizer(vocab_size=512)
+    rng = np.random.RandomState(7)
+    docs = synth.make_corpus(rng, 200)
+    corpus = Corpus(docs)
+    tc = TokenizedCorpus.build(corpus, tok, max_text_len=48)
+    cfg = EncoderConfig.tiny(vocab_size=512, max_position_embeddings=96)
+    model = MhopRetriever(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32),
+                        jnp.ones((1, 8), jnp.int32), method=model.encode_seq)
+    enc = tok.encode_batch_pair(
+        [(corpus[i]["title"], corpus.encode_text(i))
+         for i in range(len(corpus))], 64)
+    emb = np.asarray(model.apply(
+        params, jnp.asarray(enc["input_ids"]),
+        jnp.asarray(enc["attention_mask"]), method=model.encode_seq),
+        np.float32)
+    mesh = make_mesh(index=2)
+    # 256 padded rows / 128 cand_rows = 2 global chunks = 1 PER SHARD
+    index = DenseIndex.build(emb, chunk_rows=128, n_shards=2,
+                             dtype=jnp.float32, mesh=mesh,
+                             pca_dims=emb.shape[1], pca_cand_rows=128)
+    n_pad = index.vectors.shape[0]
+    text_ids = np.full((n_pad, 48), tok.spec.pad_id, np.int32)
+    text_ids[:len(corpus)] = tc.text_ids
+    text_lens = np.zeros(n_pad, np.int32)
+    text_lens[:len(corpus)] = tc.text_lens
+    scfg = SearchConfig(beam_size_1=4, beam_size_2=4, topk=4, max_q_len=20,
+                        max_q_sp_len=80, chunk_rows=128, use_pallas=False,
+                        use_pca=True, pca_k_chunks=2)
+    searcher = BeamSearcher(
+        encode_fn=lambda p, ids, mask, tt=None: model.apply(
+            p, ids, mask, tt, method=model.encode_seq),
+        params=params, index=index, text_ids=jnp.asarray(text_ids),
+        text_lens=jnp.asarray(text_lens),
+        empty=jnp.asarray(np.zeros(n_pad, bool)), spec=tok.spec,
+        config=scfg, mesh=mesh)
+    plain = BeamSearcher(
+        encode_fn=lambda p, ids, mask, tt=None: model.apply(
+            p, ids, mask, tt, method=model.encode_seq),
+        params=params,
+        index=DenseIndex.build(emb, chunk_rows=128, dtype=jnp.float32),
+        text_ids=jnp.asarray(text_ids), text_lens=jnp.asarray(text_lens),
+        empty=jnp.asarray(np.zeros(n_pad, bool)), spec=tok.spec,
+        config=SearchConfig(beam_size_1=4, beam_size_2=4, topk=4,
+                            max_q_len=20, max_q_sp_len=80, chunk_rows=128,
+                            use_pallas=False), mesh=None)
+
+    qs = [f"question about {corpus[i]['title']}" for i in range(4)]
+    q_inputs = tok.encode_batch_one(qs, 20)
+    raw = [tok.raw_ids_padded(q, 18) for q in qs]
+    rid = np.stack([r[0] for r in raw])
+    rlen = np.array([r[1] for r in raw])
+    out = searcher.search(dict(q_inputs), rid, rlen)   # must not raise
+    ref = plain.search(dict(q_inputs), rid, rlen)
+    np.testing.assert_array_equal(out["hop1_ids"], ref["hop1_ids"])
+    np.testing.assert_array_equal(out["hop2_ids"], ref["hop2_ids"])

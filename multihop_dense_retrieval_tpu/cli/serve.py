@@ -91,6 +91,11 @@ class EngineWorker(threading.Thread):
                 moved = self.pipe.delete_document(int(payload["doc_id"]))
                 f.set_result({"moved_doc_id": moved,
                               "n_docs": self.pipe.searcher.index.n_docs})
+            elif kind == "stats":
+                # /healthz rides the worker too: reading n_docs from a
+                # handler thread would race the donated buffer swaps the
+                # whole file exists to serialize
+                f.set_result({"n_docs": self.pipe.searcher.index.n_docs})
             else:
                 raise ValueError(f"unknown op {kind}")
         except Exception as e:  # noqa: BLE001
@@ -140,10 +145,10 @@ def make_handler(pipe: DemoPipeline, worker: EngineWorker):
 
         def do_GET(self):
             if self.path == "/healthz":
+                stats = worker.submit("stats", {}).result()
                 self._send(200, {
                     "status": "ok",
-                    "n_docs": pipe.searcher.index.n_docs
-                    if hasattr(pipe.searcher, "index") else None,
+                    "n_docs": stats["n_docs"],
                     "queue_depth": worker.q.qsize(),
                     "batches_run": worker.batches_run,
                     "questions_run": worker.questions_run,
@@ -170,6 +175,13 @@ def make_handler(pipe: DemoPipeline, worker: EngineWorker):
                 self._send(500, {"error": str(e)})  # helps no client
 
         def _dispatch(self, req):
+            # path FIRST: an unknown endpoint is a 404 regardless of body
+            # (field validation before routing sent 400 "missing X" for
+            # typo'd paths)
+            if self.path not in ("/add_doc", "/delete_doc", "/answer",
+                                 "/retrieve"):
+                self._send(404, {"error": "not found"})
+                return
             if self.path == "/add_doc":
                 if not str(req.get("title", "")).strip():
                     self._send(400, {"error": "missing 'title'"})
@@ -189,12 +201,23 @@ def make_handler(pipe: DemoPipeline, worker: EngineWorker):
             if self.path == "/answer":
                 self._send(200, worker.submit(
                     "answer", {"question": question}).result())
-            elif self.path == "/retrieve":
-                # retrieval-only micro-batches: no reader pass
-                self._send(200, worker.submit(
+            else:                       # /retrieve
+                # retrieval-only micro-batches: no reader pass.  The chain
+                # count is compiled into the engine (SearchConfig.topk);
+                # a smaller per-request "topk" slices the ranked list,
+                # a larger one is capped and reported.
+                out = dict(worker.submit(
                     "retrieve", {"question": question}).result())
-            else:
-                self._send(404, {"error": "not found"})
+                if "topk" in req:
+                    want = int(req["topk"])
+                    if want < 1:
+                        self._send(400, {"error": "'topk' must be >= 1"})
+                        return
+                    if want < len(out["chains"]):
+                        out["chains"] = out["chains"][:want]
+                    elif want > len(out["chains"]):
+                        out["topk_capped"] = len(out["chains"])
+                self._send(200, out)
 
     return Handler
 

@@ -30,12 +30,19 @@ _lib = None
 def _build() -> str:
     if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
         return _LIB
+    # compile to a per-process temp name + atomic rename: two processes
+    # racing on a fresh checkout must never CDLL a half-written .so
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
     for flags in (["-fopenmp"], []):
         cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-               "-o", _LIB, _SRC] + flags
+               "-o", tmp, _SRC] + flags
         try:
             subprocess.run(cmd, check=True, capture_output=True)
+            os.replace(tmp, _LIB)
             return _LIB
+        except FileNotFoundError as e:       # g++ itself absent
+            raise RuntimeError(
+                "failed to build libhnsw.so: g++ not found on PATH") from e
         except subprocess.CalledProcessError as e:
             last_err = e.stderr.decode()
     raise RuntimeError(f"failed to build libhnsw.so:\n{last_err}")
@@ -133,4 +140,10 @@ class HNSWIndex:
             import struct
 
             file_dim = struct.unpack("<i", f.read(4))[0]
-        return cls(dim or file_dim, _handle=h)
+        if dim is not None and dim != file_dim:
+            lib.hnsw_free(h)
+            raise ValueError(
+                f"index file has dim={file_dim}, caller expected {dim} — "
+                "the native handle strides queries by the FILE dim, so a "
+                "mismatch silently scores the wrong memory")
+        return cls(file_dim, _handle=h)

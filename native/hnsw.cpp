@@ -29,6 +29,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <memory>
 #include <mutex>
 #include <queue>
 #include <random>
@@ -74,6 +75,14 @@ struct HNSW {
   std::mt19937 rng;
   double level_mult;
   std::mutex entry_mutex;                     // guards entry/max_level
+  // striped adjacency locks: one mutex per node was allocated PER
+  // add_batch call (~40 B x n transient construction each add — ~200 MB
+  // at 5M docs); only one lock is ever held at a time (see connect), so
+  // striping cannot deadlock and collisions merely serialize two writers
+  static constexpr int kLockStripes = 4096;
+  std::unique_ptr<std::mutex[]> locks_ =
+      std::make_unique<std::mutex[]>(kLockStripes);
+  std::mutex& lock_for(int node) { return locks_[node & (kLockStripes - 1)]; }
 
   HNSW(int d, int m, int efc, uint64_t seed)
       : dim(d), M(m), ef_construction(efc), rng(seed),
@@ -190,14 +199,13 @@ struct HNSW {
   // one lock is ever held at a time (node's is released before reverse
   // links), so no deadlock is possible.
   void connect(int node, int level,
-               const std::vector<std::pair<float, int>>& cands,
-               std::mutex* locks) {
+               const std::vector<std::pair<float, int>>& cands) {
     int c = cap(level);
     std::vector<int> sel;
     select_diverse(vec(node), cands, c, node, sel);
     int count = (int)sel.size();
     {
-      std::lock_guard<std::mutex> g(locks[node]);
+      std::lock_guard<std::mutex> g(lock_for(node));
       int* nb = nbrs(level, node);
       for (int j = 0; j < count; ++j) nb[j] = sel[j];
       for (int j = count; j < c; ++j) nb[j] = -1;
@@ -207,7 +215,7 @@ struct HNSW {
     std::vector<int> osel;
     for (int j = 0; j < count; ++j) {
       int other = sel[j];
-      std::lock_guard<std::mutex> g(locks[other]);
+      std::lock_guard<std::mutex> g(lock_for(other));
       int* onb = nbrs(level, other);
       int k = 0;
       while (k < c && onb[k] >= 0) ++k;
@@ -231,7 +239,7 @@ struct HNSW {
 
   // wire node `id` into the graph; data/levels/adjacency storage must
   // already be materialized for the whole batch (see add_batch)
-  void insert_node(int id, VisitedTable& vt, std::mutex* locks) {
+  void insert_node(int id, VisitedTable& vt) {
     int lvl = levels[id];
     int cur, top;
     {
@@ -244,7 +252,7 @@ struct HNSW {
     std::vector<std::pair<float, int>> cands;
     for (int l = std::min(lvl, top); l >= 0; --l) {
       search_layer(v, cur, l, ef_construction, vt, cands);
-      connect(id, l, cands, locks);
+      connect(id, l, cands);
       cur = cands.empty() ? cur : cands[0].second;
     }
     if (lvl > top) {
@@ -262,8 +270,14 @@ struct HNSW {
     if (count <= 0) return;
     int first = n();
     int64_t total = first + count;
+    // geometric growth: exact-size resizes made every incremental add
+    // reallocate + copy the full vectors/adjacency (O(n) per one-doc add
+    // in live serving)
+    if (data.capacity() < (size_t)total * dim)
+      data.reserve(std::max((size_t)total * dim, data.capacity() * 2));
     data.insert(data.end(), vecs, vecs + count * (int64_t)dim);
-    levels.reserve(total);
+    if (levels.capacity() < (size_t)total)
+      levels.reserve(std::max((size_t)total, levels.capacity() * 2));
     int batch_max = -1;
     for (int64_t i = 0; i < count; ++i) {
       int lvl = random_level();
@@ -272,15 +286,18 @@ struct HNSW {
     }
     while ((int)neighbors.size() <= std::max(batch_max, max_level))
       neighbors.emplace_back();
-    for (int l = 0; l < (int)neighbors.size(); ++l)
-      neighbors[l].resize((size_t)total * cap(l), -1);
+    for (int l = 0; l < (int)neighbors.size(); ++l) {
+      size_t need = (size_t)total * cap(l);
+      if (neighbors[l].capacity() < need)
+        neighbors[l].reserve(std::max(need, neighbors[l].capacity() * 2));
+      neighbors[l].resize(need, -1);
+    }
 
     // bucket new ids by level, descending
     std::vector<std::vector<int>> buckets(batch_max + 1);
     for (int64_t i = 0; i < count; ++i)
       buckets[levels[first + i]].push_back((int)(first + i));
 
-    std::vector<std::mutex> locks(total);
     for (int lvl = batch_max; lvl >= 0; --lvl) {
       auto& bucket = buckets[lvl];
       if (bucket.empty()) continue;
@@ -296,12 +313,12 @@ struct HNSW {
         VisitedTable vt;
 #pragma omp for schedule(dynamic, 64)
         for (int64_t j = (int64_t)start; j < (int64_t)bucket.size(); ++j)
-          insert_node(bucket[j], vt, locks.data());
+          insert_node(bucket[j], vt);
       }
 #else
       VisitedTable vt;
       for (size_t j = start; j < bucket.size(); ++j)
-        insert_node(bucket[j], vt, locks.data());
+        insert_node(bucket[j], vt);
 #endif
     }
   }
@@ -421,7 +438,14 @@ void* hnsw_load(const char* path) {
   int32_t header[4];
   HNSW* idx = nullptr;
   RD(header, sizeof(int32_t), 4);
-  if (header[0] <= 0 || header[1] <= 0) { fclose(f); return nullptr; }
+  // header sanity BEFORE any use: dim/M/ef positive, max_level bounded
+  // below (its upper bound is checked against nlev once that is read —
+  // an unchecked max_level of e.g. 1000 would walk search() off the end
+  // of neighbors[])
+  if (header[0] <= 0 || header[1] <= 0 || header[2] <= 0 ||
+      header[3] < -1 || header[3] > 64) {
+    fclose(f); return nullptr;
+  }
   idx = new HNSW(header[0], header[1], header[2], 0);
   idx->max_level = header[3];
   int64_t n, entry;
@@ -438,6 +462,14 @@ void* hnsw_load(const char* path) {
   int32_t nlev;
   RD(&nlev, sizeof(int32_t), 1);
   if (nlev < 0 || nlev > 64) { fclose(f); delete idx; return nullptr; }
+  // max_level indexes neighbors[] during search; levels[] index it during
+  // insert — both must stay inside the nlev adjacency arrays
+  if (idx->max_level >= nlev && n > 0) { fclose(f); delete idx; return nullptr; }
+  for (int64_t i = 0; i < n; ++i) {
+    if (idx->levels[i] < 0 || idx->levels[i] >= std::max(nlev, 1)) {
+      fclose(f); delete idx; return nullptr;
+    }
+  }
   idx->neighbors.resize(nlev);
   for (int l = 0; l < nlev; ++l) {
     auto& adj = idx->neighbors[l];
@@ -447,6 +479,10 @@ void* hnsw_load(const char* path) {
     if (sz != expect) { fclose(f); delete idx; return nullptr; }
     adj.resize(sz);
     RD(adj.data(), sizeof(int), sz);
+    for (int64_t t = 0; t < sz; ++t) {
+      // junk adjacency ids would feed vec()/stamp[] with OOB indexes
+      if (adj[t] < -1 || adj[t] >= n) { fclose(f); delete idx; return nullptr; }
+    }
   }
   fclose(f);
   return idx;

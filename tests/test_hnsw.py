@@ -192,3 +192,31 @@ def test_recall_100k():
     idx.add(vecs)
     assert _recall(idx, vecs, q, 10, 128) >= 0.98
     assert _recall(idx, vecs, q, 20, 128) >= 0.98
+
+
+def test_load_rejects_dim_mismatch_and_corrupt_header(tmp_path):
+    """A caller-supplied wrong dim and a corrupt max_level header byte must
+    both fail the load cleanly (review r3 — the first silently strode
+    queries by the file dim, the second walked search() off the end of
+    neighbors[])."""
+    import struct
+    import pytest
+    from multihop_dense_retrieval_tpu.index.hnsw import HNSWIndex
+
+    rng = np.random.RandomState(0)
+    idx = HNSWIndex(dim=16, M=4, ef_construction=16, seed=0)
+    idx.add(rng.randn(50, 16).astype(np.float32))
+    path = str(tmp_path / "a.hnsw")
+    idx.save(path)
+
+    with pytest.raises(ValueError, match="dim"):
+        HNSWIndex.load(path, dim=32)
+    ok = HNSWIndex.load(path, dim=16)        # matching dim still fine
+    assert ok.dim == 16
+
+    blob = bytearray(open(path, "rb").read())
+    blob[12:16] = struct.pack("<i", 1000)    # header[3] = max_level
+    bad = str(tmp_path / "bad.hnsw")
+    open(bad, "wb").write(bytes(blob))
+    with pytest.raises(IOError):
+        HNSWIndex.load(bad)

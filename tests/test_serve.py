@@ -67,9 +67,24 @@ def test_retrieve_endpoint_and_errors(server):
     code, out = _post(f"{server}/retrieve", {"question": "another question?"})
     assert code == 200 and "chains" in out
     assert "reading_s" not in out  # retrieval-only: the reader never ran
+    assert len(out["chains"]) == 2           # server --topk
+    # the documented per-request topk works: smaller slices, larger caps
+    # (review r3 finding — the parameter was silently ignored)
+    code, out = _post(f"{server}/retrieve",
+                      {"question": "another question?", "topk": 1})
+    assert code == 200 and len(out["chains"]) == 1
+    code, out = _post(f"{server}/retrieve",
+                      {"question": "another question?", "topk": 50})
+    assert code == 200 and out["topk_capped"] == 2
+    code, out = _post(f"{server}/retrieve",
+                      {"question": "x?", "topk": 0})
+    assert code == 400
     code, out = _post(f"{server}/answer", {})
     assert code == 400 and "question" in out["error"]
     code, out = _post(f"{server}/nope", {"question": "x"})
+    assert code == 404
+    # unknown path is 404 even with a missing question (path checked first)
+    code, out = _post(f"{server}/nope", {})
     assert code == 404
     # malformed bodies get clean 400s, never a dropped connection
     code, out = _post(f"{server}/answer", [1, 2, 3])

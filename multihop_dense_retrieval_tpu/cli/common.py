@@ -84,6 +84,11 @@ def add_pipeline_args(p):
     p.add_argument("--retriever-checkpoint", default="")
     p.add_argument("--reader-model", default="electra-large")
     p.add_argument("--reader-checkpoint", default="")
+    p.add_argument("--reader-tokenizer", default="",
+                   help="tokenizer for the reader (its vocabulary differs "
+                        "from the retriever's: electra wordpiece vs roberta "
+                        "BPE); default: --tokenizer, correct only for the "
+                        "hash test tokenizer")
     p.add_argument("--beam-size", type=int, default=5)
     p.add_argument("--topk", type=int, default=5)
     p.add_argument("--max-q-len", type=int, default=70)

@@ -49,9 +49,21 @@ class DemoPipeline:
                            pca_k_chunks=getattr(args, "pca_k_chunks", 8))
         self.searcher = load_searcher(args.index_dir, self.r_tok, r_model,
                                       r_params, cfg)
+        # live adds encode one passage per call: jit ONCE here — the raw
+        # encode_fn lambda would run the encoder op-by-op through the
+        # remote tunnel on every /add_doc request
+        import jax
+
+        self._add_encode = jax.jit(
+            lambda p_, ids, mask, tt: self.searcher.encode_fn(
+                p_, ids, mask, tt))
         self.corpus = Corpus.from_id2doc(f"{args.index_dir}/id2doc.json")
-        self.q_tok = common.resolve_tokenizer(args.tokenizer,
-                                              roberta_style=False)
+        # the reader's vocabulary differs from the retriever's (electra
+        # wordpiece vs roberta BPE) — --reader-tokenizer falls back to the
+        # retriever flag only for the hash test tokenizer
+        self.q_tok = common.resolve_tokenizer(
+            getattr(args, "reader_tokenizer", "") or args.tokenizer,
+            roberta_style=False)
         _, self.reader, self.reader_params = init_reader(
             args.reader_model, args.reader_checkpoint, sp_pred=True,
             scores_dtype=("bfloat16"
@@ -86,7 +98,7 @@ class DemoPipeline:
         enc = self.r_tok.encode_batch_pair(
             [(row["title"], nc.encode_text(0))], self.max_c_len)
         tt = enc.get("token_type_ids")
-        vec = np.asarray(self.searcher.encode_fn(
+        vec = np.asarray(self._add_encode(
             self.searcher.params, jnp.asarray(enc["input_ids"]),
             jnp.asarray(enc["attention_mask"]),
             None if tt is None else jnp.asarray(tt)), np.float32)

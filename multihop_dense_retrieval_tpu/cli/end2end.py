@@ -64,6 +64,10 @@ def main(argv=None):
     p.add_argument("--retriever-model", default="roberta-base")
     p.add_argument("--retriever-checkpoint", default="")
     p.add_argument("--reader-model", default="electra-large")
+    p.add_argument("--reader-tokenizer", default="",
+                   help="tokenizer for the reader (its vocabulary differs "
+                        "from the retriever's); default: --tokenizer, "
+                        "correct only for the hash test tokenizer")
     p.add_argument("--reader-checkpoint", default="")
     p.add_argument("--beam-size", type=int, default=5)
     p.add_argument("--topk", type=int, default=5)
@@ -111,7 +115,8 @@ def main(argv=None):
                 len(items), t_retr, len(items) / t_retr)
 
     # reader
-    q_tok = common.resolve_tokenizer(args.tokenizer, roberta_style=False)
+    q_tok = common.resolve_tokenizer(args.reader_tokenizer or args.tokenizer,
+                                     roberta_style=False)
     _, model, params = init_reader(args.reader_model, args.reader_checkpoint,
                                    sp_pred=True,
                                    scores_dtype=("bfloat16"

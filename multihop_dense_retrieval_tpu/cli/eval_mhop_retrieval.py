@@ -150,7 +150,16 @@ def _hnsw_searcher(args, logger, tok, model, params, cfg, corpus):
     else:
         logger.info("building HNSW index from index.npz ...")
         dense = DenseIndex.load(os.path.join(args.index_dir, "index.npz"))
+        if dense.multi_vector > 1:
+            raise ValueError(
+                "--hnsw does not support multi-vector indexes: the graph "
+                "returns ROW ids and the host path has no max-over-vectors "
+                "doc merge — use the exact device engine")
         vecs = np.asarray(dense.vectors[: dense.n_docs], np.float32)
+        if dense.scales is not None:
+            # int8 codes without their per-row dequantization scales would
+            # skew every document's inner products by its own scale
+            vecs *= np.asarray(dense.scales)[: dense.n_docs, None]
         hnsw = HNSWIndex(vecs.shape[1], M=32, ef_construction=200)
         hnsw.add(vecs)
         hnsw.save(hnsw_path)

@@ -64,6 +64,19 @@ def main(argv=None):
 
     if args.pca and index.pca_proj is None:
         p.error("--pca needs an index built with encode_corpus --pca-dims")
+    use_pca = args.pca
+    if use_pca and index.vectors.shape[0] // index.pca_cand_rows < 2:
+        # same guard as the engine (search/beam.py): a single candidate
+        # chunk leaves nothing unselected for the certificate comparison,
+        # and mips_topk_pca rejects k_chunks >= chunks — fall back to the
+        # exact kernels instead of crashing on tiny corpora
+        logger.info("--pca: index too small for the prefilter "
+                    "(single candidate chunk); using exact search")
+        use_pca = False
+    # multi-vector indexes: fetch topk*m ROWS, collapse to topk DOCS via
+    # max-over-vectors (the engine's merge, ops/mips.py::merge_multivector)
+    mv = index.multi_vector
+    k_rows = args.topk * mv
 
     all_ids = []
     cert_hits = cert_total = 0
@@ -77,16 +90,16 @@ def main(argv=None):
         enc = tok.encode_batch_one(qs + [qs[-1]] * pad, args.max_q_len)
         vecs = encode(params, jnp.asarray(enc["input_ids"]),
                       jnp.asarray(enc["attention_mask"]))
-        if args.pca:
+        if use_pca:
             from ..ops.mips import mips_topk_pca, pick_pca_step_rows
 
             cand = index.pca_cand_rows
             n_pad_rows = index.vectors.shape[0]
             step = pick_pca_step_rows(n_pad_rows, cand)
             kc = max(1, min(args.pca_k_chunks, n_pad_rows // cand - 1))
-            _, ids, cert = mips_topk_pca(
+            vals, ids, cert = mips_topk_pca(
                 index.vectors, index.pca_proj, index.pca_rot,
-                index.pca_bounds, vecs.astype(jnp.float32), args.topk,
+                index.pca_bounds, vecs.astype(jnp.float32), k_rows,
                 k_chunks=kc, cand_rows=cand, step_rows=step,
                 n_valid=index.n_docs, doc_scales=index.scales,
                 interpret=jax.default_backend() != "tpu")
@@ -99,10 +112,14 @@ def main(argv=None):
             # the index dtype would truncate them to int8 garbage
             qdt = (jnp.float32 if index.scales is not None
                    else index.vectors.dtype)
-            _, ids = mips_topk(index.vectors, vecs.astype(qdt),
-                               args.topk, chunk_rows=args.chunk_rows,
-                               n_valid=index.n_docs,
-                               doc_scales=index.scales)
+            vals, ids = mips_topk(index.vectors, vecs.astype(qdt),
+                                  k_rows, chunk_rows=args.chunk_rows,
+                                  n_valid=index.n_docs,
+                                  doc_scales=index.scales)
+        if mv > 1:
+            from ..ops.mips import merge_multivector
+
+            _, ids = merge_multivector(vals, ids, args.topk, mv)
         all_ids.append(np.asarray(ids)[: len(batch)])
     all_ids = np.concatenate(all_ids)
     dt = time.time() - t0
@@ -118,6 +135,11 @@ def main(argv=None):
     def recall_row(i):
         row = items[i]
         answers = row.get("answer", row.get("answers", []))
+        if isinstance(answers, str):
+            # raw files store a bare string; para_has_answer would iterate
+            # it CHARACTER by character and near-always "find" one-letter
+            # answers, silently inflating recall
+            answers = [answers]
         sp = set(row.get("sp", []))
         hits, sp_hits = {}, {}
         found, sp_found = False, False

@@ -28,21 +28,16 @@ def main(argv=None):
                         "'fever' in the path, train_momentum.py:86-91)")
     args = p.parse_args(argv)
     logger = common.setup_logging(args.output_dir or None)
-    cfg, model, params, train_loader, eval_loader, mesh = build(args)
+    make_datasets = None
     if args.fever or "fever" in args.train_file.lower():
-        from ..data import BatchLoader
         from ..data.unified_dataset import FeverDataset
 
-        kw = dict(max_q_len=cfg.max_q_len, max_q_sp_len=cfg.max_q_sp_len,
-                  max_c_len=cfg.max_c_len)
-        train_loader = BatchLoader(
-            FeverDataset(common.resolve_tokenizer(args.tokenizer),
-                         args.train_file, train=True, seed=args.seed, **kw),
-            cfg.batch_size, shuffle=True, seed=args.seed)
-        eval_loader = BatchLoader(
-            FeverDataset(common.resolve_tokenizer(args.tokenizer),
-                         args.predict_file, **kw),
-            cfg.eval_batch_size)
+        def make_datasets(tok, kw):
+            return (FeverDataset(tok, args.train_file, train=True,
+                                 seed=args.seed, **kw),
+                    FeverDataset(tok, args.predict_file, **kw))
+    cfg, model, params, train_loader, eval_loader, mesh = build(
+        args, make_datasets=make_datasets)
     cfg = dataclasses.replace(cfg, momentum=True, queue_size=args.queue_size,
                               momentum_m=args.momentum_m)
     trainer = RetrieverTrainer(model, cfg, train_loader, eval_loader,

@@ -47,7 +47,11 @@ def add_train_args(p: argparse.ArgumentParser):
                         "(UnifiedRetriever + UnifiedDataset)")
 
 
-def build(args, unified: bool = None):
+def build(args, unified: bool = None, make_datasets=None):
+    """Shared trainer scaffolding.  `make_datasets(tok, kw) -> (train_ds,
+    eval_ds)` overrides the dataset choice (the FEVER momentum CLI) —
+    without it, train_momentum built and immediately discarded two fully
+    parsed MhopDatasets."""
     if unified is None:
         unified = getattr(args, "unified", False)
     cfg = RetrieverTrainConfig(
@@ -66,7 +70,9 @@ def build(args, unified: bool = None):
                                           seed=args.seed, remat=args.remat)
     kw = dict(max_q_len=cfg.max_q_len, max_q_sp_len=cfg.max_q_sp_len,
               max_c_len=cfg.max_c_len)
-    if unified:
+    if make_datasets is not None:
+        train_ds, eval_ds = make_datasets(tok, kw)
+    elif unified:
         from ..data.unified_dataset import UnifiedDataset
 
         train_ds = UnifiedDataset(tok, args.train_file, train=True,

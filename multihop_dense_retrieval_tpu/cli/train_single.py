@@ -60,7 +60,19 @@ def main(argv=None):
               "c_mask": ids, "neg_input_ids": ids, "neg_mask": ids}
     params = model.init(jax.random.PRNGKey(args.seed), batch0)
     if args.init_checkpoint:
-        params = common.load_retriever_params(args.init_checkpoint, enc_cfg)
+        # the loaded tree holds one {encoder, project} tower; merge it
+        # OVER the init tree so --separate-encoders' q tower (encoder_q /
+        # project_q, absent from the checkpoint) is seeded from it too —
+        # wholesale replacement left those params missing and the first
+        # apply raised
+        loaded = common.load_retriever_params(args.init_checkpoint, enc_cfg)
+        lp, ip = loaded["params"], dict(params["params"])
+        ip.update(lp)
+        if args.separate_encoders:
+            ip["encoder_q"] = lp["encoder"]
+            if "project" in lp and "project_q" in ip:
+                ip["project_q"] = lp["project"]
+        params = {"params": ip}
 
     kw = dict(max_q_len=args.max_q_len, max_c_len=args.max_c_len,
               fever=args.fever)

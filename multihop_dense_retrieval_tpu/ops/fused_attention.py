@@ -153,6 +153,11 @@ def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     bias = jnp.where(mask.astype(bool), 0.0, NEG_INF) \
         .astype(jnp.float32)[:, None, :]
     bb = block_b or _pick_block(b, wq, w, hsz, jnp.dtype(q.dtype).itemsize)
+    if b % bb:
+        # an explicit non-divisor block_b would floor the grid and leave
+        # the last B % bb output rows UNWRITTEN (uninitialized memory, no
+        # error); _pick_block only returns divisors
+        raise ValueError(f"block_b={bb} does not divide batch {b}")
 
     # head-pair kernel when two heads tile exactly one 128-lane group;
     # fall back to the per-head kernel otherwise

@@ -66,3 +66,18 @@ def test_encoder_fused_matches_xla(cls_only):
     np.testing.assert_allclose(out_f[0], out_x[0], atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(out_f[1, :3], out_x[1, :3],
                                atol=1e-5, rtol=1e-5)
+
+
+def test_explicit_block_b_must_divide_batch():
+    """A hand-tuned non-divisor block_b used to floor the grid and leave
+    the last B % block_b output rows unwritten (uninitialized memory)."""
+    import pytest
+    from multihop_dense_retrieval_tpu.ops.fused_attention import fused_attention
+
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(10, 16, 128).astype(np.float32))
+    kv = jnp.asarray(rng.randn(10, 16, 128).astype(np.float32))
+    mask = jnp.ones((10, 16), jnp.int32)
+    with pytest.raises(ValueError, match="block_b"):
+        fused_attention(q, kv, kv, mask, num_heads=2, block_b=4,
+                        interpret=True)

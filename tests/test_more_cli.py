@@ -389,3 +389,61 @@ def test_prep_cli_alignment_and_linked_abstracts(tmp_path):
                    str(out_linked), "--linked-abstracts",
                    str(tmp_path / "links.json")])
     assert json.loads(open(out_linked).readline())["bridge"] == "T1"
+
+
+def test_eval_retrieval_multivector_and_string_answers(tmp_path):
+    """Bulk retrieval over a --multi-vector index must collapse ROW ids to
+    DOC ids before metrics (review r3 — raw row ids indexed the corpus
+    wrong / out of range), and a raw string answer field must not be
+    iterated character by character."""
+    from multihop_dense_retrieval_tpu.cli import encode_corpus, eval_retrieval
+
+    rng = np.random.RandomState(4)
+    docs = synth.make_corpus(rng, 24)
+    docs[5]["text"] = "the secret answer is zanzibar ."
+    synth.write_jsonl(tmp_path / "corpus.jsonl",
+                      [{"title": d["title"], "text": d["text"]} for d in docs])
+    # string answer (raw-hotpot style), not a list
+    synth.write_jsonl(tmp_path / "qas.jsonl",
+                      [{"question": "where is the secret?",
+                        "answer": "zanzibar", "sp": ["Title 5"]}])
+    out_dir = str(tmp_path / "index")
+    encode_corpus.main([str(tmp_path / "corpus.jsonl"), out_dir,
+                        "--tokenizer", "hash", "--model-name", "tiny",
+                        "--batch-size", "8", "--chunk-rows", "16",
+                        "--max-c-len", "32", "--multi-vector", "2"])
+    res = eval_retrieval.main([str(tmp_path / "qas.jsonl"), out_dir,
+                               "--tokenizer", "hash", "--model-name", "tiny",
+                               "--topk", "20", "--batch-size", "1",
+                               "--max-q-len", "16", "--chunk-rows", "16"])
+    # 20 of 24 docs retrieved -> the answer doc is near-surely in there;
+    # with raw row ids this either crashed (row >= 24) or mis-scored
+    assert res["answer_recall@20"] in (0.0, 1.0)
+    assert res["answer_recall@20"] == 1.0
+
+
+def test_train_single_separate_encoders_from_checkpoint(tmp_path):
+    """--separate-encoders --init-checkpoint seeds BOTH towers from the
+    one-tower checkpoint (review r3 — wholesale replacement left
+    encoder_q/project_q missing and the first apply raised)."""
+    from multihop_dense_retrieval_tpu.cli import train_single
+
+    rows = [{"question": f"what is thing {i}?",
+             "pos_paras": [{"title": f"P{i}", "text": f"thing {i} body"}],
+             "neg_paras": [{"title": f"N{i}", "text": "unrelated words"}]}
+            for i in range(8)]
+    synth.write_jsonl(tmp_path / "sp.jsonl", rows)
+    base = ["--train-file", str(tmp_path / "sp.jsonl"),
+            "--predict-file", str(tmp_path / "sp.jsonl"),
+            "--tokenizer", "hash", "--model-name", "tiny",
+            "--train-batch-size", "4", "--predict-batch-size", "4",
+            "--num-epochs", "1", "--learning-rate", "1e-4",
+            "--max-q-len", "12", "--max-c-len", "24", "--data-parallel", "2"]
+    out = str(tmp_path / "stage1")
+    res = train_single.main(base + ["--output-dir", out])
+    assert res["best_mrr"] > 0
+
+    res2 = train_single.main(base + ["--separate-encoders",
+                                     "--init-checkpoint",
+                                     f"{out}/checkpoint_best"])
+    assert res2["best_mrr"] > 0

@@ -16,9 +16,12 @@ import json
 
 import numpy as np
 
-from ..eval.hotpot_metrics import (exact_match_score, f1_score, update_sp,
+from ..eval.hotpot_metrics import (update_answer, update_sp,
                                    joint_metrics, new_metrics)
 from . import common
+
+SP_KEYS = ("sp_em", "sp_f1", "sp_prec", "sp_recall",
+           "joint_em", "joint_f1", "joint_prec", "joint_recall")
 
 
 def main(argv=None):
@@ -29,7 +32,8 @@ def main(argv=None):
     logger = common.setup_logging()
 
     with open(args.predictions) as f:
-        preds = {r["_id"]: r for r in map(json.loads, f) if r}
+        preds = {r["_id"]: r for r in (json.loads(l) for l in f
+                                       if l.strip())}
     with open(args.gold) as f:
         golds = [json.loads(l) for l in f if l.strip()]
 
@@ -40,25 +44,42 @@ def main(argv=None):
             continue
         pr = preds[qid]
         gold_ans = g.get("answer", [])
+        if isinstance(gold_ans, str):
+            # raw gold files store a bare string; [0] would silently score
+            # every prediction against its first CHARACTER
+            gold_ans = [gold_ans]
         gold_ans = gold_ans[0] if gold_ans else ""
-        em = float(exact_match_score(pr.get("pred_answer", ""), gold_ans))
-        f1, prec, rec = f1_score(pr.get("pred_answer", ""), gold_ans)
         m = new_metrics()
-        m["em"], m["f1"], m["prec"], m["recall"] = em, f1, prec, rec
+        em, prec, rec = update_answer(m, pr.get("pred_answer", ""), gold_ans)
         gold_sp = g.get("sp_gold")
         if gold_sp is None and "sp" in g and g["sp"] and \
                 isinstance(g["sp"][0], dict):
             gold_sp = [[s["title"], i] for s in g["sp"]
                        for i in s.get("sp_sent_ids", [])]
+        # rows WITHOUT sentence-level sp gold are excluded from the
+        # sp/joint averages instead of contributing zeros that read as
+        # "the reader predicted no supporting facts"
+        m["_has_sp"] = gold_sp is not None
         if gold_sp is not None:
             sp_em, sp_prec, sp_rec = update_sp(
                 m, pr.get("pred_sp", []), gold_sp)
             joint_metrics(m, em, prec, rec, sp_em, sp_prec, sp_rec)
         by_type[g.get("type", "all")].append(m)
 
+    if not by_type:
+        raise ValueError(
+            f"no gold _id appears in {args.predictions} — wrong file "
+            "pair, disjoint split, or mismatched id types?")
+
     def agg(items):
-        keys = items[0].keys()
-        return {k: float(np.mean([m[k] for m in items])) for k in keys}
+        out = {k: float(np.mean([m[k] for m in items]))
+               for k in items[0] if k not in SP_KEYS and k != "_has_sp"}
+        with_sp = [m for m in items if m["_has_sp"]]
+        if with_sp:
+            out.update({k: float(np.mean([m[k] for m in with_sp]))
+                        for k in SP_KEYS})
+            out["n_sp_annotated"] = len(with_sp)
+        return out
 
     out = {"overall": agg([m for items in by_type.values() for m in items])}
     for t, items in by_type.items():

@@ -68,10 +68,17 @@ class Corpus:
             table = json.load(f)
         docs = [None] * len(table)
         for k, v in table.items():
+            # same NFD+strip normalization as from_jsonl: all downstream
+            # title comparisons (P-EM/path-recall, QA gold-chain dedup)
+            # are exact string matches, and the reference's id2doc.json
+            # carries raw NFC titles — mixing the two load paths used to
+            # silently miss every accented-title match
             if isinstance(v, (list, tuple)):
-                docs[int(k)] = {"title": v[0], "text": v[1]}
+                title, text = v[0], v[1]
             else:
-                docs[int(k)] = {"title": v["title"], "text": v["text"]}
+                title, text = v["title"], v["text"]
+            docs[int(k)] = {"title": _normalize(title.strip()),
+                            "text": text}
         return cls(docs)
 
     def __len__(self):

@@ -44,14 +44,30 @@ class PreemptionCheckpointer:
 
     def save(self, state: Any, *, epoch: int, best_metric: float,
              rng_state: Optional[Dict] = None):
+        import shutil
+
         os.makedirs(self.dir, exist_ok=True)
-        # the orbax save is a COLLECTIVE (all pod processes join); the JSON
-        # sidecar is plain file io — process 0 only, written atomically so a
-        # kill mid-write can't leave a truncated file that crash-loops every
-        # subsequent requeue (the exact failure this module exists to avoid)
-        ckpt.save_pytree(os.path.join(self.dir, "trainer_state"), state)
+        state_path = os.path.join(self.dir, "trainer_state")
+        new_path, old_path = state_path + ".new", state_path + ".old"
+        # the orbax save is a COLLECTIVE (all pod processes join).  It
+        # lands in a SIBLING dir first: orbax's own force=True rmtrees the
+        # target before serializing, so saving in place would destroy the
+        # only resumable checkpoint exactly during the SIGTERM grace
+        # window this module exists for.  The previous state stays
+        # restorable until the new one is fully on disk; each swap step
+        # below is an atomic rename (maybe_restore falls back to .old for
+        # the kill-between-renames window).
+        ckpt.save_pytree(new_path, state)
         if jax.process_index() != 0:
             return
+        shutil.rmtree(old_path, ignore_errors=True)
+        if os.path.isdir(state_path):
+            os.rename(state_path, old_path)
+        os.rename(new_path, state_path)
+        shutil.rmtree(old_path, ignore_errors=True)
+        # the JSON sidecar is plain file io — process 0 only, written
+        # atomically so a kill mid-write can't leave a truncated file that
+        # crash-loops every subsequent requeue
         meta_path = os.path.join(self.dir, "trainer_meta.json")
         tmp = meta_path + ".tmp"
         with open(tmp, "w") as f:
@@ -63,6 +79,13 @@ class PreemptionCheckpointer:
         """Returns (state, meta) if a checkpoint exists, else (None, None)."""
         meta_path = os.path.join(self.dir, "trainer_meta.json")
         state_path = os.path.join(self.dir, "trainer_state")
+        if not os.path.isdir(state_path):
+            # killed between the two swap renames: the previous state sits
+            # intact at .old — restore from it rather than starting over
+            # (the next save cleans it up)
+            old_path = state_path + ".old"
+            if os.path.isdir(old_path):
+                state_path = old_path
         if not (os.path.exists(meta_path) and os.path.isdir(state_path)):
             return None, None
         with open(meta_path) as f:

@@ -488,7 +488,14 @@ class RetrieverTrainer:
             if resume:
                 state, meta = checkpointer.maybe_restore(self.state)
                 if state is not None:
-                    self.state = state
+                    # orbax restores arrays committed to the device(s) the
+                    # checkpoint was SAVED on (often device 0 only); pull
+                    # to host so the mesh-sharded train step can place
+                    # them per its in_shardings — resuming a dp>1 run
+                    # otherwise fails with "incompatible devices"
+                    self.state = jax.tree_util.tree_map(
+                        lambda x: np.asarray(x)
+                        if hasattr(x, "dtype") else x, state)
                     start_epoch = meta["epoch"] + 1
                     self.best_mrr = meta["best_metric"]
                     if meta.get("rng_state"):

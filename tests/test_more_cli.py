@@ -447,3 +447,29 @@ def test_train_single_separate_encoders_from_checkpoint(tmp_path):
                                      "--init-checkpoint",
                                      f"{out}/checkpoint_best"])
     assert res2["best_mrr"] > 0
+
+
+def test_eval_reranked_string_answers_and_sp_scoping(tmp_path):
+    """Gold string answers score whole (not their first character), rows
+    without sp gold stay out of the sp/joint averages, and zero id overlap
+    fails loud (review r3)."""
+    from multihop_dense_retrieval_tpu.cli import eval_reranked
+
+    preds = [{"_id": "q0", "pred_answer": "paris", "pred_sp": [["A", 0]]},
+             {"_id": "q1", "pred_answer": "rome", "pred_sp": []}]
+    gold = [{"_id": "q0", "answer": "Paris", "type": "bridge",
+             "sp_gold": [["A", 0]]},
+            {"_id": "q1", "answer": "Rome", "type": "comparison"}]  # no sp
+    synth.write_jsonl(tmp_path / "p.jsonl", preds)
+    synth.write_jsonl(tmp_path / "g.jsonl", gold)
+    out = eval_reranked.main([str(tmp_path / "p.jsonl"),
+                              str(tmp_path / "g.jsonl")])
+    assert out["overall"]["em"] == 1.0           # was 0.0 vs first char
+    assert out["overall"]["sp_em"] == 1.0        # only the annotated row
+    assert out["overall"]["n_sp_annotated"] == 1
+
+    synth.write_jsonl(tmp_path / "g2.jsonl",
+                      [{"_id": "zzz", "answer": ["x"]}])
+    with pytest.raises(ValueError, match="no gold _id"):
+        eval_reranked.main([str(tmp_path / "p.jsonl"),
+                            str(tmp_path / "g2.jsonl")])

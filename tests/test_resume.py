@@ -96,3 +96,59 @@ def test_loader_rng_state_roundtrip():
     ob = [x["v"] for x in b]
     for x, y in zip(oa, ob):
         np.testing.assert_array_equal(x, y)
+
+
+def test_save_keeps_previous_state_until_new_one_lands(tmp_path):
+    """A kill during the state save must never destroy the only resumable
+    checkpoint (review r3 — orbax force=True rmtrees the target BEFORE
+    serializing; the save now lands in a sibling and swaps atomically,
+    with a .old fallback for the between-renames window)."""
+    import os
+    import shutil
+    import jax.numpy as jnp
+    from multihop_dense_retrieval_tpu.train.preemption import (
+        PreemptionCheckpointer)
+
+    pc = PreemptionCheckpointer(str(tmp_path))
+    s1 = {"w": jnp.arange(4.0)}
+    pc.save(s1, epoch=0, best_metric=0.1)
+    s2 = {"w": jnp.arange(4.0) + 10}
+    pc.save(s2, epoch=1, best_metric=0.2)
+    state, meta = pc.maybe_restore({"w": jnp.zeros(4)})
+    np.testing.assert_array_equal(np.asarray(state["w"]),
+                                  np.asarray(s2["w"]))
+    assert meta["epoch"] == 1
+    # no stale siblings after a clean save
+    assert not os.path.isdir(str(tmp_path / "trainer_state.new"))
+    assert not os.path.isdir(str(tmp_path / "trainer_state.old"))
+
+    # simulate a kill between the two swap renames: main dir gone, .old
+    # holds the previous state — restore must fall back, not start over
+    os.rename(str(tmp_path / "trainer_state"),
+              str(tmp_path / "trainer_state.old"))
+    state, meta = pc.maybe_restore({"w": jnp.zeros(4)})
+    assert state is not None and meta["epoch"] == 1
+    np.testing.assert_array_equal(np.asarray(state["w"]),
+                                  np.asarray(s2["w"]))
+
+
+def test_resume_on_device_mesh(tmp_path):
+    """Resuming under a dp>1 mesh must re-place the restored arrays (orbax
+    commits them to the save-time devices; the sharded step rejected them
+    with 'incompatible devices' — found by the round-3 verify drive)."""
+    from multihop_dense_retrieval_tpu.core.mesh import make_mesh
+
+    out = str(tmp_path / "out")
+    mesh = make_mesh(data=2, index=1)
+    model, tcfg, params, tl, el = _setup(tmp_path, num_epochs=1)
+    t1 = RetrieverTrainer(model, tcfg, tl, el, init_params=params,
+                          output_dir=out, mesh=mesh, log_fn=lambda *_: None)
+    t1.run()
+
+    model, tcfg2, params, tl, el = _setup(tmp_path, num_epochs=2)
+    logs = []
+    t2 = RetrieverTrainer(model, tcfg2, tl, el, init_params=params,
+                          output_dir=out, mesh=mesh, log_fn=logs.append)
+    res = t2.run()
+    assert any("resumed from epoch 0" in l for l in logs)
+    assert res["best_mrr"] > 0

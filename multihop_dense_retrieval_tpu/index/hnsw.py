@@ -27,13 +27,42 @@ _LIB = os.path.join(_NATIVE_DIR, "libhnsw.so")
 _lib = None
 
 
+def _host_simd_flags() -> list:
+    """[-mavx2 -mfma] when the host CPU supports both, else [].
+
+    Measured (PERF.md): 256-bit AVX2+FMA dot products are 1.28x on search
+    (1361 vs 1739 ms/256q, d=768) with bit-identical results, while
+    -march=native (512-bit) REGRESSES on this virtualized host — so the
+    256-bit subset is the sweet spot.  Gated on /proc/cpuinfo so the
+    cached .so never contains instructions the host can't execute.
+    """
+    try:
+        with open("/proc/cpuinfo") as f:
+            info = f.read()
+        flags = set()
+        for line in info.splitlines():
+            if line.startswith("flags"):
+                flags.update(line.split(":", 1)[1].split())
+                break
+        if "avx2" in flags and "fma" in flags:
+            return ["-mavx2", "-mfma"]
+    except OSError:
+        pass  # non-Linux: stay portable, plain -O3
+    return []
+
+
 def _build() -> str:
-    if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
+    # staleness includes THIS file: flag changes here must trigger a rebuild
+    src_mtime = max(os.path.getmtime(_SRC), os.path.getmtime(__file__))
+    if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= src_mtime:
         return _LIB
     # compile to a per-process temp name + atomic rename: two processes
     # racing on a fresh checkout must never CDLL a half-written .so
     tmp = f"{_LIB}.{os.getpid()}.tmp"
-    for flags in (["-fopenmp"], []):
+    simd = _host_simd_flags()
+    variants = ([simd + ["-fopenmp"], ["-fopenmp"], simd, []]
+                if simd else [["-fopenmp"], []])
+    for flags in variants:
         cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
                "-o", tmp, _SRC] + flags
         try:

@@ -220,3 +220,21 @@ def test_load_rejects_dim_mismatch_and_corrupt_header(tmp_path):
     open(bad, "wb").write(bytes(blob))
     with pytest.raises(IOError):
         HNSWIndex.load(bad)
+
+
+def test_simd_flag_gate_matches_host_cpu():
+    """_host_simd_flags returns [-mavx2 -mfma] iff /proc/cpuinfo advertises
+    both (measured 1.28x search win, PERF.md); and whatever it returns, the
+    library it produced actually loads and answers correctly (the `built`
+    fixtures above already prove that transitively — here we pin the gate
+    logic itself so a refactor can't silently drop the SIMD build)."""
+    from multihop_dense_retrieval_tpu.index.hnsw import _host_simd_flags
+    flags = _host_simd_flags()
+    try:
+        with open("/proc/cpuinfo") as f:
+            info = f.read()
+    except OSError:
+        assert flags == []
+        return
+    host_has = ("avx2" in info) and ("fma" in info)
+    assert flags == (["-mavx2", "-mfma"] if host_has else [])

@@ -238,3 +238,109 @@ def test_simd_flag_gate_matches_host_cpu():
         return
     host_has = ("avx2" in info) and ("fma" in info)
     assert flags == (["-mavx2", "-mfma"] if host_has else [])
+
+
+# Memory-safety regression: the whole native lifecycle under AddressSanitizer.
+# The HNSW index is the one C++ component on the serving path; its round-2
+# bug (shared visited table) was invisible to the Python tests until actively
+# reproduced, so the C++ gets sanitizer coverage, not just behavioral tests.
+# ASAN must be loaded before libc allocates, hence LD_PRELOAD + subprocess;
+# detect_leaks=0 because LeakSanitizer would scan the whole CPython heap.
+_ASAN_SCRIPT = r"""
+import ctypes, os, struct, sys
+import numpy as np
+
+lib = ctypes.CDLL({lib!r})
+lib.hnsw_new.restype = ctypes.c_void_p
+lib.hnsw_new.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                         ctypes.c_uint64]
+lib.hnsw_free.argtypes = [ctypes.c_void_p]
+lib.hnsw_add_batch.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                               ctypes.POINTER(ctypes.c_float)]
+lib.hnsw_size.restype = ctypes.c_int64
+lib.hnsw_size.argtypes = [ctypes.c_void_p]
+lib.hnsw_search_batch.argtypes = [
+    ctypes.c_void_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
+    ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int64),
+    ctypes.POINTER(ctypes.c_float)]
+lib.hnsw_save.restype = ctypes.c_int
+lib.hnsw_save.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+lib.hnsw_load.restype = ctypes.c_void_p
+lib.hnsw_load.argtypes = [ctypes.c_char_p]
+
+def fptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+rng = np.random.RandomState(0)
+d = 32
+h = lib.hnsw_new(d, 8, 48, 0)
+a = rng.randn(800, d).astype(np.float32)
+b = rng.randn(700, d).astype(np.float32)
+lib.hnsw_add_batch(h, 800, fptr(a))       # parallel build (OMP_NUM_THREADS=4)
+lib.hnsw_add_batch(h, 700, fptr(b))       # second batch: growth paths
+for i in range(16):                       # one-doc incremental (serving adds)
+    v = rng.randn(1, d).astype(np.float32)
+    lib.hnsw_add_batch(h, 1, fptr(v))
+assert lib.hnsw_size(h) == 1516
+q = rng.randn(64, d).astype(np.float32)
+ids = np.empty((64, 5), np.int64)
+scores = np.empty((64, 5), np.float32)
+lib.hnsw_search_batch(h, 64, fptr(q), 5, 64,
+                      ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                      fptr(scores))
+assert (ids >= 0).all() and (ids < 1516).all()
+
+path = os.path.join({tmp!r}, "asan.hnsw")
+assert lib.hnsw_save(h, path.encode()) == 0
+h2 = lib.hnsw_load(path.encode())
+assert h2, "load of a good file failed"
+lib.hnsw_search_batch(h2, 64, fptr(q), 5, 64,
+                      ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                      fptr(scores))
+lib.hnsw_free(h2)
+
+# error paths free partially-built state — prime ASAN targets
+blob = open(path, "rb").read()
+trunc = os.path.join({tmp!r}, "trunc.hnsw")
+open(trunc, "wb").write(blob[: len(blob) // 2])
+assert not lib.hnsw_load(trunc.encode()), "truncated file must fail"
+bad = bytearray(blob)
+bad[-8:-4] = struct.pack("<i", 10**8)     # junk adjacency id near the tail
+badp = os.path.join({tmp!r}, "bad.hnsw")
+open(badp, "wb").write(bytes(bad))
+assert not lib.hnsw_load(badp.encode()), "junk adjacency must fail"
+
+lib.hnsw_free(h)
+print("OK")
+"""
+
+
+def test_asan_clean_lifecycle(tmp_path):
+    """Build/search/save/load/corrupt-load/free with -fsanitize=address and
+    4 OpenMP threads: any heap overflow, use-after-free, or double-free in
+    native/hnsw.cpp aborts the subprocess (halt_on_error)."""
+    libasan = subprocess.run(
+        ["g++", "-print-file-name=libasan.so"],
+        capture_output=True, text=True).stdout.strip()
+    if not os.path.isabs(libasan):
+        pytest.skip("libasan.so not available")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = os.path.join(repo, "native", "hnsw.cpp")
+    so = str(tmp_path / "libhnsw_asan.so")
+    build = subprocess.run(
+        ["g++", "-O1", "-g", "-fno-omit-frame-pointer",
+         "-fsanitize=address", "-std=c++17", "-shared", "-fPIC",
+         "-fopenmp", "-o", so, src],
+        capture_output=True, text=True)
+    if build.returncode != 0:
+        pytest.skip(f"asan compile unavailable: {build.stderr[:200]}")
+    env = dict(
+        os.environ, LD_PRELOAD=libasan, OMP_NUM_THREADS="4",
+        ASAN_OPTIONS="detect_leaks=0:halt_on_error=1:abort_on_error=0")
+    r = subprocess.run(
+        [sys.executable, "-c",
+         _ASAN_SCRIPT.format(lib=so, tmp=str(tmp_path))],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
+    assert "AddressSanitizer" not in r.stderr, r.stderr
+    assert r.stdout.strip().endswith("OK")

@@ -560,7 +560,45 @@ def _end2end_bench(searcher, params, enc_cfg, tunnel_s, rng, *,
     return res
 
 
+def _watchdog():
+    """Emit an honest JSON line and hard-exit if the run wedges.
+
+    The axon tunnel has been observed to become unresponsive in a way that
+    blocks even `jax.devices()` forever; a silently hung bench would stall
+    the driver that runs it.  Full cold runs measure ~6-10 min, so the
+    default 45-min limit only ever fires on a true hang
+    (MDRT_BENCH_WATCHDOG_S=0 disables)."""
+    import threading
+
+    limit = _env("MDRT_BENCH_WATCHDOG_S", 2700)
+    if not limit:
+        return None
+
+    def fire():
+        print(json.dumps({
+            "metric": "2hop_beam_search_queries_per_sec",
+            "value": 0.0, "unit": "questions/s", "vs_baseline": 0.0,
+            "error": f"watchdog: no result after {limit}s — TPU tunnel "
+                     "unresponsive or pathological compile",
+        }), flush=True)
+        os._exit(2)
+
+    t = threading.Timer(limit, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
+    timer = _watchdog()
+    try:
+        return _main()
+    finally:
+        if timer is not None:
+            timer.cancel()
+
+
+def _main():
     n_docs = _env("MDRT_BENCH_N", 5_242_880)
     for attempt in range(3):
         try:

@@ -37,6 +37,8 @@ in extra_errors rather than killing the headline):
   * pca_qps + pca_cert2_frac — the PCA tier and its measured certificate
     coverage (headline when ≥0.99, see above);
   * beam4_qps — the quality-eval beam;
+  * latency_b8_ms — the headline engine at a low-occupancy batch of 8
+    (per-micro-batch serving latency, the SLO-side view of the pipeline);
   * reader_chains_per_sec / reader_fixed512_chains_per_sec — ELECTRA-large
     reader with length-sorted width bucketing vs fixed 512;
   * end2end_qps / end2end_2stage_qps — the COMPOSED question→answer
@@ -644,6 +646,7 @@ def _run(n_docs):
     b4_fracs = (tuple(float(x) for x in b4_fracs_env.split(","))
                 if b4_fracs_env else HOP2_TILE_FRACS_6TILE)
     run_beam4 = (not fast) and _env("MDRT_BENCH_BEAM4", 1) and beam == 1
+    run_latency = (not fast) and _env("MDRT_BENCH_LATENCY", 1)
     run_bf16 = (not fast) and _env("MDRT_BENCH_BF16", 1) and dtype == "int8"
     run_pca = (not fast) and _env("MDRT_BENCH_PCA", 1) and dtype == "int8"
     run_reader = (not fast) and _env("MDRT_BENCH_READER", 1)
@@ -767,6 +770,31 @@ def _run(n_docs):
             errors["beam4"] = repr(e)[:200]
         finally:
             del s4
+            gc.collect()
+
+    if run_latency:
+        s_lat = None
+        try:
+            # serving latency: the headline engine config at a low-occupancy
+            # batch — what a latency-SLO deployment of cli/serve.py pays per
+            # micro-batch (throughput batches above amortize fixed costs a
+            # latency-bound deployment cannot).  More reps: at this batch the
+            # per-batch time is small relative to the tunnel correction.
+            lat_batch = _env("MDRT_BENCH_LAT_BATCH", 8)
+            lat_reps = max(reps, 32)
+            s_lat = build_searcher(index, beam, beam, beam, buckets,
+                                   tile_fracs, use_pca=pca_ok)
+            dtl, cl, _ = _timed_search(s_lat, params, beam, lat_batch,
+                                       lat_reps, q_width, cfg.vocab_size,
+                                       nprng)
+            dtl -= tunnel_s
+            extras["latency_b8_ms"] = round(dtl / lat_reps * 1000, 2)
+            print(f"# latency: compile {cl:.0f}s, {dtl/lat_reps*1000:.2f} "
+                  f"ms/batch of {lat_batch}", file=sys.stderr)
+        except Exception as e:
+            errors["latency"] = repr(e)[:200]
+        finally:
+            del s_lat
             gc.collect()
 
     if run_e2e:

@@ -13,11 +13,15 @@
 //    OpenMP and bit-identical to serial per-query search.
 //  - build: hnsw_add_batch inserts level-bucket by level-bucket (highest
 //    first, as FAISS hnsw_add_vertices does); within a bucket insertions run
-//    in parallel with one std::mutex per node guarding adjacency writes.
-//    Readers traverse adjacency without locks — slots only ever transition
-//    -1 -> valid id (aligned int writes), and a full re-selection rewrites
-//    ids in place, so a racing reader sees a valid (if momentarily stale)
-//    neighbor list; FAISS accepts the same benign race.  Vectors and levels
+//    in parallel with striped std::mutexes guarding adjacency writes.
+//    Readers traverse adjacency without locks; every adjacency slot is
+//    accessed through RELAXED ATOMIC loads/stores (slot_ld/slot_st below) —
+//    plain movs on x86, so this costs nothing, but unlike FAISS's benign-
+//    race version it is formally data-race-free C++ and ThreadSanitizer-
+//    clean (native/hnsw_tsan_driver.cpp drives concurrent inserts and
+//    concurrent searches under -fsanitize=thread in CI).  A racing reader
+//    sees each slot as either -1 or a valid id (slots only transition
+//    -1 -> id, and re-selections rewrite ids in place).  Vectors and levels
 //    for the whole batch are materialized before the parallel region, so
 //    every id a reader can encounter has valid data.
 //
@@ -40,6 +44,17 @@
 #endif
 
 namespace {
+
+// Adjacency slots are written by locked inserters while traversed lock-free
+// by concurrent inserters/readers: relaxed atomics make that formally
+// race-free at zero cost (plain aligned movs on x86).  vector<atomic<int>>
+// would break resize/IO, so plain int storage + __atomic builtins.
+inline int slot_ld(const int* p) {
+  return __atomic_load_n(p, __ATOMIC_RELAXED);
+}
+inline void slot_st(int* p, int v) {
+  __atomic_store_n(p, v, __ATOMIC_RELAXED);
+}
 
 // Generation-stamped visited set (FAISS VisitedTable): one reusable buffer
 // instead of an O(n) zero-fill per search_layer call — the per-call vector
@@ -118,7 +133,7 @@ struct HNSW {
       improved = false;
       const int* nb = neighbors[level].data() + (size_t)cur * cap(level);
       for (int j = 0; j < cap(level); ++j) {
-        int cand = nb[j];
+        int cand = slot_ld(nb + j);
         if (cand < 0) break;
         float s = ip(q, vec(cand));
         if (s > best) { best = s; cur = cand; improved = true; }
@@ -149,7 +164,7 @@ struct HNSW {
       if ((int)results.size() >= ef && cs < results.top().first) break;
       const int* nb = neighbors[level].data() + (size_t)cid * cap(level);
       for (int j = 0; j < cap(level); ++j) {
-        int cand = nb[j];
+        int cand = slot_ld(nb + j);
         if (cand < 0) break;
         if (vt.seen(cand)) continue;
         vt.mark(cand);
@@ -207,8 +222,8 @@ struct HNSW {
     {
       std::lock_guard<std::mutex> g(lock_for(node));
       int* nb = nbrs(level, node);
-      for (int j = 0; j < count; ++j) nb[j] = sel[j];
-      for (int j = count; j < c; ++j) nb[j] = -1;
+      for (int j = 0; j < count; ++j) slot_st(nb + j, sel[j]);
+      for (int j = count; j < c; ++j) slot_st(nb + j, -1);
     }
     // reverse links
     std::vector<std::pair<float, int>> oc;
@@ -218,22 +233,24 @@ struct HNSW {
       std::lock_guard<std::mutex> g(lock_for(other));
       int* onb = nbrs(level, other);
       int k = 0;
-      while (k < c && onb[k] >= 0) ++k;
+      while (k < c && slot_ld(onb + k) >= 0) ++k;
       if (k < c) {
-        onb[k] = node;
+        slot_st(onb + k, node);
         continue;
       }
       // full: re-select a diverse adjacency from existing neighbors + node
       oc.clear();
       osel.clear();
       oc.push_back({ip(vec(other), vec(node)), node});
-      for (int t = 0; t < c; ++t)
-        oc.push_back({ip(vec(other), vec(onb[t])), onb[t]});
+      for (int t = 0; t < c; ++t) {
+        int id = slot_ld(onb + t);
+        oc.push_back({ip(vec(other), vec(id)), id});
+      }
       std::sort(oc.begin(), oc.end(),
                 [](const auto& a, const auto& b) { return a.first > b.first; });
       select_diverse(vec(other), oc, c, other, osel);
-      for (int t = 0; t < (int)osel.size(); ++t) onb[t] = osel[t];
-      for (int t = (int)osel.size(); t < c; ++t) onb[t] = -1;
+      for (int t = 0; t < (int)osel.size(); ++t) slot_st(onb + t, osel[t]);
+      for (int t = (int)osel.size(); t < c; ++t) slot_st(onb + t, -1);
     }
   }
 
@@ -261,13 +278,12 @@ struct HNSW {
     }
   }
 
-  // materialize vectors + levels + adjacency for `count` new rows, then
-  // insert level-bucket by level-bucket (highest first, FAISS
-  // hnsw_add_vertices order) — all nodes in a bucket have level <= the
-  // current max, so entry/max_level only move when the top bucket seeds
-  // the graph, and buckets parallelize cleanly.
-  void add_batch(int64_t count, const float* vecs) {
-    if (count <= 0) return;
+  // materialize vectors + levels + adjacency for `count` new rows and
+  // bucket the new ids by level (descending insert order, FAISS
+  // hnsw_add_vertices) — split out from add_batch so the TSAN harness can
+  // drive the same insertion path with std::threads instead of OpenMP
+  std::vector<std::vector<int>> prepare_batch(int64_t count,
+                                              const float* vecs) {
     int first = n();
     int64_t total = first + count;
     // geometric growth: exact-size resizes made every incremental add
@@ -293,12 +309,19 @@ struct HNSW {
       neighbors[l].resize(need, -1);
     }
 
-    // bucket new ids by level, descending
     std::vector<std::vector<int>> buckets(batch_max + 1);
     for (int64_t i = 0; i < count; ++i)
       buckets[levels[first + i]].push_back((int)(first + i));
+    return buckets;
+  }
 
-    for (int lvl = batch_max; lvl >= 0; --lvl) {
+  // all nodes in a bucket have level <= the current max, so entry/max_level
+  // only move when the top bucket seeds the graph, and buckets parallelize
+  // cleanly
+  void add_batch(int64_t count, const float* vecs) {
+    if (count <= 0) return;
+    auto buckets = prepare_batch(count, vecs);
+    for (int lvl = (int)buckets.size() - 1; lvl >= 0; --lvl) {
       auto& bucket = buckets[lvl];
       if (bucket.empty()) continue;
       size_t start = 0;

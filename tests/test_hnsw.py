@@ -344,3 +344,56 @@ def test_asan_clean_lifecycle(tmp_path):
     assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
     assert "AddressSanitizer" not in r.stderr, r.stderr
     assert r.stdout.strip().endswith("OK")
+
+
+def test_tsan_concurrent_build_and_search_clean(tmp_path):
+    """Formal data-race-freedom: native/hnsw_tsan_driver.cpp drives the
+    bucketed concurrent-insert path and concurrent searches with std::threads
+    under -fsanitize=thread (libgomp is not TSAN-instrumented, so the driver
+    substitutes std::thread for the OpenMP pragmas).  The harness is
+    self-proving: a second build with slot_ld/slot_st degraded to plain
+    accesses must make TSAN fire."""
+    libtsan = subprocess.run(
+        ["g++", "-print-file-name=libtsan.so"],
+        capture_output=True, text=True).stdout.strip()
+    if not os.path.isabs(libtsan):
+        pytest.skip("libtsan.so not available")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    native = os.path.join(repo, "native")
+    drv = str(tmp_path / "tsan_driver")
+    build = subprocess.run(
+        ["g++", "-O1", "-g", "-std=c++17", "-fsanitize=thread",
+         os.path.join(native, "hnsw_tsan_driver.cpp"), "-o", drv,
+         "-lpthread"],
+        capture_output=True, text=True, cwd=native)
+    if build.returncode != 0:
+        pytest.skip(f"tsan compile unavailable: {build.stderr[:200]}")
+    env = dict(os.environ, TSAN_OPTIONS="halt_on_error=1")
+    r = subprocess.run([drv], env=env, capture_output=True, text=True,
+                       timeout=600)
+    assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
+    assert "ThreadSanitizer" not in r.stderr, r.stderr
+    assert r.stdout.strip().endswith("TSAN DRIVER OK")
+
+    # self-check: degrade the atomic slot accessors to plain loads/stores —
+    # the harness must detect that as a data race, or it guards nothing
+    with open(os.path.join(native, "hnsw.cpp")) as f:
+        src = f.read()
+    degraded = src.replace(
+        "return __atomic_load_n(p, __ATOMIC_RELAXED);", "return *p;"
+    ).replace("__atomic_store_n(p, v, __ATOMIC_RELAXED);", "*p = v;")
+    assert degraded != src, "slot accessor code moved — update this test"
+    (tmp_path / "hnsw.cpp").write_text(degraded)
+    with open(os.path.join(native, "hnsw_tsan_driver.cpp")) as f:
+        drv_src = f.read()
+    (tmp_path / "driver.cpp").write_text(drv_src)
+    bad = str(tmp_path / "tsan_driver_degraded")
+    build = subprocess.run(
+        ["g++", "-O1", "-g", "-std=c++17", "-fsanitize=thread",
+         str(tmp_path / "driver.cpp"), "-o", bad, "-lpthread"],
+        capture_output=True, text=True, cwd=str(tmp_path))
+    assert build.returncode == 0, build.stderr
+    r = subprocess.run([bad], env=dict(os.environ),
+                       capture_output=True, text=True, timeout=600)
+    assert "WARNING: ThreadSanitizer: data race" in r.stderr, (
+        "degraded build did not trip TSAN — the harness lost its teeth")

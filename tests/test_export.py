@@ -181,3 +181,20 @@ def test_export_cli_orbax_to_pt(tmp_path):
     sd = convert.load_torch_state_dict(out)
     back = convert.retriever_ckpt_to_flax(sd, cfg)
     _tree_equal(params, back)
+
+
+def test_electra_small_embeddings_project_roundtrip():
+    """ELECTRA-small/base style encoders (embedding_size != hidden_size, an
+    extra embeddings_project dense) must survive the export→ingest loop."""
+    from multihop_dense_retrieval_tpu.models.encoder import TransformerEncoder
+
+    cfg = _cfg(embedding_size=16, type_vocab_size=2, pad_token_id=0,
+               roberta_positions=False)
+    model = TransformerEncoder(cfg)
+    ids = jnp.ones((1, 8), jnp.int32)
+    params = model.init(jax.random.PRNGKey(5), ids, ids)["params"]
+    sd = export.flax_encoder_to_hf(params, prefix="encoder.")
+    assert "encoder.embeddings_project.weight" in sd
+    assert sd["encoder.embeddings.word_embeddings.weight"].shape[1] == 16
+    back = convert.hf_encoder_to_flax(sd, cfg, prefix="encoder.")
+    _tree_equal(params, back)

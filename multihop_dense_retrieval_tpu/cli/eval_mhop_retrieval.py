@@ -34,7 +34,12 @@ def load_searcher(index_dir, tok, model, params, cfg, mesh=None,
     index = DenseIndex.load(os.path.join(index_dir, "index.npz"),
                             mesh=mesh if (mesh and mesh.shape.get("index", 1) > 1)
                             else None)
-    tc = TokenizedCorpus.load(os.path.join(index_dir, "tokens.npz"))
+    # uint16 end-to-end: the engine keeps the token store at its on-disk
+    # width in HBM and upcasts after the per-beam gather (beam.py:418) —
+    # exact (tests/test_search.py::test_uint16_token_store_is_exact), and
+    # the 5.2M corpus's token store drops from 6.2 to 3.1 GB of HBM
+    tc = TokenizedCorpus.load(os.path.join(index_dir, "tokens.npz"),
+                              token_dtype=np.uint16)
     n_pad = index.vectors.shape[0]
     spec = tok.spec
 

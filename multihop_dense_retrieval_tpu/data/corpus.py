@@ -166,7 +166,16 @@ class TokenizedCorpus:
             title_lens=self.title_lens, empty=self.empty)
 
     @classmethod
-    def load(cls, path: str) -> "TokenizedCorpus":
+    def load(cls, path: str,
+             token_dtype: "np.dtype" = np.int32) -> "TokenizedCorpus":
+        """token_dtype=np.uint16 keeps ids in their on-disk width — the
+        serving path passes that straight to the device (BeamSearcher casts
+        to int32 AFTER the per-beam gather), halving host RAM, upload bytes,
+        and the token store's HBM footprint (~3 GB at the 5.2M corpus).
+        Host-side consumers that do int arithmetic (index/build.py) keep the
+        int32 default."""
         z = np.load(path)
-        return cls(z["text_ids"].astype(np.int32), z["text_lens"],
-                   z["title_ids"].astype(np.int32), z["title_lens"], z["empty"])
+        return cls(z["text_ids"].astype(token_dtype, copy=False),
+                   z["text_lens"],
+                   z["title_ids"].astype(token_dtype, copy=False),
+                   z["title_lens"], z["empty"])

@@ -702,3 +702,71 @@ def test_sharded_pca_small_corpus_falls_back_to_plain():
     ref = plain.search(dict(q_inputs), rid, rlen)
     np.testing.assert_array_equal(out["hop1_ids"], ref["hop1_ids"])
     np.testing.assert_array_equal(out["hop2_ids"], ref["hop2_ids"])
+
+
+def test_uint16_token_store_is_exact():
+    """The serving CLIs upload the token store at its on-disk uint16 width
+    (halving host RAM/upload/HBM); the engine upcasts AFTER the per-beam
+    gather (beam.py:418), so every result must be bit-identical to the
+    int32 store."""
+    tok = HashTokenizer(vocab_size=512)
+    rng = np.random.RandomState(21)
+    docs = synth.make_corpus(rng, 40, empty_every=13)
+    corpus = Corpus(docs)
+    tc = TokenizedCorpus.build(corpus, tok, max_text_len=60)
+    cfg = EncoderConfig.tiny(vocab_size=512, max_position_embeddings=96)
+    model = MhopRetriever(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32),
+                        jnp.ones((1, 8), jnp.int32), method=model.encode_seq)
+    enc = tok.encode_batch_pair(
+        [(corpus[i]["title"], corpus.encode_text(i))
+         for i in range(len(corpus))], 72)
+    emb = np.asarray(model.apply(params, jnp.asarray(enc["input_ids"]),
+                                 jnp.asarray(enc["attention_mask"]),
+                                 method=model.encode_seq), np.float32)
+    index = DenseIndex.build(emb, chunk_rows=16, dtype=jnp.float32)
+    n_pad = index.vectors.shape[0]
+    text_ids = np.full((n_pad, 60), tok.spec.pad_id, np.int32)
+    text_ids[:len(corpus)] = tc.text_ids
+    text_lens = np.zeros(n_pad, np.int32)
+    text_lens[:len(corpus)] = tc.text_lens
+    empty = np.zeros(n_pad, bool)
+    empty[:len(corpus)] = tc.empty
+
+    def build(ids_np):
+        return BeamSearcher(
+            encode_fn=lambda p, ids, mask, tt=None: model.apply(
+                p, ids, mask, tt, method=model.encode_seq),
+            params=params, index=index,
+            text_ids=jnp.asarray(ids_np), text_lens=jnp.asarray(text_lens),
+            empty=jnp.asarray(empty), spec=tok.spec,
+            config=SearchConfig(beam_size_1=3, beam_size_2=3, topk=3,
+                                max_q_len=24, max_q_sp_len=88,
+                                chunk_rows=16, use_pallas=False,
+                                hop2_buckets=(32, 64, 88)),
+            mesh=None)
+
+    s32 = build(text_ids)
+    s16 = build(text_ids.astype(np.uint16))
+    assert s16.text_ids.dtype == jnp.uint16
+
+    qs = [f"question about {synth.rand_text(rng, 4, 9)}" for i in range(6)]
+    q_inputs = tok.encode_batch_one(qs, 24)
+    raw = [tok.raw_ids_padded(q, 20) for q in qs]
+    q_raw_ids = np.stack([r[0] for r in raw])
+    q_raw_lens = np.array([r[1] for r in raw])
+    a = s32.search(q_inputs, q_raw_ids, q_raw_lens)
+    b = s16.search(dict(q_inputs), q_raw_ids, q_raw_lens)
+    np.testing.assert_array_equal(a["hop1_ids"], b["hop1_ids"])
+    np.testing.assert_array_equal(a["hop2_ids"], b["hop2_ids"])
+    np.testing.assert_array_equal(a["path_scores"], b["path_scores"])
+
+    # the loader round-trip serves uint16 end-to-end
+    import os
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        tc.save(os.path.join(td, "tokens.npz"))
+        tc16 = TokenizedCorpus.load(os.path.join(td, "tokens.npz"),
+                                    token_dtype=np.uint16)
+    assert tc16.text_ids.dtype == np.uint16
+    np.testing.assert_array_equal(tc16.text_ids.astype(np.int32), tc.text_ids)

@@ -68,7 +68,19 @@ def main(argv=None):
                         "OUT_DIR into index.npz/tokens.npz/id2doc.json")
     p.add_argument("--keep-shards", action="store_true",
                    help="keep the per-shard artifacts after merging")
+    p.add_argument("--export-npy", action="store_true",
+                   help="also write wiki_index.npy — the reference's raw "
+                        "fp32 embedding matrix (consumed there via np.load "
+                        "+ FAISS add, scripts/eval/eval_mhop_retrieval.py) — "
+                        "so a TPU-encoded corpus drops into the reference "
+                        "stack; with id2doc.json that closes the index "
+                        "interop loop the way cli/export_ckpt does for "
+                        "checkpoints.  Single-host only (not --num-shards)")
     args = p.parse_args(argv)
+    if args.export_npy and args.num_shards > 1:
+        p.error("--export-npy requires the single-host path (each shard "
+                "only holds its slice); merge first, then re-encode "
+                "without --num-shards, or export from the merged index")
 
     logger = common.setup_logging(args.out_dir)
 
@@ -165,14 +177,39 @@ def main(argv=None):
                         "--merge-only to produce the final index")
         return
 
-    index = build_index(encode_fn, params, tc, tok.spec,
-                        max_c_len=args.max_c_len, batch_size=args.batch_size,
-                        chunk_rows=args.chunk_rows, mesh=mesh, progress=True,
-                        dtype=jnp.dtype(args.index_dtype),
-                        multi_vector=args.multi_vector,
-                        length_sort=not args.no_length_sort,
-                        pca_dims=args.pca_dims,
-                        pca_cand_rows=args.pca_cand_rows)
+    if args.export_npy:
+        import numpy as np
+
+        from ..index.build import encode_corpus as encode_slice
+        from ..index.store import DenseIndex
+
+        emb = encode_slice(encode_fn, params, tc, tok.spec,
+                           max_c_len=args.max_c_len,
+                           batch_size=args.batch_size, mesh=mesh,
+                           progress=True, multi_vector=args.multi_vector,
+                           length_sort=not args.no_length_sort)
+        os.makedirs(args.out_dir, exist_ok=True)
+        # raw fp32, unpadded, unquantized — exactly what the reference's
+        # np.load(index_path) + index.add(xb) expects
+        np.save(os.path.join(args.out_dir, "wiki_index.npy"), emb)
+        logger.info("wrote wiki_index.npy %s (reference FAISS format)",
+                    emb.shape)
+        index = DenseIndex.build(emb, chunk_rows=args.chunk_rows,
+                                 dtype=jnp.dtype(args.index_dtype),
+                                 mesh=mesh, multi_vector=args.multi_vector,
+                                 pca_dims=args.pca_dims,
+                                 pca_cand_rows=args.pca_cand_rows)
+    else:
+        index = build_index(encode_fn, params, tc, tok.spec,
+                            max_c_len=args.max_c_len,
+                            batch_size=args.batch_size,
+                            chunk_rows=args.chunk_rows, mesh=mesh,
+                            progress=True,
+                            dtype=jnp.dtype(args.index_dtype),
+                            multi_vector=args.multi_vector,
+                            length_sort=not args.no_length_sort,
+                            pca_dims=args.pca_dims,
+                            pca_cand_rows=args.pca_cand_rows)
 
     os.makedirs(args.out_dir, exist_ok=True)
     index.save(os.path.join(args.out_dir, "index.npz"))

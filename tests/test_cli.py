@@ -314,3 +314,37 @@ def test_encode_eval_with_pca_prefilter(tmp_path, capsys):
     assert set(agg) >= {"avg_pr", "avg_p_em", "avg_1_recall", "path_recall"}
     with open(chains_path) as f:
         assert len([json.loads(l) for l in f]) == 8
+
+
+def test_encode_corpus_export_npy(tmp_path):
+    """--export-npy writes the reference's raw fp32 matrix (np.load + FAISS
+    add) alongside our index, and the built index matches it."""
+    import jax.numpy as jnp
+
+    from multihop_dense_retrieval_tpu.cli import encode_corpus
+    from tests import synth
+
+    rng = np.random.RandomState(5)
+    docs = synth.make_corpus(rng, 24)
+    synth.write_jsonl(tmp_path / "corpus.jsonl",
+                      [{"title": d["title"], "text": d["text"]} for d in docs])
+    out = str(tmp_path / "index")
+    encode_corpus.main([str(tmp_path / "corpus.jsonl"), out,
+                        "--tokenizer", "hash", "--model-name", "tiny",
+                        "--batch-size", "8", "--chunk-rows", "16",
+                        "--max-c-len", "32", "--export-npy"])
+    import os
+
+    emb = np.load(os.path.join(out, "wiki_index.npy"))
+    assert emb.dtype == np.float32 and emb.shape[0] == 24
+    assert np.isfinite(emb).all()
+    from multihop_dense_retrieval_tpu.index.store import DenseIndex
+    index = DenseIndex.load(os.path.join(out, "index.npz"))
+    stored = np.asarray(index.vectors[:24].astype(jnp.float32))
+    np.testing.assert_allclose(stored, emb, rtol=0.02, atol=0.02)
+
+    # shards cannot export a global matrix — fail loudly
+    with pytest.raises(SystemExit):
+        encode_corpus.main([str(tmp_path / "corpus.jsonl"), out,
+                            "--tokenizer", "hash", "--model-name", "tiny",
+                            "--num-shards", "2", "--export-npy"])

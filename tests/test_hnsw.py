@@ -397,3 +397,48 @@ def test_tsan_concurrent_build_and_search_clean(tmp_path):
                        capture_output=True, text=True, timeout=600)
     assert "WARNING: ThreadSanitizer: data race" in r.stderr, (
         "degraded build did not trip TSAN — the harness lost its teeth")
+
+
+def test_load_survives_random_corruption(tmp_path):
+    """Fuzz the load validator: random byte flips and truncations must
+    either load (flip landed in vector data) or fail cleanly with NULL —
+    never crash or return an index that later segfaults.  Runs in a
+    subprocess so a segfault fails the test instead of killing pytest."""
+    idx = HNSWIndex(16, M=8, ef_construction=40, seed=0)
+    idx.add(np.random.RandomState(0).randn(300, 16).astype(np.float32))
+    path = str(tmp_path / "fuzz.hnsw")
+    idx.save(path)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = r"""
+import os, sys
+import numpy as np
+sys.path.insert(0, {repo!r})
+from multihop_dense_retrieval_tpu.index.hnsw import HNSWIndex
+blob = bytearray(open({path!r}, "rb").read())
+rng = np.random.RandomState(7)
+q = rng.randn(4, 16).astype(np.float32)
+ok = bad = 0
+for trial in range(200):
+    mut = bytearray(blob)
+    if trial % 5 == 4:
+        mut = mut[: rng.randint(0, len(mut))]          # truncation
+    else:
+        for _ in range(rng.randint(1, 4)):             # byte flips
+            mut[rng.randint(0, len(mut))] ^= 1 << rng.randint(0, 8)
+    p = {path!r} + ".mut"
+    open(p, "wb").write(bytes(mut))
+    try:
+        idx = HNSWIndex.load(p)
+    except (IOError, ValueError):
+        bad += 1
+        continue
+    s, i = idx.search(q, 3, 32)                        # must not crash
+    assert i.shape == (4, 3)
+    ok += 1
+print(f"OK loaded={{ok}} rejected={{bad}}")
+"""
+    r = subprocess.run(
+        [sys.executable, "-c", script.format(repo=repo, path=path)],
+        capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
+    assert r.stdout.startswith("OK")

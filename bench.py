@@ -788,7 +788,8 @@ def _run(n_docs):
                                        lat_reps, q_width, cfg.vocab_size,
                                        nprng)
             dtl -= tunnel_s
-            extras["latency_b8_ms"] = round(dtl / lat_reps * 1000, 2)
+            extras[f"latency_b{lat_batch}_ms"] = round(
+                dtl / lat_reps * 1000, 2)
             print(f"# latency: compile {cl:.0f}s, {dtl/lat_reps*1000:.2f} "
                   f"ms/batch of {lat_batch}", file=sys.stderr)
         except Exception as e:

@@ -15,7 +15,6 @@ import os
 
 from ..core.mesh import make_mesh
 from ..data.corpus import Corpus, TokenizedCorpus
-from ..index.build import build_index
 from . import common
 
 
@@ -77,10 +76,15 @@ def main(argv=None):
                         "interop loop the way cli/export_ckpt does for "
                         "checkpoints.  Single-host only (not --num-shards)")
     args = p.parse_args(argv)
-    if args.export_npy and args.num_shards > 1:
-        p.error("--export-npy requires the single-host path (each shard "
-                "only holds its slice); merge first, then re-encode "
-                "without --num-shards, or export from the merged index")
+    if args.export_npy and (args.num_shards > 1 or args.merge_only):
+        p.error("--export-npy requires the single-host encode path (each "
+                "shard only holds its slice and merged artifacts are "
+                "already quantized); re-encode without --num-shards/"
+                "--merge-only to export")
+    if args.export_npy and args.multi_vector > 1:
+        p.error("--export-npy is the reference's one-row-per-doc FAISS "
+                "format; a multi-vector matrix (N rows per doc) would "
+                "silently misalign with id2doc.json there")
 
     logger = common.setup_logging(args.out_dir)
 
@@ -107,6 +111,11 @@ def main(argv=None):
     num_shards = args.num_shards
     if pod and num_shards == 1:
         num_shards = jax.process_count()
+    if args.export_npy and num_shards > 1:
+        # pod auto-sharding resolves after argparse — fail as loudly here
+        raise SystemExit(
+            "--export-npy cannot run on the sharded (pod) encode path; "
+            "encode single-host to export the reference matrix")
     shard_id = args.shard_id
     if shard_id is None:
         shard_id = jax.process_index()
@@ -177,41 +186,28 @@ def main(argv=None):
                         "--merge-only to produce the final index")
         return
 
+    from ..index.build import encode_corpus as encode_slice
+    from ..index.store import DenseIndex
+
+    emb = encode_slice(encode_fn, params, tc, tok.spec,
+                       max_c_len=args.max_c_len,
+                       batch_size=args.batch_size, mesh=mesh,
+                       progress=True, multi_vector=args.multi_vector,
+                       length_sort=not args.no_length_sort)
+    os.makedirs(args.out_dir, exist_ok=True)
     if args.export_npy:
         import numpy as np
 
-        from ..index.build import encode_corpus as encode_slice
-        from ..index.store import DenseIndex
-
-        emb = encode_slice(encode_fn, params, tc, tok.spec,
-                           max_c_len=args.max_c_len,
-                           batch_size=args.batch_size, mesh=mesh,
-                           progress=True, multi_vector=args.multi_vector,
-                           length_sort=not args.no_length_sort)
-        os.makedirs(args.out_dir, exist_ok=True)
         # raw fp32, unpadded, unquantized — exactly what the reference's
         # np.load(index_path) + index.add(xb) expects
         np.save(os.path.join(args.out_dir, "wiki_index.npy"), emb)
         logger.info("wrote wiki_index.npy %s (reference FAISS format)",
                     emb.shape)
-        index = DenseIndex.build(emb, chunk_rows=args.chunk_rows,
-                                 dtype=jnp.dtype(args.index_dtype),
-                                 mesh=mesh, multi_vector=args.multi_vector,
-                                 pca_dims=args.pca_dims,
-                                 pca_cand_rows=args.pca_cand_rows)
-    else:
-        index = build_index(encode_fn, params, tc, tok.spec,
-                            max_c_len=args.max_c_len,
-                            batch_size=args.batch_size,
-                            chunk_rows=args.chunk_rows, mesh=mesh,
-                            progress=True,
-                            dtype=jnp.dtype(args.index_dtype),
-                            multi_vector=args.multi_vector,
-                            length_sort=not args.no_length_sort,
-                            pca_dims=args.pca_dims,
-                            pca_cand_rows=args.pca_cand_rows)
-
-    os.makedirs(args.out_dir, exist_ok=True)
+    index = DenseIndex.build(emb, chunk_rows=args.chunk_rows,
+                             dtype=jnp.dtype(args.index_dtype),
+                             mesh=mesh, multi_vector=args.multi_vector,
+                             pca_dims=args.pca_dims,
+                             pca_cand_rows=args.pca_cand_rows)
     index.save(os.path.join(args.out_dir, "index.npz"))
     tc.save(os.path.join(args.out_dir, "tokens.npz"))
     corpus.save_id2doc(os.path.join(args.out_dir, "id2doc.json"))

@@ -138,15 +138,24 @@ def retriever_flax_to_ckpt(params: Dict) -> StateDict:
 def unified_flax_to_ckpt(params: Dict) -> StateDict:
     """UnifiedRetriever params → reference state dict under ``encoder_c.``
     (unified_retriever.py:17-23).  ``project`` is emitted only when present
-    (reference constructs it for roberta model names only); the stop-head
-    pooler is the REAL HF pooler when the Flax tree carries one
-    (stop_on_pooled ingestion), zeros otherwise."""
+    (reference constructs it for roberta model names only).
+
+    Unlike the retriever pooler (never consumed there), the reference
+    ALWAYS feeds its stop head from the tanh pooler (unified_retriever.py:
+    43-44) — a tree trained with our from-scratch default
+    (``stop_on_pooled=False``, stop head on raw CLS) has no pooler weights
+    and CANNOT be expressed in the reference layout: synthesizing zeros
+    would strict-load fine but emit constant stop logits.  Refuse instead;
+    train with ``stop_on_pooled=True`` for reference-exportable models."""
+    if "pooler" not in params:
+        raise ValueError(
+            "this UnifiedRetriever was trained with stop_on_pooled=False "
+            "(stop head reads raw CLS); the reference's stop head always "
+            "reads the tanh pooler, so an exported checkpoint would load "
+            "but produce constant stop logits.  Re-train with "
+            "stop_on_pooled=True to export for the reference stack.")
     out = flax_encoder_to_hf(params["encoder"], prefix="encoder_c.")
-    if "pooler" in params:
-        _dense_inv(out, "encoder_c.pooler.dense", params["pooler"])
-    else:
-        _synth_pooler(out, "encoder_c.pooler.dense",
-                      _hidden_size(params["encoder"]))
+    _dense_inv(out, "encoder_c.pooler.dense", params["pooler"])
     _dense_inv(out, "stop", params["stop_head"])
     if "project" in params:
         _project_inv(out, params["project"])

@@ -343,8 +343,11 @@ def test_encode_corpus_export_npy(tmp_path):
     stored = np.asarray(index.vectors[:24].astype(jnp.float32))
     np.testing.assert_allclose(stored, emb, rtol=0.02, atol=0.02)
 
-    # shards cannot export a global matrix — fail loudly
-    with pytest.raises(SystemExit):
-        encode_corpus.main([str(tmp_path / "corpus.jsonl"), out,
-                            "--tokenizer", "hash", "--model-name", "tiny",
-                            "--num-shards", "2", "--export-npy"])
+    # shards / merge / multi-vector cannot express the reference's
+    # one-row-per-doc global matrix — all fail loudly
+    for extra in (["--num-shards", "2"], ["--merge-only"],
+                  ["--multi-vector", "2"]):
+        with pytest.raises(SystemExit):
+            encode_corpus.main([str(tmp_path / "corpus.jsonl"), out,
+                                "--tokenizer", "hash", "--model-name",
+                                "tiny", "--export-npy"] + extra)

@@ -121,7 +121,12 @@ def test_unified_export_roundtrip_reference_layout():
     _tree_equal(params, back)
 
 
-def test_unified_export_no_project_synthesizes_pooler():
+def test_unified_export_refuses_stop_on_cls_trees():
+    """The reference's stop head ALWAYS reads the tanh pooler
+    (unified_retriever.py:43-44); a stop_on_pooled=False tree (our
+    from-scratch default) has no pooler, and a zero-synthesized one would
+    strict-load fine yet emit constant stop logits — so export must refuse
+    loudly rather than produce a silently-broken checkpoint."""
     cfg = _cfg(type_vocab_size=2, pad_token_id=0, roberta_positions=False)
     model = UnifiedRetriever(cfg, use_projection=False, stop_on_pooled=False)
     ids = jnp.ones((1, 8), jnp.int32)
@@ -130,12 +135,8 @@ def test_unified_export_no_project_synthesizes_pooler():
               "c1_input_ids", "c1_mask", "c2_input_ids", "c2_mask",
               "neg1_input_ids", "neg1_mask", "neg2_input_ids", "neg2_mask"]}
     params = model.init(jax.random.PRNGKey(2), batch)["params"]
-    sd = export.unified_flax_to_ckpt(params)
-    assert "project.0.weight" not in sd
-    assert not sd["encoder_c.pooler.dense.weight"].any()
-    back = convert.unified_ckpt_to_flax(sd, cfg)
-    back.pop("pooler")        # zeros synthesized for the strict load only
-    _tree_equal(params, back)
+    with pytest.raises(ValueError, match="stop_on_pooled"):
+        export.unified_flax_to_ckpt(params)
 
 
 @pytest.mark.parametrize("electra", [True, False])

@@ -105,6 +105,14 @@ def add_pipeline_args(p):
                    help="PCA-prefiltered MIPS (index built with --pca-dims)")
     p.add_argument("--pca-k-chunks", type=int, default=8)
     p.add_argument("--lambda", dest="lam", type=float, default=0.8)
+    p.add_argument("--unified", action="store_true",
+                   help="serve a UnifiedRetriever checkpoint: the stop head "
+                        "decides per beam whether the top passage answers "
+                        "alone (1-passage chain) or hop 2 runs — variable-"
+                        "hop serving on /retrieve, /answer, and the REPL")
+    p.add_argument("--stop-threshold", type=float, default=0.5,
+                   help="stop-probability above which a chain is served as "
+                        "one passage (--unified only)")
     add_rank_args(p)
     add_hop2_tiling_args(p)
 

@@ -32,8 +32,15 @@ class DemoPipeline:
     def __init__(self, args):
         enc_cfg = common.resolve_encoder_config(args.retriever_model)
         self.r_tok = common.resolve_tokenizer(args.tokenizer)
+        # --unified: variable-hop serving — the stop head decides per beam
+        # whether the top passage stands alone (reference trained this head
+        # but shipped no serving for it)
+        self.unified = getattr(args, "unified", False)
+        self.stop_threshold = (getattr(args, "stop_threshold", 0.5)
+                               if self.unified else None)
         r_model, r_params = common.init_retriever(
-            enc_cfg, checkpoint=args.retriever_checkpoint)
+            enc_cfg, unified=self.unified,
+            checkpoint=args.retriever_checkpoint)
         # hop-2 rows per search = micro-batch × beam (the serve worker pads
         # to max_batch; the REPL runs single questions)
         h2b, h2f = common.resolve_hop2_tiling(
@@ -48,7 +55,7 @@ class DemoPipeline:
                            use_pca=getattr(args, "pca", False),
                            pca_k_chunks=getattr(args, "pca_k_chunks", 8))
         self.searcher = load_searcher(args.index_dir, self.r_tok, r_model,
-                                      r_params, cfg)
+                                      r_params, cfg, unified=self.unified)
         # live adds encode one passage per call: jit ONCE here — the raw
         # encode_fn lambda would run the encoder op-by-op through the
         # remote tunnel on every /add_doc request
@@ -127,7 +134,8 @@ class DemoPipeline:
         t0 = time.time()
         all_chains = retrieve_chains(self.searcher, self.r_tok, self.corpus,
                                      questions, pad_to or len(questions),
-                                     self.args.max_q_len)
+                                     self.args.max_q_len,
+                                     stop_threshold=self.stop_threshold)
         t1 = time.time()
         rows = [{"question": q, "_id": f"q{i}", "answer": [],
                  "candidate_chains": ch}
@@ -154,7 +162,8 @@ class DemoPipeline:
         t0 = time.time()
         all_chains = retrieve_chains(self.searcher, self.r_tok, self.corpus,
                                      questions, pad_to or len(questions),
-                                     self.args.max_q_len)
+                                     self.args.max_q_len,
+                                     stop_threshold=self.stop_threshold)
         dt = time.time() - t0
         return [{"chains": [[p["title"] for p in c] for c in chains],
                  "retrieval_s": dt}

@@ -24,10 +24,15 @@ from .eval_mhop_retrieval import load_searcher
 from .train_qa import init_reader
 
 
-def retrieve_chains(searcher, tok, corpus, questions, batch_size, max_q_len):
+def retrieve_chains(searcher, tok, corpus, questions, batch_size, max_q_len,
+                    stop_threshold=None):
     """Run 2-hop beam search; returns per-question candidate chains with
     sentence-split passages for the reader (text split on '. ' when the
-    corpus has no sentence annotations)."""
+    corpus has no sentence annotations).
+
+    stop_threshold (variable-hop serving, --unified engines only): beams
+    whose stop probability exceeds it are served as ONE-passage chains —
+    same semantics as cli/eval_mhop_retrieval's unified path."""
     outs = []
     for s in range(0, len(questions), batch_size):
         batch = questions[s:s + batch_size]
@@ -42,11 +47,18 @@ def retrieve_chains(searcher, tok, corpus, questions, batch_size, max_q_len):
         raw = [tok.raw_ids_padded(q, q_budget) for q in qs_p]
         res = searcher.search(q_inputs, np.stack([r[0] for r in raw]),
                               np.array([r[1] for r in raw]))
+        stops = (res["top_stop_probs"] if stop_threshold is not None
+                 and "top_stop_probs" in res else None)
         for i in range(len(batch)):
             chains = []
-            for h1, h2 in zip(res["hop1_ids"][i], res["hop2_ids"][i]):
+            for j, (h1, h2) in enumerate(zip(res["hop1_ids"][i],
+                                             res["hop2_ids"][i])):
+                doc_ids = ((int(h1),)
+                           if stops is not None
+                           and float(stops[i][j]) > stop_threshold
+                           else (int(h1), int(h2)))
                 chain = []
-                for doc_id in (int(h1), int(h2)):
+                for doc_id in doc_ids:
                     d = corpus[doc_id]
                     sents = [x for x in d["text"].split(". ") if x.strip()] \
                         or [d["text"] or d["title"]]

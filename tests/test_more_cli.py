@@ -473,3 +473,35 @@ def test_eval_reranked_string_answers_and_sp_scoping(tmp_path):
     with pytest.raises(ValueError, match="no gold _id"):
         eval_reranked.main([str(tmp_path / "p.jsonl"),
                             str(tmp_path / "g2.jsonl")])
+
+
+def test_demo_unified_variable_hop(tmp_path):
+    """--unified serves variable-hop chains through the demo/serve pipeline:
+    beams whose stop head fires become ONE-passage chains and the reader
+    still answers (prepare_context handles 1-passage chains)."""
+    from multihop_dense_retrieval_tpu.cli import demo, encode_corpus
+
+    rng = np.random.RandomState(3)
+    docs = synth.make_corpus(rng, 16)
+    synth.write_jsonl(tmp_path / "corpus.jsonl",
+                      [{"title": d["title"], "text": d["text"]} for d in docs])
+    out_dir = str(tmp_path / "index")
+    encode_corpus.main([str(tmp_path / "corpus.jsonl"), out_dir,
+                        "--tokenizer", "hash", "--model-name", "tiny",
+                        "--batch-size", "8", "--chunk-rows", "16",
+                        "--max-c-len", "32", "--unified"])
+    common_args = [out_dir, "--tokenizer", "hash",
+                   "--retriever-model", "tiny", "--reader-model", "tiny",
+                   "--unified", "--beam-size", "2", "--topk", "2",
+                   "--max-q-len", "16", "--max-q-sp-len", "48",
+                   "--max-seq-len", "96", "--max-ans-len", "6",
+                   "--chunk-rows", "16", "--question", "what links things?"]
+    out = demo.main(common_args)
+    assert isinstance(out["answer"], str)
+    assert all(len(c) in (1, 2) for c in out["chains"])
+    # threshold 0 → every beam stops → every chain is one passage;
+    # threshold 1 → no beam stops → every chain is two
+    out0 = demo.main(common_args + ["--stop-threshold", "-1"])
+    assert all(len(c) == 1 for c in out0["chains"])
+    out1 = demo.main(common_args + ["--stop-threshold", "2"])
+    assert all(len(c) == 2 for c in out1["chains"])

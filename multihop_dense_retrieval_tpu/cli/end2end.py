@@ -97,6 +97,10 @@ def main(argv=None):
     common.add_rank_args(p)
     common.add_hop2_tiling_args(p)
     p.add_argument("--save-path", default="")
+    p.add_argument("--unified", action="store_true",
+                   help="UnifiedRetriever checkpoint: beams whose stop head "
+                        "fires are read as ONE-passage chains")
+    p.add_argument("--stop-threshold", type=float, default=0.5)
     args = p.parse_args(argv)
 
     logger = common.setup_logging()
@@ -104,7 +108,7 @@ def main(argv=None):
     enc_cfg = common.resolve_encoder_config(args.retriever_model)
     r_tok = common.resolve_tokenizer(args.tokenizer)
     r_model, r_params = common.init_retriever(
-        enc_cfg, checkpoint=args.retriever_checkpoint)
+        enc_cfg, unified=args.unified, checkpoint=args.retriever_checkpoint)
     h2b, h2f = common.resolve_hop2_tiling(
         args, args.batch_size * args.beam_size, args.max_q_sp_len)
     cfg = SearchConfig(beam_size_1=args.beam_size, beam_size_2=args.beam_size,
@@ -112,7 +116,8 @@ def main(argv=None):
                        max_q_sp_len=args.max_q_sp_len,
                        hop2_buckets=h2b, hop2_tile_fracs=h2f,
                        chunk_rows=args.chunk_rows)
-    searcher = load_searcher(args.index_dir, r_tok, r_model, r_params, cfg)
+    searcher = load_searcher(args.index_dir, r_tok, r_model, r_params, cfg,
+                             unified=args.unified)
     corpus = Corpus.from_id2doc(f"{args.index_dir}/id2doc.json")
 
     with open(args.raw_data) as f:
@@ -121,7 +126,9 @@ def main(argv=None):
     t0 = time.time()
     chains = retrieve_chains(searcher, r_tok, corpus,
                              [r["question"] for r in items],
-                             args.batch_size, args.max_q_len)
+                             args.batch_size, args.max_q_len,
+                             stop_threshold=(args.stop_threshold
+                                             if args.unified else None))
     t_retr = time.time() - t0
     logger.info("retrieval: %d questions in %.2fs (%.1f q/s)",
                 len(items), t_retr, len(items) / t_retr)

@@ -98,3 +98,30 @@ def test_end2end_cli(tmp_path, capsys):
                            "--max-q-sp-len", "96", "--max-seq-len", "128",
                            "--chunk-rows", "32", "--max-ans-len", "8"])
     assert res_2s["n"] == 6 and res_2s["answer_em"] is not None
+
+
+def test_end2end_unified_variable_hop(tmp_path):
+    """--unified on the end2end CLI: stop-fired beams are read as ONE-passage
+    chains, answers stay computable."""
+    from multihop_dense_retrieval_tpu.cli import encode_corpus, end2end
+
+    rng = np.random.RandomState(4)
+    docs = synth.make_corpus(rng, 20)
+    rows = synth.make_mhop_rows(rng, docs, n_rows=4)
+    synth.write_jsonl(tmp_path / "corpus.jsonl",
+                      [{"title": d["title"], "text": d["text"]} for d in docs])
+    synth.write_jsonl(tmp_path / "qas.jsonl", rows)
+    out_dir = str(tmp_path / "index")
+    encode_corpus.main([str(tmp_path / "corpus.jsonl"), out_dir,
+                        "--tokenizer", "hash", "--model-name", "tiny",
+                        "--batch-size", "8", "--chunk-rows", "16",
+                        "--max-c-len", "32", "--unified"])
+    res = end2end.main([str(tmp_path / "qas.jsonl"), out_dir,
+                        "--tokenizer", "hash",
+                        "--retriever-model", "tiny", "--reader-model", "tiny",
+                        "--unified", "--stop-threshold", "-1",  # all 1-hop
+                        "--beam-size", "2", "--topk", "2",
+                        "--batch-size", "4", "--max-q-len", "16",
+                        "--max-q-sp-len", "48", "--max-seq-len", "96",
+                        "--chunk-rows", "16", "--max-ans-len", "6"])
+    assert res["n"] == 4 and res["answer_em"] is not None

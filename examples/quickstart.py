@@ -19,9 +19,13 @@ hash --model-name tiny` for a local HF tokenizer path and
 import argparse
 import json
 import os
+import sys
 import tempfile
 
 import numpy as np
+
+# self-locating: runnable from any cwd without installing the package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 WORDS = [f"w{i}" for i in range(600)]
 
@@ -75,7 +79,22 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--workdir", default="",
                    help="where data/checkpoints/index land (default: tmp)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force an 8-virtual-device CPU backend.  Needed "
+                        "where the TPU is reached through a remote tunnel "
+                        "(slow per-shape compiles, or the tunnel is down): "
+                        "env vars like JAX_PLATFORMS are read too late once "
+                        "jax is pre-imported, so this applies the override "
+                        "in-process before any device use")
     args = p.parse_args(argv)
+    if args.cpu:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8").strip()
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     workdir = args.workdir or tempfile.mkdtemp(prefix="mdrt_quickstart_")
     os.makedirs(workdir, exist_ok=True)
 

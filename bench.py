@@ -562,7 +562,21 @@ def _end2end_bench(searcher, params, enc_cfg, tunnel_s, rng, *,
     return res
 
 
-def _watchdog():
+def _honest_json(error, **extras):
+    """The one contract with the driver: stdout's last line ALWAYS parses.
+
+    BENCH_r03 was lost because a fast backend-init failure (`RuntimeError:
+    Unable to initialize backend 'axon': UNAVAILABLE`) escaped as a raw
+    traceback — rc=1 with parsed:null.  Every terminal path now funnels
+    through here instead."""
+    print(json.dumps({
+        "metric": "2hop_beam_search_queries_per_sec",
+        "value": 0.0, "unit": "questions/s", "vs_baseline": 0.0,
+        "error": error, **extras,
+    }), flush=True)
+
+
+def _watchdog(limit=None):
     """Emit an honest JSON line and hard-exit if the run wedges.
 
     The axon tunnel has been observed to become unresponsive in a way that
@@ -572,17 +586,14 @@ def _watchdog():
     (MDRT_BENCH_WATCHDOG_S=0 disables)."""
     import threading
 
-    limit = _env("MDRT_BENCH_WATCHDOG_S", 2700)
+    if limit is None:
+        limit = _env("MDRT_BENCH_WATCHDOG_S", 2700)
     if not limit:
         return None
 
     def fire():
-        print(json.dumps({
-            "metric": "2hop_beam_search_queries_per_sec",
-            "value": 0.0, "unit": "questions/s", "vs_baseline": 0.0,
-            "error": f"watchdog: no result after {limit}s — TPU tunnel "
-                     "unresponsive or pathological compile",
-        }), flush=True)
+        _honest_json(f"watchdog: no result after {limit}s — TPU tunnel "
+                     "unresponsive or pathological compile")
         os._exit(2)
 
     t = threading.Timer(limit, fire)
@@ -591,16 +602,147 @@ def _watchdog():
     return t
 
 
-def main():
-    timer = _watchdog()
+# Error texts that mean "the backend/tunnel is down, not the bench" — the
+# orchestrator keeps retrying these until its time budget runs out
+# (CLAUDE.md: the tunnel dies for hours and comes back; a one-shot run
+# forfeits the round, which is exactly what happened to BENCH_r03).
+_BACKEND_DOWN_MARKERS = (
+    "UNAVAILABLE", "Unable to initialize backend", "DEADLINE_EXCEEDED",
+    "probe timed out", "failed to connect", "Connection", "Socket closed",
+    "backend setup/compile error",
+)
+
+
+def _tail(s, n=500):
+    s = (s or "").strip()
+    return s[-n:]
+
+
+def _probe_backend(timeout_s):
+    """Check in a SUBPROCESS that the JAX backend can initialize.
+
+    In-process `jax.devices()` on a dead tunnel can block forever AND a
+    failed init may poison the process's backend cache; a throwaway
+    subprocess gives a clean, killable answer each time."""
+    import subprocess
+    code = (
+        "import os, jax\n"
+        "p = os.environ.get('MDRT_BENCH_PLATFORM')\n"
+        "if p: jax.config.update('jax_platforms', p)\n"
+        "print(len(jax.devices()))\n"
+    )
     try:
-        return _main()
-    finally:
-        if timer is not None:
-            timer.cancel()
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True,
+                           timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return False, f"probe timed out after {timeout_s}s"
+    if r.returncode == 0:
+        return True, r.stdout.strip()
+    return False, _tail(r.stderr)
+
+
+def _run_child(budget_s):
+    """Run the actual bench as a subprocess; return (rc, last_stdout_line).
+
+    The child gets its own watchdog slightly inside our timeout so IT
+    prints the honest JSON; if it wedges past that, we kill it here."""
+    import subprocess
+    env = dict(os.environ)
+    env["MDRT_BENCH_CHILD"] = "1"
+    env["MDRT_BENCH_WATCHDOG_S"] = str(max(int(budget_s) - 30, 60))
+    try:
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           stdout=subprocess.PIPE, text=True,
+                           timeout=budget_s + 60, env=env)
+        out = r.stdout or ""
+        rc = r.returncode
+    except subprocess.TimeoutExpired as e:
+        out = (e.stdout.decode() if isinstance(e.stdout, bytes)
+               else e.stdout) or ""
+        rc = -9
+    lines = [ln for ln in out.splitlines() if ln.strip()]
+    return rc, (lines[-1] if lines else "")
+
+
+def main():
+    """Driver entry.  Orchestrator by default; MDRT_BENCH_CHILD=1 runs the
+    measurement in-process (what the orchestrator spawns).
+
+    Contract either way: stdout's last line is ONE parseable JSON object —
+    the headline on success, `{"value": 0.0, "error": ...}` on any failure
+    — and backend-down failures are retried with backoff until the
+    MDRT_BENCH_WATCHDOG_S budget (default 2700s) is nearly spent."""
+    if os.environ.get("MDRT_BENCH_CHILD"):
+        timer = _watchdog()
+        try:
+            _main()
+            rc = 0
+        except Exception as e:
+            _honest_json(f"{type(e).__name__}: {_tail(str(e))}")
+            rc = 1
+        finally:
+            if timer is not None:
+                timer.cancel()
+        sys.exit(rc)
+    sys.exit(_orchestrate())
+
+
+def _orchestrate():
+    limit = _env("MDRT_BENCH_WATCHDOG_S", 2700)
+    min_run = _env("MDRT_BENCH_MIN_RUN_S", 600)   # a cold full run ~6-10min
+    backoff0 = _env("MDRT_BENCH_RETRY_BACKOFF_S", 45)
+    probe_t = _env("MDRT_BENCH_PROBE_TIMEOUT_S", 90)
+    deadline = time.monotonic() + limit
+    backoff, last_err, attempts = backoff0, "no attempt made", 0
+
+    while True:
+        remaining = deadline - time.monotonic()
+        if remaining < min_run:
+            _honest_json(
+                f"backend unavailable for {limit - remaining:.0f}s "
+                f"({attempts} attempts); last error: {last_err}",
+                attempts=attempts)
+            return 2
+        ok, detail = _probe_backend(min(probe_t, max(remaining / 4, 10)))
+        attempts += 1
+        if not ok:
+            last_err = detail
+            print(f"# probe failed ({_tail(detail, 160)}); retrying in "
+                  f"{backoff}s", file=sys.stderr, flush=True)
+            time.sleep(min(backoff, max(remaining - min_run, 1)))
+            backoff = min(backoff * 2, 300)
+            continue
+        print(f"# backend up ({detail} device(s)); launching bench with "
+              f"{remaining:.0f}s budget", file=sys.stderr, flush=True)
+        rc, line = _run_child(remaining - 30)
+        try:
+            parsed = json.loads(line)
+        except (json.JSONDecodeError, ValueError):
+            parsed = None
+        if parsed is not None and "error" not in parsed:
+            print(line, flush=True)        # success — the headline line
+            return 0
+        err = (parsed or {}).get("error", f"child rc={rc}, no JSON line")
+        if any(m in err for m in _BACKEND_DOWN_MARKERS):
+            last_err, backoff = err, backoff0   # tunnel flaked mid-run
+            print(f"# child hit backend error; will retry: "
+                  f"{_tail(err, 160)}", file=sys.stderr, flush=True)
+            continue
+        # a real (non-backend) failure: retrying can't fix it — report it
+        if parsed is not None:
+            print(line, flush=True)
+        else:
+            _honest_json(err)
+        return 1
 
 
 def _main():
+    platform = os.environ.get("MDRT_BENCH_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    if _env("MDRT_BENCH_POISON", 0):      # test hook: forced child failure
+        raise RuntimeError("poisoned by MDRT_BENCH_POISON")
     n_docs = _env("MDRT_BENCH_N", 5_242_880)
     for attempt in range(3):
         try:

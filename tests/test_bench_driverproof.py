@@ -1,0 +1,87 @@
+"""bench.py's driver contract: stdout's LAST line always parses as JSON.
+
+Round 3's benchmark result was lost because a fast backend-init failure
+(`Unable to initialize backend 'axon': UNAVAILABLE`) escaped bench.py as a
+raw traceback — the driver recorded rc=1 / parsed:null and the round had no
+perf number.  These tests run bench.py as the driver does (a subprocess,
+reading stdout) and pin the three terminal behaviors:
+
+  * backend never comes up  → retry loop exhausts its budget, honest error
+    JSON, non-zero rc;
+  * the measurement itself raises → honest error JSON from the child;
+  * backend up → the real headline JSON with no "error" key (tiny CPU run).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+BENCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "bench.py")
+
+
+def _run_bench(env_overrides, timeout):
+    env = dict(os.environ)
+    env.update(env_overrides)
+    r = subprocess.run([sys.executable, BENCH], env=env, text=True,
+                       stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                       timeout=timeout)
+    lines = [ln for ln in r.stdout.splitlines() if ln.strip()]
+    assert lines, f"no stdout at all; stderr tail: {r.stderr[-500:]}"
+    return r.returncode, lines[-1], r.stderr
+
+
+def test_poisoned_platform_retries_then_emits_honest_json():
+    """A backend that can never initialize (the BENCH_r03 failure mode) must
+    produce a parseable error line after bounded retries, not a traceback."""
+    rc, last, err = _run_bench({
+        "MDRT_BENCH_PLATFORM": "bogus9",
+        "MDRT_BENCH_WATCHDOG_S": "25",
+        "MDRT_BENCH_MIN_RUN_S": "5",
+        "MDRT_BENCH_RETRY_BACKOFF_S": "1",
+        "MDRT_BENCH_PROBE_TIMEOUT_S": "20",
+    }, timeout=180)
+    parsed = json.loads(last)
+    assert rc != 0
+    assert parsed["value"] == 0.0
+    assert "error" in parsed
+    assert parsed["attempts"] >= 2, "orchestrator must have retried"
+    assert "retrying" in err, "backoff loop should narrate to stderr"
+
+
+def test_child_exception_emits_honest_json():
+    """Any exception inside the measurement must still end in the JSON
+    contract line (child mode, exercised via the poison hook)."""
+    rc, last, _ = _run_bench({
+        "MDRT_BENCH_CHILD": "1",
+        "MDRT_BENCH_POISON": "1",
+        "MDRT_BENCH_PLATFORM": "cpu",
+    }, timeout=180)
+    parsed = json.loads(last)
+    assert rc == 1
+    assert parsed["value"] == 0.0
+    assert "poisoned" in parsed["error"]
+
+
+@pytest.mark.slow
+def test_orchestrator_success_path_tiny_cpu():
+    """Probe → child → headline JSON with no error key, on a 4k-doc CPU
+    run of the real pipeline (~40s incl. compile)."""
+    rc, last, _ = _run_bench({
+        "MDRT_BENCH_PLATFORM": "cpu",
+        "MDRT_BENCH_N": "4096",
+        "MDRT_BENCH_BATCH": "8",
+        "MDRT_BENCH_REPS": "2",
+        "MDRT_BENCH_LAYERS": "2",
+        "MDRT_BENCH_FAST": "1",
+        "MDRT_BENCH_MIN_RUN_S": "5",
+        "MDRT_BENCH_WATCHDOG_S": "900",
+    }, timeout=600)
+    parsed = json.loads(last)
+    assert rc == 0
+    assert "error" not in parsed
+    assert parsed["value"] > 0
+    assert parsed["metric"] == "2hop_beam_search_queries_per_sec"

@@ -15,6 +15,8 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
+from contextlib import contextmanager
 from typing import Optional, Tuple
 
 import numpy as np
@@ -109,18 +111,71 @@ def _load():
 def openmp_info() -> Tuple[bool, int]:
     """(compiled_with_openmp, max_threads) — build and batched search run
     multi-threaded when True; both are race-safe (per-thread visited tables,
-    per-node adjacency locks)."""
+    per-node adjacency locks) WITHIN one call.  add vs search on one handle
+    must not overlap — HNSWIndex enforces that with a shared/exclusive
+    lock, because ctypes releases the GIL and the native add reallocates
+    the buffers a concurrent search reads."""
     lib = _load()
     return bool(lib.hnsw_has_openmp()), int(lib.hnsw_max_threads())
 
 
+class _SharedExclusiveLock:
+    """Tiny readers-writer lock: searches run concurrently (shared), adds
+    exclude everything.  Writer-preferring — new readers queue behind a
+    waiting writer, otherwise a steady stream of searches starves add()
+    forever."""
+
+    def __init__(self):
+        self._cond = threading.Condition()
+        self._readers = 0
+        self._writer = False
+        self._writers_waiting = 0
+
+    @contextmanager
+    def shared(self):
+        with self._cond:
+            while self._writer or self._writers_waiting:
+                self._cond.wait()
+            self._readers += 1
+        try:
+            yield
+        finally:
+            with self._cond:
+                self._readers -= 1
+                if not self._readers:
+                    self._cond.notify_all()
+
+    @contextmanager
+    def exclusive(self):
+        with self._cond:
+            self._writers_waiting += 1
+            try:
+                while self._writer or self._readers:
+                    self._cond.wait()
+            finally:
+                self._writers_waiting -= 1
+            self._writer = True
+        try:
+            yield
+        finally:
+            with self._cond:
+                self._writer = False
+                self._cond.notify_all()
+
+
 class HNSWIndex:
-    """Approximate MIPS over host RAM.  add() then search() like FAISS."""
+    """Approximate MIPS over host RAM.  add() then search() like FAISS.
+
+    Thread-safe: concurrent search() calls run in parallel; add() takes an
+    exclusive lock because the native insert reallocates the graph buffers
+    a concurrent search would read (ctypes releases the GIL, so Python
+    threads really do overlap in the native code)."""
 
     def __init__(self, dim: int, M: int = 32, ef_construction: int = 200,
                  seed: int = 0, _handle=None):
         self._lib = _load()
         self.dim = dim
+        self._lock = _SharedExclusiveLock()
         self._h = _handle if _handle is not None else self._lib.hnsw_new(
             dim, M, ef_construction, seed)
 
@@ -130,14 +185,16 @@ class HNSWIndex:
             self._h = None
 
     def __len__(self) -> int:
-        return int(self._lib.hnsw_size(self._h))
+        with self._lock.shared():
+            return int(self._lib.hnsw_size(self._h))
 
     def add(self, vectors: np.ndarray):
         v = np.ascontiguousarray(vectors, np.float32)
         assert v.ndim == 2 and v.shape[1] == self.dim
-        self._lib.hnsw_add_batch(
-            self._h, v.shape[0],
-            v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        with self._lock.exclusive():
+            self._lib.hnsw_add_batch(
+                self._h, v.shape[0],
+                v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
 
     def search(self, queries: np.ndarray, k: int,
                ef_search: int = 128) -> Tuple[np.ndarray, np.ndarray]:
@@ -147,14 +204,18 @@ class HNSWIndex:
         nq = q.shape[0]
         ids = np.empty((nq, k), np.int64)
         scores = np.empty((nq, k), np.float32)
-        self._lib.hnsw_search_batch(
-            self._h, nq, q.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            k, ef_search, ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        with self._lock.shared():
+            self._lib.hnsw_search_batch(
+                self._h, nq,
+                q.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                k, ef_search,
+                ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
         return scores, ids
 
     def save(self, path: str):
-        rc = self._lib.hnsw_save(self._h, path.encode())
+        with self._lock.shared():  # save reads; add (the writer) excludes
+            rc = self._lib.hnsw_save(self._h, path.encode())
         if rc != 0:
             raise IOError(f"hnsw_save failed: {path}")
 

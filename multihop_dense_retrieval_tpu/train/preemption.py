@@ -60,8 +60,12 @@ class PreemptionCheckpointer:
         ckpt.save_pytree(new_path, state)
         if jax.process_index() != 0:
             return
-        shutil.rmtree(old_path, ignore_errors=True)
+        # .old is only displaced when trainer_state exists to replace it:
+        # after a crash between the two renames (state absent, .old = the
+        # only restorable checkpoint) an unconditional leading rmtree plus
+        # a kill before the promote below would leave NOTHING restorable
         if os.path.isdir(state_path):
+            shutil.rmtree(old_path, ignore_errors=True)
             os.rename(state_path, old_path)
         os.rename(new_path, state_path)
         shutil.rmtree(old_path, ignore_errors=True)
@@ -82,10 +86,14 @@ class PreemptionCheckpointer:
         if not os.path.isdir(state_path):
             # killed between the two swap renames: the previous state sits
             # intact at .old — restore from it rather than starting over
-            # (the next save cleans it up)
-            old_path = state_path + ".old"
-            if os.path.isdir(old_path):
-                state_path = old_path
+            # (the next save cleans it up).  Failing that, .new: orbax
+            # saves are atomic (tmp dir + rename), so a PRESENT .new dir is
+            # a fully-written checkpoint — it covers the kill window after
+            # save_pytree(new) but before the promote rename
+            for cand in (state_path + ".old", state_path + ".new"):
+                if os.path.isdir(cand):
+                    state_path = cand
+                    break
         if not (os.path.exists(meta_path) and os.path.isdir(state_path)):
             return None, None
         with open(meta_path) as f:

@@ -24,6 +24,11 @@
 //    -1 -> id, and re-selections rewrite ids in place).  Vectors and levels
 //    for the whole batch are materialized before the parallel region, so
 //    every id a reader can encounter has valid data.
+//  - add vs search on ONE handle must NOT overlap: prepare_batch reallocates
+//    data/levels/neighbors with no reader exclusion, so a search concurrent
+//    with an add can dereference freed buffers.  The Python binding
+//    (index/hnsw.py::HNSWIndex) enforces this with a shared/exclusive lock
+//    (searches shared, adds exclusive); direct C-API users must do the same.
 //
 // Exposed as a C API for ctypes (no pybind11 in this environment).
 // Build: g++ -O3 -shared -fPIC -o libhnsw.so hnsw.cpp [-fopenmp]
@@ -488,6 +493,13 @@ void* hnsw_load(const char* path) {
   // max_level indexes neighbors[] during search; levels[] index it during
   // insert — both must stay inside the nlev adjacency arrays
   if (idx->max_level >= nlev && n > 0) { fclose(f); delete idx; return nullptr; }
+  // a populated graph must be internally consistent: entry set, a
+  // non-negative top level, and at least the base adjacency layer.
+  // (n>0 with nlev==0 and max_level==-1 passes the bound checks above but
+  // search() would index neighbors[0] on an empty vector — OOB UB)
+  if (n > 0 && (entry < 0 || idx->max_level < 0 || nlev < 1)) {
+    fclose(f); delete idx; return nullptr;
+  }
   for (int64_t i = 0; i < n; ++i) {
     if (idx->levels[i] < 0 || idx->levels[i] >= std::max(nlev, 1)) {
       fclose(f); delete idx; return nullptr;

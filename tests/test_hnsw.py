@@ -442,3 +442,70 @@ print(f"OK loaded={{ok}} rejected={{bad}}")
         capture_output=True, text=True, timeout=600)
     assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
     assert r.stdout.startswith("OK")
+
+
+def test_load_rejects_populated_graph_with_no_layers(tmp_path):
+    """Crafted file with n>0, a valid entry, max_level=-1 and nlev==0: every
+    individual bound check passes but search() would index neighbors[0] on
+    an empty vector (OOB UB) — the load validator must reject the
+    combination outright (advisor r3, native/hnsw.cpp:490)."""
+    import struct
+
+    path = str(tmp_path / "nolayers.hnsw")
+    n, d = 4, 16
+    with open(path, "wb") as f:
+        f.write(struct.pack("<4i", d, 8, 40, -1))        # dim M ef max_level
+        f.write(struct.pack("<2q", n, 0))                # n, entry=0
+        f.write(np.zeros(n * d, np.float32).tobytes())   # vectors
+        f.write(np.zeros(n, np.int32).tobytes())         # levels (all 0)
+        f.write(struct.pack("<i", 0))                    # nlev == 0
+    with pytest.raises(IOError):
+        HNSWIndex.load(path)
+    # same file with a plausible nlev but max_level still -1 must also fail
+    path2 = str(tmp_path / "badlevel.hnsw")
+    with open(path2, "wb") as f:
+        f.write(struct.pack("<4i", d, 8, 40, -1))
+        f.write(struct.pack("<2q", n, 0))
+        f.write(np.zeros(n * d, np.float32).tobytes())
+        f.write(np.zeros(n, np.int32).tobytes())
+        f.write(struct.pack("<i", 1))                    # nlev == 1
+        f.write(struct.pack("<q", n * 2 * 8))            # level-0 adjacency
+        f.write(np.full(n * 2 * 8, -1, np.int32).tobytes())
+    with pytest.raises(IOError):
+        HNSWIndex.load(path2)
+
+
+def test_concurrent_add_and_search_are_serialized():
+    """add() reallocates the native buffers a concurrent search() reads
+    (ctypes releases the GIL) — HNSWIndex's shared/exclusive lock must make
+    overlapping Python threads safe.  Without the lock this segfaults or
+    returns ids outside the index."""
+    import threading
+
+    rng = np.random.RandomState(3)
+    d = 32
+    idx = HNSWIndex(d, M=8, ef_construction=40, seed=0)
+    idx.add(rng.randn(500, d).astype(np.float32))
+    stop = threading.Event()
+    errs = []
+
+    def adder():
+        try:
+            for _ in range(30):
+                idx.add(rng.randn(200, d).astype(np.float32))
+        except Exception as e:  # surfaced in the main thread below
+            errs.append(e)
+        finally:
+            stop.set()
+
+    q = rng.randn(8, d).astype(np.float32)
+    t = threading.Thread(target=adder)
+    t.start()
+    while not stop.is_set():
+        s, ids = idx.search(q, 5, ef_search=64)
+        n_now = len(idx)
+        assert ids.shape == (8, 5)
+        assert np.all(ids >= 0) and np.all(ids < n_now + 200 * 30)
+    t.join()
+    assert not errs, errs
+    assert len(idx) == 500 + 30 * 200

@@ -152,3 +152,47 @@ def test_resume_on_device_mesh(tmp_path):
     res = t2.run()
     assert any("resumed from epoch 0" in l for l in logs)
     assert res["best_mrr"] > 0
+
+
+def test_save_after_crash_between_renames_never_loses_state(tmp_path):
+    """Advisor r3: after a crash between the two swap renames (state at
+    .old, trainer_state absent), the NEXT save used to rmtree .old before
+    promoting — a kill between those calls left only .new, which restore
+    never checked, silently restarting from scratch.  Now: (a) save() only
+    displaces .old when trainer_state exists; (b) maybe_restore falls back
+    to .new (orbax writes are atomic, so a present .new is complete)."""
+    import os
+    from multihop_dense_retrieval_tpu.core import checkpoint as ckpt
+    from multihop_dense_retrieval_tpu.train.preemption import (
+        PreemptionCheckpointer)
+
+    pc = PreemptionCheckpointer(str(tmp_path))
+    s2 = {"w": jnp.arange(4.0) + 10}
+    pc.save(s2, epoch=1, best_metric=0.2)
+    # crash #1: between the two swap renames
+    os.rename(str(tmp_path / "trainer_state"),
+              str(tmp_path / "trainer_state.old"))
+    # crash #2: the next save dies right after writing .new, before any
+    # promote — exactly the window the old leading rmtree made fatal
+    s3 = {"w": jnp.arange(4.0) + 20}
+    ckpt.save_pytree(str(tmp_path / "trainer_state.new"), s3)
+    state, meta = pc.maybe_restore({"w": jnp.zeros(4)})
+    assert state is not None, "double-crash lost the only checkpoint"
+    np.testing.assert_array_equal(np.asarray(state["w"]), np.asarray(s2["w"]))
+
+    # with .old also gone (first crash happened on the very first save),
+    # the fully-written .new must be restorable
+    import shutil
+    shutil.rmtree(str(tmp_path / "trainer_state.old"))
+    state, meta = pc.maybe_restore({"w": jnp.zeros(4)})
+    assert state is not None
+    np.testing.assert_array_equal(np.asarray(state["w"]), np.asarray(s3["w"]))
+
+    # and a subsequent clean save() recovers: promotes, cleans siblings
+    s4 = {"w": jnp.arange(4.0) + 30}
+    pc.save(s4, epoch=2, best_metric=0.3)
+    state, meta = pc.maybe_restore({"w": jnp.zeros(4)})
+    np.testing.assert_array_equal(np.asarray(state["w"]), np.asarray(s4["w"]))
+    assert meta["epoch"] == 2
+    assert not os.path.isdir(str(tmp_path / "trainer_state.new"))
+    assert not os.path.isdir(str(tmp_path / "trainer_state.old"))

@@ -407,3 +407,55 @@ def test_remat_train_step_matches_plain():
         np.testing.assert_allclose(np.where(tiny, 0.0, a),
                                    np.where(tiny, 0.0, b),
                                    rtol=1e-5, atol=1e-6, err_msg=name)
+
+
+def test_no_decay_mask_excludes_every_bias_and_norm_scale():
+    """_no_decay_mask matches norms by NAME substring (train/trainer.py) —
+    this pins it structurally instead: in flax, 'scale' leaves only come
+    from normalization layers and 'bias' leaves never get decay
+    (reference no-decay groups, train_mhop.py:125).  A future module whose
+    norm isn't named *layer_norm* would silently get weight decay; its
+    'scale' leaf fails here."""
+    import jax
+    from multihop_dense_retrieval_tpu.models import (MhopRetriever,
+                                                     UnifiedRetriever)
+    from multihop_dense_retrieval_tpu.models.reader import QAReader
+    from multihop_dense_retrieval_tpu.train.trainer import _no_decay_mask
+
+    def check(model, init_kwargs):
+        rng = jax.random.PRNGKey(0)
+        params = model.init(rng, **init_kwargs)
+        mask = _no_decay_mask(params)
+        flat_p = jax.tree_util.tree_flatten_with_path(params)[0]
+        flat_m = jax.tree_util.tree_leaves(mask)
+        assert len(flat_p) == len(flat_m)
+        n_scale = n_bias = 0
+        for (path, _), decays in zip(flat_p, flat_m):
+            name = str(getattr(path[-1], "key", getattr(path[-1], "name",
+                                                        path[-1])))
+            if name == "bias":
+                n_bias += 1
+                assert not decays, f"bias got weight decay: {path}"
+            elif name == "scale":
+                n_scale += 1
+                assert not decays, f"norm scale got weight decay: {path}"
+            else:
+                assert decays, f"non-bias/non-norm leaf excluded: {path}"
+        # the walk must have actually seen norms and biases
+        assert n_scale >= 4 and n_bias >= 4, (n_scale, n_bias)
+
+    ids = jnp.ones((2, 16), jnp.int32)
+    mask = jnp.ones((2, 16), jnp.int32)
+    enc = EncoderConfig.tiny(vocab_size=512, max_position_embeddings=64)
+    m = MhopRetriever(enc)
+    check(m, dict(input_ids=ids, mask=mask, method=m.encode_seq))
+    u = UnifiedRetriever(enc)
+    check(u, dict(input_ids=ids, mask=mask, method=u.encode_seq))
+    bert = EncoderConfig.tiny(vocab_size=512, max_position_embeddings=64,
+                              type_vocab_size=2, pad_token_id=0,
+                              roberta_positions=False)
+    check(QAReader(bert, sp_pred=True),
+          dict(batch={"input_ids": ids, "attention_mask": mask,
+                      "token_type_ids": jnp.zeros((2, 16), jnp.int32),
+                      "paragraph_mask": mask, "sent_offsets":
+                          jnp.zeros((2, 4), jnp.int32)}))

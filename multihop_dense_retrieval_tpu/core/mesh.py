@@ -71,3 +71,34 @@ def data_sharded(mesh: Mesh, rank: int = 1) -> NamedSharding:
 def index_sharded(mesh: Mesh, rank: int = 2) -> NamedSharding:
     """Shard the leading (row) dim over the index axis."""
     return NamedSharding(mesh, P(INDEX_AXIS, *([None] * (rank - 1))))
+
+
+def host_local_batch_to_global(batch, mesh: Mesh):
+    """Pod mode: turn each process's LOCAL slice of a batch into global
+    jax.Arrays sharded over the mesh's data axis.
+
+    The reference's DDP path shipped WITHOUT a DistributedSampler
+    (SURVEY.md §2.11 — true multi-process training duplicated data); here
+    each process loads only its slice and this assembles the global batch a
+    multi-process jit requires (host numpy can't be consumed by a jit whose
+    sharding spans non-addressable devices).  No-op in single-process runs.
+    """
+    if jax.process_count() == 1:
+        return batch
+    from jax.experimental import multihost_utils
+
+    return jax.tree_util.tree_map(
+        lambda x: multihost_utils.host_local_array_to_global_array(
+            np.asarray(x), mesh, P(DATA_AXIS)), batch)
+
+
+def replicate_to_global(tree, mesh: Mesh):
+    """Pod mode: commit identical per-process host values (params, opt
+    state) as globally-replicated jax.Arrays.  No-op single-process."""
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+
+    return jax.tree_util.tree_map(
+        lambda x: multihost_utils.host_local_array_to_global_array(
+            np.asarray(x), mesh, P()), tree)

@@ -325,7 +325,11 @@ def _reader_bench(tunnel_s, b=32, reps=8):
     fixed-512 (2.0x)."""
     from multihop_dense_retrieval_tpu.models.reader import QAReader
 
-    cfg = EncoderConfig.electra_large()
+    # bf16 scores: the serving default since the trained-reader fidelity
+    # run showed 100% answer agreement (scripts_dev/fidelity_trained.py)
+    cfg = EncoderConfig.electra_large(
+        attention_scores_dtype=os.environ.get("MDRT_BENCH_READER_SCORES",
+                                              "bfloat16"))
     model = QAReader(cfg, sp_pred=True)
 
     def mk_net(r, bb, l):
@@ -433,7 +437,10 @@ def _end2end_bench(searcher, params, enc_cfg, tunnel_s, rng, *,
     from multihop_dense_retrieval_tpu.models.reader import QAReader
     from multihop_dense_retrieval_tpu.train.qa import decode_spans
 
-    rcfg = EncoderConfig.electra_large()
+    # bf16 scores by default — trained-reader-validated (PERF.md fidelity)
+    rcfg = EncoderConfig.electra_large(
+        attention_scores_dtype=os.environ.get("MDRT_BENCH_READER_SCORES",
+                                              "bfloat16"))
     reader = QAReader(rcfg, sp_pred=True)
     spec_b = TokenizerSpec(cls_id=101, sep_id=102, pad_id=0,
                            vocab_size=rcfg.vocab_size, roberta_style=False)

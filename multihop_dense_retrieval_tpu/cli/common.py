@@ -98,9 +98,13 @@ def add_pipeline_args(p):
     p.add_argument("--chunk-rows", type=int, default=4096)
     p.add_argument("--max-c-len", type=int, default=300,
                    help="passage budget when encoding live-added documents")
-    p.add_argument("--reader-bf16-scores", action="store_true",
-                   help="bf16 reader attention scores (+5-11%% at widths "
-                        "384-512, PERF.md); fp32 default")
+    p.add_argument("--reader-bf16-scores", action="store_true", default=True,
+                   help="bf16 reader attention scores — DEFAULT (+5-11%% "
+                        "at widths 384-512; 100%% answer agreement with "
+                        "fp32 under a trained reader, PERF.md fidelity row)")
+    p.add_argument("--reader-fp32-scores", dest="reader_bf16_scores",
+                   action="store_false",
+                   help="revert reader attention scores to fp32")
     p.add_argument("--pca", action="store_true",
                    help="PCA-prefiltered MIPS (index built with --pca-dims)")
     p.add_argument("--pca-k-chunks", type=int, default=8)

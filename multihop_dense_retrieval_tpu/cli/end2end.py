@@ -90,10 +90,13 @@ def main(argv=None):
     p.add_argument("--max-ans-len", type=int, default=30)
     p.add_argument("--chunk-rows", type=int, default=4096)
     p.add_argument("--lambda", dest="lam", type=float, default=0.8)
-    p.add_argument("--reader-bf16-scores", action="store_true",
-                   help="bf16 reader attention scores (+5-11%% at widths "
-                        "384-512, PERF.md); fp32 default — span agreement "
-                        "is not validated without trained weights")
+    p.add_argument("--reader-bf16-scores", action="store_true", default=True,
+                   help="bf16 reader attention scores — DEFAULT (+5-11%% "
+                        "at widths 384-512; 100%% answer agreement with "
+                        "fp32 under a trained reader, PERF.md fidelity row)")
+    p.add_argument("--reader-fp32-scores", dest="reader_bf16_scores",
+                   action="store_false",
+                   help="revert reader attention scores to fp32")
     common.add_rank_args(p)
     common.add_hop2_tiling_args(p)
     p.add_argument("--save-path", default="")

@@ -509,3 +509,17 @@ def test_concurrent_add_and_search_are_serialized():
     t.join()
     assert not errs, errs
     assert len(idx) == 500 + 30 * 200
+
+
+def test_recall_30k_default_suite():
+    """Always-on recall regression (VERDICT r3: the 100k test never ran in
+    CI behind MDRT_RUN_SLOW).  Same clustered family at 30k rows — ~1 min
+    build — pinning the serving regime ef=128 (reference efSearch,
+    scripts/eval/eval_mhop_retrieval.py:96-119)."""
+    rng = np.random.RandomState(4)
+    vecs, centers = _clustered(rng, 30_000, 96, 256, 1.0)
+    q = (centers[rng.randint(0, 256, 128)]
+         + 1.0 * rng.randn(128, 96)).astype(np.float32)
+    idx = HNSWIndex(96, M=32, ef_construction=100)
+    idx.add(vecs)
+    assert _recall(idx, vecs, q, 10, 128) >= 0.98

@@ -824,12 +824,14 @@ def _run(n_docs):
     spec = TokenizerSpec(cls_id=0, sep_id=2, pad_id=1,
                          vocab_size=cfg.vocab_size, roberta_style=True)
 
-    def build_searcher(index, b1, b2, topk, bks, fracs, use_pca=False):
+    def build_searcher(index, b1, b2, topk, bks, fracs, use_pca=False,
+                       prune_margin=0.0):
         scfg = SearchConfig(beam_size_1=b1, beam_size_2=b2, topk=topk,
                             max_q_len=q_width, max_q_sp_len=max_q_sp_len,
                             chunk_rows=chunk, use_pallas=True,
                             hop2_buckets=bks, hop2_tile_fracs=fracs,
-                            use_pca=use_pca)
+                            use_pca=use_pca,
+                            hop2_prune_margin=prune_margin)
         return BeamSearcher(
             encode_fn=lambda p, ids, mask, tt=None: model.apply(
                 p, ids, mask, tt, method=model.encode_seq),
@@ -905,16 +907,23 @@ def _run(n_docs):
         s4 = None
         try:
             # sweep (scripts_dev/beam4_sweep.py): batch 192 + 6-tile split
-            # 920.1 q/s vs 846.8 at the old batch-96 5-tile default
+            # 920.1 q/s vs 846.8 at the old batch-96 5-tile default.
+            # MDRT_BENCH_B4_PRUNE > 0 additionally measures adaptive
+            # candidate pruning at that margin (quality curve on trained
+            # weights: scripts_dev/prune_sweep.py)
             b4_batch = _env("MDRT_BENCH_B4BATCH", min(batch, 192))
+            b4_margin = float(os.environ.get("MDRT_BENCH_B4_PRUNE", "0"))
             s4 = build_searcher(index, 4, 4, 4, b4_buckets, b4_fracs,
-                                use_pca=pca_ok)
+                                use_pca=pca_ok, prune_margin=b4_margin)
             dt4, c4, _ = _timed_search(s4, params, 4, b4_batch, reps,
                                        q_width, cfg.vocab_size, nprng)
             dt4 -= tunnel_s
             extras["beam4_qps"] = round(reps * b4_batch / dt4, 1)
+            if b4_margin > 0:
+                extras["beam4_prune_margin"] = b4_margin
             print(f"# beam4: compile {c4:.0f}s, steady {dt4/reps*1000:.1f} "
-                  f"ms/batch (batch={b4_batch})", file=sys.stderr)
+                  f"ms/batch (batch={b4_batch}, prune={b4_margin})",
+                  file=sys.stderr)
         except Exception as e:
             errors["beam4"] = repr(e)[:200]
         finally:

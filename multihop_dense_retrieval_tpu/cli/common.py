@@ -143,6 +143,12 @@ def add_hop2_tiling_args(p):
     p.add_argument("--hop2-tile-fracs", default="",
                    help="comma row-fractions per bucket (sum to 1); empty = "
                         "preset fracs for auto, equal tiles otherwise")
+    p.add_argument("--hop2-prune-margin", type=float, default=0.0,
+                   help="approximate: skip re-encoding hop-1 candidates "
+                        "scoring more than this margin below their "
+                        "question's top-1 (inner-product units); pruned "
+                        "chains are excluded.  0 = off (exact).  Sweep "
+                        "quality on your data (scripts_dev/prune_sweep.py)")
 
 
 def resolve_hop2_tiling(args, n_rows: int, max_width: int):

@@ -118,6 +118,7 @@ def main(argv=None):
                        topk=args.topk, max_q_len=args.max_q_len,
                        max_q_sp_len=args.max_q_sp_len,
                        hop2_buckets=h2b, hop2_tile_fracs=h2f,
+                       hop2_prune_margin=args.hop2_prune_margin,
                        chunk_rows=args.chunk_rows)
     searcher = load_searcher(args.index_dir, r_tok, r_model, r_params, cfg,
                              unified=args.unified)

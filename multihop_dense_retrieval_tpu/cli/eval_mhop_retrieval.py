@@ -243,6 +243,7 @@ def main(argv=None):
                        chunk_rows=args.chunk_rows,
                        use_pallas=not args.no_pallas,
                        hop2_buckets=h2b, hop2_tile_fracs=h2f,
+                       hop2_prune_margin=args.hop2_prune_margin,
                        use_pca=args.pca, pca_k_chunks=args.pca_k_chunks,
                        pca_hops=args.pca_hops)
     corpus = Corpus.from_id2doc(os.path.join(args.index_dir, "id2doc.json"))

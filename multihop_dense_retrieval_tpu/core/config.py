@@ -187,6 +187,17 @@ class SearchConfig:
     # Round the hop-1 question width up to this multiple of the batch max
     # (host-side slice; a few cached traces).  0 disables (fixed max_q_len).
     q_width_multiple: int = 0
+    # Adaptive hop-2 candidate pruning (approximate; 0 disables).  A hop-1
+    # candidate is re-encoded only while its score is within this margin of
+    # its question's top-1 (inner-product units); pruned rows sort to the
+    # tail tiles of the bucketed hop-2 encode, and fully-pruned tiles skip
+    # the encoder via lax.cond (the only static-shape way to actually save
+    # the FLOPs).  Pruned candidates' chains score NEG_INF — identical to
+    # how empty-doc chains are excluded.  The lever targets the measured
+    # beam-4 plateau: hop-2 encode is 75% of time and row COUNT is what
+    # tiling cannot reduce (PERF.md).  Quality: margin sweeps on trained
+    # weights in scripts_dev/prune_sweep.py.
+    hop2_prune_margin: float = 0.0
     # PCA-prefiltered MIPS (ops/mips.py::mips_topk_pca): requires an index
     # built with pca_dims (encode_corpus --pca-dims).  Search outputs gain
     # per-query exactness-certificate masks.  Composes with index sharding

@@ -334,7 +334,7 @@ class BeamSearcher:
         vals, docs = merge_multivector(vals, rows, k, m)
         return vals, docs, cert
 
-    def _encode_hop2(self, params, qsp, encode=None):
+    def _encode_hop2(self, params, qsp, encode=None, active=None):
         """Encode hop-2 q⊕p rows, optionally length-adaptive.
 
         With cfg.hop2_buckets set, rows are sorted by total length and split
@@ -344,6 +344,14 @@ class BeamSearcher:
         with the full-width encode: trailing pad columns never influence
         non-pad positions (attention is masked; positions are width-
         independent), so narrowing is purely a FLOP/bandwidth saving.
+
+        `active` (n_rows,) bool enables candidate pruning
+        (cfg.hop2_prune_margin): inactive rows sort to the tail tiles (their
+        sort length is L+1, past every real row), a fully-inactive tile
+        skips the encoder entirely (zeros via lax.cond), and a mixed tile
+        picks its width from ACTIVE rows only — an inactive row wider than
+        the bucket gets truncated-encoded, which is fine because its output
+        is discarded (_search_impl forces pruned chain scores to NEG_INF).
 
         `encode` may return any pytree of row-major arrays (e.g. the unified
         stop-head's (vectors, stop_logits) tuple) — tiles are concatenated
@@ -372,11 +380,15 @@ class BeamSearcher:
             bounds.append(bounds[-1] + s)
 
         lens = jnp.sum(mask, axis=1).astype(jnp.int32)
-        order = jnp.argsort(lens)              # ascending by length
+        # pruning: inactive rows sort past every real length (key L+1), so
+        # they pack into the trailing tiles and active rows stay
+        # length-sorted among themselves
+        keys = lens if active is None else jnp.where(active, lens, L + 1)
+        order = jnp.argsort(keys)              # ascending
         inv = jnp.argsort(order)
         ids_s, mask_s = ids[order], mask[order]
         tt_s = None if tt is None else tt[order]
-        lens_s = lens[order]
+        keys_s = keys[order]
 
         tiles = []
         for t in range(n_tiles):
@@ -384,10 +396,10 @@ class BeamSearcher:
             w = min(int(buckets[t]), L)
             ids_t, mask_t = ids_s[sl], mask_s[sl]
             tt_t = None if tt_s is None else tt_s[sl]
-            if w >= L:
-                tiles.append(fn(params, ids_t, mask_t, tt_t))
-                continue
-            tile_max = lens_s[bounds[t + 1] - 1]  # sorted: last row is max
+            # width decision from ACTIVE rows only: the largest key <= L in
+            # the tile (keys are sorted, inactive rows are all L+1)
+            tile_keys = keys_s[sl]
+            tile_max = jnp.max(jnp.where(tile_keys <= L, tile_keys, 0))
 
             def narrow(ids_t=ids_t, mask_t=mask_t, tt_t=tt_t, w=w):
                 return fn(params, ids_t[:, :w], mask_t[:, :w],
@@ -396,7 +408,19 @@ class BeamSearcher:
             def wide(ids_t=ids_t, mask_t=mask_t, tt_t=tt_t):
                 return fn(params, ids_t, mask_t, tt_t)
 
-            tiles.append(jax.lax.cond(tile_max <= w, narrow, wide))
+            enc = (wide if w >= L
+                   else lambda narrow=narrow, wide=wide, tile_max=tile_max,
+                               w=w: jax.lax.cond(tile_max <= w, narrow, wide))
+            if active is None:
+                tiles.append(enc())
+                continue
+            # skip fully-inactive tiles: sorted keys make the FIRST row the
+            # minimum, so the tile has an active row iff that key is <= L
+            tile_any_active = keys_s[bounds[t]] <= L
+            shapes = jax.eval_shape(wide)
+            zeros = lambda shapes=shapes: jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+            tiles.append(jax.lax.cond(tile_any_active, enc, zeros))
         return jax.tree_util.tree_map(
             lambda *xs: jnp.concatenate(xs, axis=0)[inv], *tiles)
 
@@ -421,21 +445,35 @@ class BeamSearcher:
         a_lens = jnp.repeat(q_raw_lens, beam1, axis=0)
         qsp = assemble_pair_inputs(a_ids, a_lens, doc_ids, doc_lens,
                                    cfg.max_q_sp_len, self.spec)
+        # adaptive candidate pruning: re-encode only candidates within
+        # `hop2_prune_margin` of their question's top-1 hop-1 score (the
+        # top-1 itself always qualifies).  Pruned rows skip encoding tile-
+        # wise inside _encode_hop2 and their chains score NEG_INF below.
+        active = None
+        if cfg.hop2_prune_margin > 0:
+            top1 = jnp.max(d1, axis=1, keepdims=True)
+            active = ((d1 >= top1 - cfg.hop2_prune_margin)
+                      & (d1 > NEG_INF / 2)).reshape(-1)
         stop_probs = None
         if self.encode_qsp_fn is not None:
             # unified serving: stop head rides the same length-bucketed q⊕p
             # encode as the plain engine (_encode_hop2 handles the tuple
             # output leaf-wise), so --unified pays bucketed widths too
             qsp_vec, stop_logits = self._encode_hop2(
-                params, qsp, encode=self.encode_qsp_fn)
+                params, qsp, encode=self.encode_qsp_fn, active=active)
             stop_probs = jax.nn.softmax(
                 stop_logits.astype(jnp.float32), axis=-1)[:, 0]
         else:
-            qsp_vec = self._encode_hop2(params, qsp)
+            qsp_vec = self._encode_hop2(params, qsp, active=active)
         d2, i2, cert2 = self._mips(store, qsp_vec.astype(jnp.float32), beam2,
                                    pca=self._pca_on_hop(2))
         d2 = d2.reshape(bsz, beam1, beam2)
         i2 = i2.reshape(bsz, beam1, beam2)
+        if active is not None:
+            # pruned candidates contribute no chains (same mechanism as the
+            # reference's empty-doc exclusion, eval_mhop_retrieval.py:165)
+            d2 = jnp.where(active.reshape(bsz, beam1)[:, :, None], d2,
+                           NEG_INF)
 
         # chain scoring (eval_mhop_retrieval.py:185,190-193) -------------
         path_scores = (d1[:, :, None] + d2).reshape(bsz, beam1 * beam2)

@@ -1,0 +1,187 @@
+"""Hop-2 candidate-pruning quality sweep on TRAINED retriever weights
+(VERDICT r3 item 5).
+
+Trains a real (tiny-preset) retriever with the in-repo stage-1 recipe on
+synthetic multi-hop data, encodes a corpus, then sweeps
+SearchConfig.hop2_prune_margin at beam 4 measuring:
+
+  * P-EM (both gold passages in the top-1 chain) and PR vs the unpruned
+    engine — the quality curve;
+  * the fraction of hop-2 rows pruned at each margin — the speed proxy
+    (hop-2 encode is 75% of beam-4 time; savings track pruned rows that
+    complete whole tiles).
+
+    python scripts_dev/prune_sweep.py          # CPU, ~10 min
+
+On-chip throughput at the chosen margin is measured separately by
+MDRT_BENCH_B4_PRUNE (bench.py).  Writes /tmp/prune_sweep_result.json.
+"""
+
+import json
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+if not os.environ.get("PRUNE_TPU"):
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+
+WORDS = [f"w{i}" for i in range(800)]
+
+
+def _text(rng, key=None, lo=15, hi=40):
+    words = list(rng.choice(WORDS, size=rng.randint(lo, hi)))
+    if key is not None:
+        words[rng.randint(0, 4)] = key
+    return " ".join(words)
+
+
+def make_data(work, rng, n_docs=256, n_rows=96):
+    """Multi-hop rows whose gold passages share a key token with the
+    question (retrievable signal), over a corpus of keyed distractors."""
+    docs = []
+    for i in range(n_docs):
+        docs.append({"title": f"D{i}", "text": _text(rng, key=f"key{i % 128}")})
+    rows = []
+    for i in range(n_rows):
+        a, b = rng.choice(n_docs, size=2, replace=False)
+        # gold pair shares the question's key tokens
+        k1 = f"key{a % 128}"
+        k2 = f"key{b % 128}"
+        negs = [dict(docs[j]) for j in rng.choice(n_docs, 4, replace=False)
+                if j not in (a, b)][:3]
+        rows.append({
+            "_id": f"q{i}",
+            "question": f"which fact links {k1} with {k2} ?",
+            "type": "bridge" if i % 2 == 0 else "comparison",
+            "pos_paras": [dict(docs[a]), dict(docs[b])],
+            "neg_paras": negs or [dict(docs[(a + 1) % n_docs])],
+            "bridge": docs[b]["title"],
+            "sp": [docs[a]["title"], docs[b]["title"]],
+            "answer": ["yes"],
+        })
+    paths = {}
+    for name, data in [("corpus", docs), ("mhop", rows)]:
+        paths[name] = os.path.join(work, f"{name}.jsonl")
+        with open(paths[name], "w") as f:
+            for r in data:
+                f.write(json.dumps(r) + "\n")
+    return paths, docs, rows
+
+
+def main():
+    from multihop_dense_retrieval_tpu.cli import (encode_corpus,
+                                                  train_retriever)
+    from multihop_dense_retrieval_tpu.cli.common import (resolve_tokenizer,
+                                                         init_retriever,
+                                                         resolve_encoder_config)
+    from multihop_dense_retrieval_tpu.cli.eval_mhop_retrieval import (
+        load_searcher)
+    from multihop_dense_retrieval_tpu.core.config import SearchConfig
+    from multihop_dense_retrieval_tpu.ops.mips import NEG_INF
+
+    work = tempfile.mkdtemp(prefix="mdrt_prune_")
+    rng = np.random.RandomState(0)
+    paths, docs, rows = make_data(work, rng)
+
+    print("== stage-1 retriever training", flush=True)
+    stage1 = os.path.join(work, "stage1")
+    train_retriever.main([
+        "--train-file", paths["mhop"], "--predict-file", paths["mhop"],
+        "--output-dir", stage1, "--train-batch-size", "8",
+        "--predict-batch-size", "8",
+        "--num-epochs", os.environ.get("PRUNE_EPOCHS", "8"),
+        "--learning-rate", "5e-4", "--tokenizer", "hash",
+        "--model-name", "tiny", "--max-q-len", "24", "--max-q-sp-len", "80",
+        "--max-c-len", "64"])
+    ckpt = os.path.join(stage1, "checkpoint_best")
+
+    print("== corpus encode", flush=True)
+    index_dir = os.path.join(work, "index")
+    encode_corpus.main([paths["corpus"], index_dir, "--checkpoint", ckpt,
+                        "--tokenizer", "hash", "--model-name", "tiny",
+                        "--batch-size", "16", "--chunk-rows", "32",
+                        "--max-c-len", "64"])
+
+    tok = resolve_tokenizer("hash")
+    enc_cfg = resolve_encoder_config("tiny")
+    model, params = init_retriever(enc_cfg, checkpoint=ckpt)
+
+    beam, topk = 4, 4
+    gold = {r["_id"]: set(r["sp"]) for r in rows}
+    questions = [r["question"][:-1] if r["question"].endswith("?")
+                 else r["question"] for r in rows]
+    bsz = 16
+
+    def run(margin):
+        cfg = SearchConfig(beam_size_1=beam, beam_size_2=beam, topk=topk,
+                           max_q_len=24, max_q_sp_len=80, chunk_rows=32,
+                           hop2_buckets=(32, 48, 64, 80),
+                           hop2_tile_fracs=(0.25, 0.375, 0.25, 0.125),
+                           hop2_prune_margin=margin)
+        searcher = load_searcher(index_dir, tok, model, params, cfg)
+        pem = pr = 0
+        pruned = total = 0
+        for s in range(0, len(rows), bsz):
+            qs = questions[s:s + bsz]
+            pad = bsz - len(qs)
+            qs_p = qs + [qs[-1]] * pad
+            q_inputs = tok.encode_batch_one(qs_p, 24)
+            raw = [tok.raw_ids_padded(q, 76) for q in qs_p]
+            out = searcher.search(q_inputs, np.stack([r[0] for r in raw]),
+                                  np.array([r[1] for r in raw]))
+            d1 = out["hop1_cand_scores"][:len(qs)]
+            if margin > 0:
+                act = d1 >= d1.max(1, keepdims=True) - margin
+                pruned += int((~act).sum())
+                total += act.size
+            else:
+                total += d1.size
+            for i, q in enumerate(qs):
+                r = rows[s + i]
+                titles = {docs[int(out["hop1_ids"][i][0])]["title"],
+                          docs[int(out["hop2_ids"][i][0])]["title"]}
+                g = gold[r["_id"]]
+                pem += titles == g
+                any_hit = False
+                for h1, h2, sc in zip(out["hop1_ids"][i], out["hop2_ids"][i],
+                                      out["path_scores"][i]):
+                    if sc <= NEG_INF / 2:
+                        continue
+                    if ({docs[int(h1)]["title"], docs[int(h2)]["title"]}
+                            & g):
+                        any_hit = True
+                pr += any_hit
+        n = len(rows)
+        return {"p_em": round(pem / n, 4), "pr": round(pr / n, 4),
+                "pruned_frac": round(pruned / max(total, 1), 4)}
+
+    res = {"beam": beam, "n_questions": len(rows)}
+    base = run(0.0)
+    res["margin_0_off"] = base
+    print(f"== margin off: {base}", flush=True)
+    for margin in (8.0, 4.0, 2.0, 1.0, 0.5):
+        r = run(margin)
+        res[f"margin_{margin}"] = r
+        print(f"== margin {margin}: {r}", flush=True)
+
+    out = os.environ.get("PRUNE_OUT", "/tmp/prune_sweep_result.json")
+    with open(out, "w") as f:
+        json.dump(res, f, indent=1)
+    print(f"RESULT {json.dumps(res)}")
+    return res
+
+
+if __name__ == "__main__":
+    main()

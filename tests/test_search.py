@@ -770,3 +770,111 @@ def test_uint16_token_store_is_exact():
                                     token_dtype=np.uint16)
     assert tc16.text_ids.dtype == np.uint16
     np.testing.assert_array_equal(tc16.text_ids.astype(np.int32), tc.text_ids)
+
+
+def test_hop2_prune_margin_semantics():
+    """Adaptive candidate pruning (cfg.hop2_prune_margin):
+
+    (a) a margin wide enough to keep every candidate is a no-op — results
+        identical to the unpruned engine (the tile-skip/sort machinery must
+        not perturb anything);
+    (b) a tight margin must equal the HOST-applied definition: take the
+        unpruned engine's d1/d2, mask chains of candidates outside the
+        margin to NEG_INF, re-rank — the engine's tile-level skipping is an
+        implementation detail, not a semantics change.
+    """
+    from multihop_dense_retrieval_tpu.ops.mips import NEG_INF
+
+    tok = HashTokenizer(vocab_size=512)
+    rng = np.random.RandomState(21)
+    docs = synth.make_corpus(rng, 48, empty_every=11)
+    for i, d in enumerate(docs):
+        if i % 3 == 0:
+            d["text"] = d["text"].split()[0] if d["text"] else d["text"]
+    corpus = Corpus(docs)
+    tc = TokenizedCorpus.build(corpus, tok, max_text_len=60)
+    cfg = EncoderConfig.tiny(vocab_size=512, max_position_embeddings=96)
+    model = MhopRetriever(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32),
+                        jnp.ones((1, 8), jnp.int32), method=model.encode_seq)
+    enc = tok.encode_batch_pair(
+        [(corpus[i]["title"], corpus.encode_text(i))
+         for i in range(len(corpus))], 72)
+    emb = np.asarray(model.apply(params, jnp.asarray(enc["input_ids"]),
+                                 jnp.asarray(enc["attention_mask"]),
+                                 method=model.encode_seq), np.float32)
+    index = DenseIndex.build(emb, chunk_rows=16, dtype=jnp.float32)
+    n_pad = index.vectors.shape[0]
+    text_ids = np.full((n_pad, 60), tok.spec.pad_id, np.int32)
+    text_ids[:len(corpus)] = tc.text_ids
+    text_lens = np.zeros(n_pad, np.int32)
+    text_lens[:len(corpus)] = tc.text_lens
+    empty = np.zeros(n_pad, bool)
+    empty[:len(corpus)] = tc.empty
+
+    def build(scfg):
+        return BeamSearcher(
+            encode_fn=lambda p, ids, mask, tt=None: model.apply(
+                p, ids, mask, tt, method=model.encode_seq),
+            params=params, index=index,
+            text_ids=jnp.asarray(text_ids), text_lens=jnp.asarray(text_lens),
+            empty=jnp.asarray(empty), spec=tok.spec, config=scfg, mesh=None)
+
+    base = dict(beam_size_1=4, beam_size_2=4, topk=4, max_q_len=24,
+                max_q_sp_len=88, chunk_rows=16, use_pallas=False,
+                hop2_buckets=(32, 48, 64, 88),
+                hop2_tile_fracs=(0.25, 0.375, 0.25, 0.125))
+    qs = ([f"short q{i}" for i in range(4)]
+          + [f"a much longer question about {synth.rand_text(rng, 8, 12)}"
+             for i in range(4)])
+    q_inputs = tok.encode_batch_one(qs, 24)
+    raw = [tok.raw_ids_padded(q, 20) for q in qs]
+    q_raw_ids = np.stack([r[0] for r in raw])
+    q_raw_lens = np.array([r[1] for r in raw])
+
+    ref = build(SearchConfig(**base)).search(dict(q_inputs), q_raw_ids,
+                                             q_raw_lens)
+
+    # (a) no-op margin
+    wide = build(SearchConfig(**base, hop2_prune_margin=1e9)).search(
+        dict(q_inputs), q_raw_ids, q_raw_lens)
+    np.testing.assert_array_equal(ref["hop1_ids"], wide["hop1_ids"])
+    np.testing.assert_array_equal(ref["hop2_ids"], wide["hop2_ids"])
+    np.testing.assert_allclose(ref["path_scores"], wide["path_scores"],
+                               rtol=1e-5, atol=1e-5)
+
+    # (b) tight margin vs host-applied definition over the unpruned run.
+    # The margin is picked per-question so some candidates survive and
+    # some are pruned (exercises mixed and fully-inactive tiles).
+    d1 = ref["hop1_cand_scores"]                      # (B, beam1)
+    margin = float(np.median(np.max(d1, 1) - np.min(d1, 1)))
+    assert margin > 0
+    pruned = build(SearchConfig(**base, hop2_prune_margin=margin)).search(
+        dict(q_inputs), q_raw_ids, q_raw_lens)
+    active = d1 >= (np.max(d1, 1, keepdims=True) - margin)
+    assert active.sum() < active.size, "margin pruned nothing — weak test"
+
+    # host re-ranking with the engine's own NEG_INF masking
+    bsz, beam = d1.shape
+    # reconstruct the unpruned d2 grid from the ref engine by re-searching
+    # with topk == beam1*beam2 (all chains, ranked)
+    full = build(SearchConfig(**{**base, "topk": 16})).search(
+        dict(q_inputs), q_raw_ids, q_raw_lens)
+    # chains grouped by hop-1 candidate: map each chain to its hop-1 slot
+    for b in range(bsz):
+        # expected: the pruned engine's top-4 chains == the unpruned
+        # all-chain ranking restricted to active hop-1 candidates
+        slot_of = {int(c): s for s, c in enumerate(ref["hop1_cand_ids"][b])}
+        kept = [(s, h1, h2) for s, h1, h2 in zip(
+                    full["path_scores"][b], full["hop1_ids"][b],
+                    full["hop2_ids"][b])
+                if active[b, slot_of[int(h1)]]]
+        exp = kept[:4]
+        got_scores = pruned["path_scores"][b]
+        finite = got_scores > NEG_INF / 2
+        assert finite.sum() == min(len(exp), 4)
+        for i in range(int(finite.sum())):
+            np.testing.assert_allclose(got_scores[i], exp[i][0],
+                                       rtol=1e-5, atol=1e-5)
+            assert int(pruned["hop1_ids"][b][i]) == int(exp[i][1])
+            assert int(pruned["hop2_ids"][b][i]) == int(exp[i][2])

@@ -47,18 +47,20 @@ def _text(rng, key=None, lo=15, hi=40):
     return " ".join(words)
 
 
-def make_data(work, rng, n_docs=256, n_rows=96):
-    """Multi-hop rows whose gold passages share a key token with the
-    question (retrievable signal), over a corpus of keyed distractors."""
+def make_data(work, rng, n_docs=256, n_rows=128):
+    """Multi-hop rows whose gold passages carry the question's key tokens
+    (retrievable signal), over a corpus of keyed distractors.  Keys are
+    UNIQUE per doc — shared keys make gold pairs ambiguous and pin P-EM
+    at zero regardless of retriever quality."""
     docs = []
     for i in range(n_docs):
-        docs.append({"title": f"D{i}", "text": _text(rng, key=f"key{i % 128}")})
+        docs.append({"title": f"D{i}", "text": _text(rng, key=f"key{i}")})
     rows = []
     for i in range(n_rows):
         a, b = rng.choice(n_docs, size=2, replace=False)
-        # gold pair shares the question's key tokens
-        k1 = f"key{a % 128}"
-        k2 = f"key{b % 128}"
+        # gold pair carries the question's key tokens
+        k1 = f"key{a}"
+        k2 = f"key{b}"
         negs = [dict(docs[j]) for j in rng.choice(n_docs, 4, replace=False)
                 if j not in (a, b)][:3]
         rows.append({
@@ -101,8 +103,8 @@ def main():
         "--train-file", paths["mhop"], "--predict-file", paths["mhop"],
         "--output-dir", stage1, "--train-batch-size", "8",
         "--predict-batch-size", "8",
-        "--num-epochs", os.environ.get("PRUNE_EPOCHS", "8"),
-        "--learning-rate", "5e-4", "--tokenizer", "hash",
+        "--num-epochs", os.environ.get("PRUNE_EPOCHS", "12"),
+        "--learning-rate", "1e-3", "--tokenizer", "hash",
         "--model-name", "tiny", "--max-q-len", "24", "--max-q-sp-len", "80",
         "--max-c-len", "64"])
     ckpt = os.path.join(stage1, "checkpoint_best")
@@ -171,10 +173,33 @@ def main():
     base = run(0.0)
     res["margin_0_off"] = base
     print(f"== margin off: {base}", flush=True)
-    for margin in (8.0, 4.0, 2.0, 1.0, 0.5):
+    assert base["p_em"] >= 0.5, (
+        f"retriever did not train (p_em={base['p_em']}) — margin sweep "
+        "would be meaningless")
+
+    # data-driven margins: quantiles of the per-question (top1 - score)
+    # gap distribution, measured on the trained engine, so the sweep
+    # brackets prune rates from aggressive to conservative
+    cfg0 = SearchConfig(beam_size_1=beam, beam_size_2=beam, topk=topk,
+                        max_q_len=24, max_q_sp_len=80, chunk_rows=32)
+    s0 = load_searcher(index_dir, tok, model, params, cfg0)
+    gaps = []
+    for st in range(0, len(rows), bsz):
+        qs = questions[st:st + bsz]
+        qs_p = qs + [qs[-1]] * (bsz - len(qs))
+        q_inputs = tok.encode_batch_one(qs_p, 24)
+        raw = [tok.raw_ids_padded(q, 76) for q in qs_p]
+        out = s0.search(q_inputs, np.stack([r[0] for r in raw]),
+                        np.array([r[1] for r in raw]))
+        d1 = out["hop1_cand_scores"][:len(qs)]
+        gaps.append((d1.max(1, keepdims=True) - d1).reshape(-1))
+    gaps = np.concatenate(gaps)
+    gaps = gaps[gaps > 0]
+    for q_pct in (25, 50, 75, 90):
+        margin = float(np.percentile(gaps, q_pct))
         r = run(margin)
-        res[f"margin_{margin}"] = r
-        print(f"== margin {margin}: {r}", flush=True)
+        res[f"margin_p{q_pct}_{margin:.3f}"] = r
+        print(f"== margin p{q_pct} ({margin:.3f}): {r}", flush=True)
 
     out = os.environ.get("PRUNE_OUT", "/tmp/prune_sweep_result.json")
     with open(out, "w") as f:

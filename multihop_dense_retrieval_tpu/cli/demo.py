@@ -52,7 +52,8 @@ class DemoPipeline:
                            max_q_sp_len=args.max_q_sp_len,
                            chunk_rows=args.chunk_rows,
                            hop2_buckets=h2b, hop2_tile_fracs=h2f,
-                           hop2_prune_margin=args.hop2_prune_margin,
+                           hop2_prune_margin=getattr(args, 'hop2_prune_margin',
+                                                     0.0),
                            use_pca=getattr(args, "pca", False),
                            pca_k_chunks=getattr(args, "pca_k_chunks", 8))
         self.searcher = load_searcher(args.index_dir, self.r_tok, r_model,

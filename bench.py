@@ -912,7 +912,32 @@ def _run(n_docs):
             # candidate pruning at that margin (quality curve on trained
             # weights: scripts_dev/prune_sweep.py)
             b4_batch = _env("MDRT_BENCH_B4BATCH", min(batch, 192))
-            b4_margin = float(os.environ.get("MDRT_BENCH_B4_PRUNE", "0"))
+            b4_prune = os.environ.get("MDRT_BENCH_B4_PRUNE", "0")
+            if b4_prune == "auto":
+                # quality-neutral margin = the MEDIAN per-question
+                # (top1 - score) hop-1 gap (prune sweep on trained weights:
+                # 37.5% rows pruned, identical P-EM/PR — PERF.md).  One
+                # probe batch on the unpruned engine measures it here.
+                s_probe = build_searcher(index, 4, 4, 4, (), (),
+                                         use_pca=pca_ok)
+                pq = nprng.randint(10, cfg.vocab_size - 1,
+                                   size=(b4_batch, q_width)).astype(np.int32)
+                pl = nprng.randint(12, 39, size=(b4_batch,))
+                pm = (np.arange(q_width)[None, :]
+                      < pl[:, None]).astype(np.int32)
+                pout = s_probe.search(
+                    {"input_ids": pq, "attention_mask": pm},
+                    pq[:, :q_width - 2],
+                    np.maximum(pl - 2, 1).astype(np.int64))
+                gaps = (pout["hop1_cand_scores"].max(1, keepdims=True)
+                        - pout["hop1_cand_scores"]).reshape(-1)
+                b4_margin = float(np.median(gaps[gaps > 0]))
+                del s_probe
+                gc.collect()
+                print(f"# beam4 prune margin auto = {b4_margin:.4f} "
+                      f"(median hop-1 gap)", file=sys.stderr)
+            else:
+                b4_margin = float(b4_prune)
             s4 = build_searcher(index, 4, 4, 4, b4_buckets, b4_fracs,
                                 use_pca=pca_ok, prune_margin=b4_margin)
             dt4, c4, _ = _timed_search(s4, params, 4, b4_batch, reps,
@@ -920,7 +945,7 @@ def _run(n_docs):
             dt4 -= tunnel_s
             extras["beam4_qps"] = round(reps * b4_batch / dt4, 1)
             if b4_margin > 0:
-                extras["beam4_prune_margin"] = b4_margin
+                extras["beam4_prune_margin"] = round(b4_margin, 4)
             print(f"# beam4: compile {c4:.0f}s, steady {dt4/reps*1000:.1f} "
                   f"ms/batch (batch={b4_batch}, prune={b4_margin})",
                   file=sys.stderr)

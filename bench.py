@@ -735,6 +735,10 @@ def _orchestrate():
             last_err, backoff = err, backoff0   # tunnel flaked mid-run
             print(f"# child hit backend error; will retry: "
                   f"{_tail(err, 160)}", file=sys.stderr, flush=True)
+            # a flapping tunnel can pass the probe then kill the child —
+            # without this sleep that loop burns the budget on jax imports
+            time.sleep(min(backoff0,
+                           max(deadline - time.monotonic() - min_run, 1)))
             continue
         # a real (non-backend) failure: retrying can't fix it — report it
         if parsed is not None:
@@ -748,7 +752,11 @@ def _main():
     platform = os.environ.get("MDRT_BENCH_PLATFORM")
     if platform:
         jax.config.update("jax_platforms", platform)
-    if _env("MDRT_BENCH_POISON", 0):      # test hook: forced child failure
+    poison = os.environ.get("MDRT_BENCH_POISON")
+    if poison:                            # test hook: forced child failure
+        if poison == "backend":           # mimic a mid-run tunnel death
+            raise RuntimeError("UNAVAILABLE: TPU backend setup/compile "
+                               "error (poisoned by MDRT_BENCH_POISON)")
         raise RuntimeError("poisoned by MDRT_BENCH_POISON")
     n_docs = _env("MDRT_BENCH_N", 5_242_880)
     for attempt in range(3):

@@ -85,3 +85,22 @@ def test_orchestrator_success_path_tiny_cpu():
     assert "error" not in parsed
     assert parsed["value"] > 0
     assert parsed["metric"] == "2hop_beam_search_queries_per_sec"
+
+
+def test_midrun_backend_death_is_retried():
+    """A child that dies with a backend-down error (tunnel flake AFTER the
+    probe passed) must be retried with backoff, and budget exhaustion must
+    still end in the honest JSON line."""
+    rc, last, err = _run_bench({
+        "MDRT_BENCH_PLATFORM": "cpu",       # probes succeed
+        "MDRT_BENCH_POISON": "backend",     # child dies with UNAVAILABLE
+        "MDRT_BENCH_WATCHDOG_S": "45",
+        "MDRT_BENCH_MIN_RUN_S": "5",
+        "MDRT_BENCH_RETRY_BACKOFF_S": "1",
+        "MDRT_BENCH_PROBE_TIMEOUT_S": "30",
+    }, timeout=240)
+    parsed = json.loads(last)
+    assert rc != 0
+    assert parsed["value"] == 0.0
+    assert "UNAVAILABLE" in parsed["error"]
+    assert err.count("will retry") >= 2, "child was not retried"

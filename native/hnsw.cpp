@@ -48,6 +48,10 @@
 #include <omp.h>
 #endif
 
+#if defined(__AVX2__) && defined(__FMA__)
+#include <immintrin.h>
+#endif
+
 namespace {
 
 // Adjacency slots are written by locked inserters while traversed lock-free
@@ -112,10 +116,57 @@ struct HNSW {
   int cap(int level) const { return level == 0 ? 2 * M : M; }
   const float* vec(int i) const { return data.data() + (size_t)i * dim; }
 
+  // Inner product, the build/search hot op (~10^5 calls per insert once
+  // reverse-link re-selection kicks in).  A single-accumulator reduction is
+  // a serial FP dependency chain the compiler may NOT reassociate without
+  // -ffast-math, so the naive loop runs scalar at ~1 FLOP per 4 cycles.
+  // Four independent accumulators break the chain explicitly (a fixed,
+  // deterministic summation order — just a different one than the serial
+  // loop); with AVX2+FMA that is 32 FLOPs/cycle peak.  Measured: 10k x 768
+  // M=32 efc=200 build 542 s -> 33 s on this host (PERF.md).
   float ip(const float* a, const float* b) const {
-    float s = 0.f;
-    for (int i = 0; i < dim; ++i) s += a[i] * b[i];
+    int i = 0;
+#if defined(__AVX2__) && defined(__FMA__)
+    __m256 acc0 = _mm256_setzero_ps(), acc1 = _mm256_setzero_ps();
+    __m256 acc2 = _mm256_setzero_ps(), acc3 = _mm256_setzero_ps();
+    for (; i + 32 <= dim; i += 32) {
+      acc0 = _mm256_fmadd_ps(_mm256_loadu_ps(a + i),
+                             _mm256_loadu_ps(b + i), acc0);
+      acc1 = _mm256_fmadd_ps(_mm256_loadu_ps(a + i + 8),
+                             _mm256_loadu_ps(b + i + 8), acc1);
+      acc2 = _mm256_fmadd_ps(_mm256_loadu_ps(a + i + 16),
+                             _mm256_loadu_ps(b + i + 16), acc2);
+      acc3 = _mm256_fmadd_ps(_mm256_loadu_ps(a + i + 24),
+                             _mm256_loadu_ps(b + i + 24), acc3);
+    }
+    for (; i + 8 <= dim; i += 8)
+      acc0 = _mm256_fmadd_ps(_mm256_loadu_ps(a + i),
+                             _mm256_loadu_ps(b + i), acc0);
+    __m256 acc = _mm256_add_ps(_mm256_add_ps(acc0, acc1),
+                               _mm256_add_ps(acc2, acc3));
+    __m128 h = _mm_add_ps(_mm256_castps256_ps128(acc),
+                          _mm256_extractf128_ps(acc, 1));
+    h = _mm_add_ps(h, _mm_movehl_ps(h, h));
+    h = _mm_add_ss(h, _mm_shuffle_ps(h, h, 1));
+    float s = _mm_cvtss_f32(h);
+#else
+    float s0 = 0.f, s1 = 0.f, s2 = 0.f, s3 = 0.f;
+    for (; i + 4 <= dim; i += 4) {
+      s0 += a[i] * b[i];
+      s1 += a[i + 1] * b[i + 1];
+      s2 += a[i + 2] * b[i + 2];
+      s3 += a[i + 3] * b[i + 3];
+    }
+    float s = (s0 + s1) + (s2 + s3);
+#endif
+    for (; i < dim; ++i) s += a[i] * b[i];
     return s;
+  }
+
+  // first 256 B of a vector row: enough to cover the FMA loop's startup
+  // latency; the hardware prefetcher streams the rest of the row
+  static void prefetch_row(const float* p) {
+    for (int o = 0; o < 64; o += 16) __builtin_prefetch(p + o, 0, 3);
   }
 
   int* nbrs(int level, int node) {
@@ -163,16 +214,27 @@ struct HNSW {
     candidates.push({s0, start});
     vt.mark(start);
 
+    std::vector<int> fresh;            // unseen neighbors of the popped node
+    fresh.reserve(cap(level));
     while (!candidates.empty()) {
       auto [cs, cid] = candidates.top();
       candidates.pop();
       if ((int)results.size() >= ef && cs < results.top().first) break;
       const int* nb = neighbors[level].data() + (size_t)cid * cap(level);
+      // pass 1: filter the adjacency through the visited table (cheap,
+      // cache-resident) and kick off prefetches for the rows pass 2 will
+      // score — the row fetches then overlap the FMA loops instead of
+      // serializing one DRAM round-trip per neighbor
+      fresh.clear();
       for (int j = 0; j < cap(level); ++j) {
         int cand = slot_ld(nb + j);
         if (cand < 0) break;
         if (vt.seen(cand)) continue;
         vt.mark(cand);
+        prefetch_row(vec(cand));
+        fresh.push_back(cand);
+      }
+      for (int cand : fresh) {
         float s = ip(q, vec(cand));
         if ((int)results.size() < ef || s > results.top().first) {
           results.push({s, cand});

@@ -31,9 +31,15 @@ D = int(os.environ.get("HNSW_SCALE_D", 768))
 M = int(os.environ.get("HNSW_SCALE_M", 32))
 EFC = int(os.environ.get("HNSW_SCALE_EFC", 200))  # reference efConstruction
 NQ = int(os.environ.get("HNSW_SCALE_NQ", 512))
-BATCH = 50_000                                    # reference buffer_size
+BATCH = int(os.environ.get("HNSW_SCALE_BATCH", 10_000))
 OUT = os.environ.get("HNSW_SCALE_OUT", "/tmp/hnsw_scale_result.json")
 IDX_PATH = os.environ.get("HNSW_SCALE_IDX", "/tmp/hnsw_1m.bin")
+# Milestones at which we pause the build, measure recall/qps over the rows
+# built so far, and append a complete evidence record — so a wall-clock cap
+# still yields a full result at the largest finished milestone.
+CHECKPOINTS = tuple(
+    int(x) for x in os.environ.get(
+        "HNSW_SCALE_CKPTS", "250000,500000,1000000").split(",") if int(x) <= N)
 
 
 def log(msg):
@@ -56,52 +62,63 @@ def main():
     queries = (centers[rng.randint(0, nc, NQ)]
                + 0.35 * rng.randn(NQ, D)).astype(np.float32)
 
+    def evaluate(idx, n_built, build_s):
+        """Exact ground truth over the first n_built rows, then recall/qps."""
+        log(f"[ckpt {n_built}] exact ground truth (blocked matmul)...")
+        t0 = time.time()
+        k = 10
+        best_scores = np.full((NQ, k), -np.inf, np.float32)
+        best_ids = np.zeros((NQ, k), np.int64)
+        for s in range(0, n_built, 200_000):
+            e = min(s + 200_000, n_built)
+            sc = queries @ data[s:e].T
+            cand = np.concatenate([best_scores, sc], axis=1)
+            cid = np.concatenate(
+                [best_ids, np.broadcast_to(np.arange(s, e), (NQ, e - s))],
+                axis=1)
+            top = np.argpartition(-cand, k - 1, axis=1)[:, :k]
+            r = np.arange(NQ)[:, None]
+            best_scores, best_ids = cand[r, top], cid[r, top]
+        exact_sets = [set(row) for row in best_ids]
+        log(f"[ckpt {n_built}] ground truth in {time.time() - t0:.0f}s")
+
+        res = {"n": n_built, "d": D, "M": M, "ef_construction": EFC,
+               "build_s": round(build_s, 1), "threads": 1,
+               "recall_at_10": {}, "serving_qps": {}}
+        for ef in (64, 128, 256):
+            t0 = time.time()
+            _, ids = idx.search(queries, k, ef_search=ef)
+            dt = time.time() - t0
+            rec = float(np.mean([len(set(ids[i]) & exact_sets[i]) / k
+                                 for i in range(NQ)]))
+            res["recall_at_10"][str(ef)] = round(rec, 4)
+            res["serving_qps"][str(ef)] = round(NQ / dt, 1)
+            log(f"[ckpt {n_built}] ef={ef}: recall@10={rec:.4f}, "
+                f"{NQ / dt:.1f} q/s")
+        return res
+
     idx = HNSWIndex(D, M=M, ef_construction=EFC, seed=0)
-    t0 = time.time()
+    results = []
+    build_s = 0.0          # accumulated build-only wall-clock (excl. evals)
+    next_ckpt = iter(sorted(set(CHECKPOINTS) | {N}))
+    ckpt = next(next_ckpt)
+    t_batch0 = time.time()
     for s in range(0, N, BATCH):
         e = min(s + BATCH, N)
-        idx.add(data[s:e])
-        el = time.time() - t0
-        log(f"built {e}/{N} rows in {el:.0f}s "
-            f"({e / el:.0f} rows/s, eta {(N - e) / max(e / el, 1):.0f}s)")
-    build_s = time.time() - t0
-    log(f"BUILD DONE: {build_s:.1f}s")
-    idx.save(IDX_PATH)
-    log(f"saved to {IDX_PATH}")
-
-    log("exact ground truth (blocked matmul)...")
-    t0 = time.time()
-    k = 10
-    best_scores = np.full((NQ, k), -np.inf, np.float32)
-    best_ids = np.zeros((NQ, k), np.int64)
-    for s in range(0, N, 200_000):
-        e = min(s + 200_000, N)
-        sc = queries @ data[s:e].T
-        cand = np.concatenate([best_scores, sc], axis=1)
-        cid = np.concatenate(
-            [best_ids, np.broadcast_to(np.arange(s, e), (NQ, e - s))], axis=1)
-        top = np.argpartition(-cand, k - 1, axis=1)[:, :k]
-        r = np.arange(NQ)[:, None]
-        best_scores, best_ids = cand[r, top], cid[r, top]
-    exact_sets = [set(row) for row in best_ids]
-    log(f"ground truth in {time.time() - t0:.0f}s")
-
-    res = {"n": N, "d": D, "M": M, "ef_construction": EFC,
-           "build_s": round(build_s, 1), "threads": 1,
-           "recall_at_10": {}, "serving_qps": {}}
-    for ef in (64, 128, 256):
         t0 = time.time()
-        _, ids = idx.search(queries, k, ef_search=ef)
-        dt = time.time() - t0
-        rec = float(np.mean([len(set(ids[i]) & exact_sets[i]) / k
-                             for i in range(NQ)]))
-        res["recall_at_10"][str(ef)] = round(rec, 4)
-        res["serving_qps"][str(ef)] = round(NQ / dt, 1)
-        log(f"ef={ef}: recall@10={rec:.4f}, {NQ / dt:.1f} q/s")
-
-    with open(OUT, "w") as f:
-        json.dump(res, f, indent=1)
-    log(f"RESULT {json.dumps(res)}")
+        idx.add(data[s:e])
+        build_s += time.time() - t0
+        log(f"built {e}/{N} rows, build-time {build_s:.0f}s "
+            f"({e / build_s:.0f} rows/s, eta {(N - e) / max(e / build_s, 1):.0f}s)")
+        while ckpt is not None and e >= ckpt:
+            results.append(evaluate(idx, e, build_s))
+            idx.save(IDX_PATH)
+            with open(OUT, "w") as f:
+                json.dump(results, f, indent=1)
+            log(f"[ckpt {e}] saved index + results")
+            ckpt = next(next_ckpt, None)
+    log(f"BUILD DONE: {build_s:.1f}s (total wall {time.time() - t_batch0:.1f}s)")
+    log(f"RESULT {json.dumps(results)}")
 
 
 if __name__ == "__main__":

@@ -65,6 +65,9 @@ Env overrides: MDRT_BENCH_N (index rows), MDRT_BENCH_BATCH, MDRT_BENCH_BEAM,
 MDRT_BENCH_REPS, MDRT_BENCH_LAYERS (encoder depth), MDRT_BENCH_DTYPE
 (int8|bf16), MDRT_BENCH_BUCKETS + MDRT_BENCH_TILE_FRACS ("off" disables),
 MDRT_BENCH_B4_BUCKETS/MDRT_BENCH_B4_FRACS (beam-4-specific tile tuning),
+MDRT_BENCH_B4_PRUNE (hop-2 candidate pruning margin for the extra
+beam4_pruned_qps figure: "auto" [default] = median hop-1 gap, float = pinned,
+"0" = skip),
 MDRT_BENCH_BEAM4 / MDRT_BENCH_BF16 / MDRT_BENCH_PCA / MDRT_BENCH_READER /
 MDRT_BENCH_E2E (0 disables that extra), MDRT_BENCH_FAST=1 (headline only).
 """
@@ -274,9 +277,11 @@ def _make_index(n_pad, n_docs, d, dtype, factor, rot=None,
 def _timed_search(searcher, params, beam, batch, reps, q_width, vocab_size,
                   rng):
     """Scan REPS batches of realistic-length questions inside one jit.
-    Returns (dt, compile_s, cert2_frac) — cert2_frac is the measured hop-2
-    exactness-certificate fraction when the engine's PCA tier ran, else
-    None."""
+    Returns (dt, compile_s, cert2_frac, hop1_scores) — cert2_frac is the
+    measured hop-2 exactness-certificate fraction when the engine's PCA
+    tier ran (else None); hop1_scores is the (reps, batch, beam) hop-1
+    candidate-score tensor from the timed run, used by the beam-4 stage to
+    derive the auto prune margin without an extra engine compile."""
     q_lens = rng.randint(12, 39, size=(reps, batch))
     qids = jax.random.randint(jax.random.PRNGKey(3), (reps, batch, q_width),
                               10, vocab_size - 1, jnp.int32)
@@ -297,11 +302,12 @@ def _timed_search(searcher, params, beam, batch, reps, q_width, vocab_size,
             cert = out.get("pca_cert2")
             cm = (cacc + cert.astype(jnp.float32).mean()
                   if cert is not None else cacc)
-            return (acc + out["path_scores"].sum(), cm), None
-        (acc, cm), _ = jax.lax.scan(
+            return ((acc + out["path_scores"].sum(), cm),
+                    out["hop1_cand_scores"])
+        (acc, cm), h1 = jax.lax.scan(
             body, (jnp.float32(0), jnp.float32(0)),
             (qids, qmask, raw_ids, raw_lens))
-        return acc, cm
+        return acc, cm, h1
 
     has_cert = "pca_proj" in searcher._store and searcher._pca_on_hop(2)
     store = searcher._store
@@ -309,11 +315,45 @@ def _timed_search(searcher, params, beam, batch, reps, q_width, vocab_size,
     _ = np.asarray(run(params, store, qids, qmask, raw_ids, raw_lens)[0])
     compile_s = time.time() - t_c0
     t0 = time.perf_counter()
-    _, cm = run(params, store, qids, qmask, raw_ids, raw_lens)
+    _, cm, h1 = run(params, store, qids, qmask, raw_ids, raw_lens)
     cm = np.asarray(cm)
     dt = time.perf_counter() - t0
     cert_frac = float(cm) / reps if has_cert else None
-    return dt, compile_s, cert_frac
+    return dt, compile_s, cert_frac, np.asarray(h1)
+
+
+def _hnsw_bench(d=768, m=32, efc=200, nq=256, ef=128):
+    """Native HNSW serving path (host CPU, no TPU involved): build rate,
+    search q/s, and recall@10 vs exact on clustered data at the reference's
+    efConstruction=200 / efSearch=128 (eval_mhop_retrieval.py:100-102; our
+    M=32 vs the reference's FAISS M=512 — see native/hnsw.cpp).  Small n
+    keeps this stage ~1 min; reference-scale evidence lives in PERF.md
+    (scripts_dev/hnsw_scale_run.py)."""
+    from multihop_dense_retrieval_tpu.index.hnsw import HNSWIndex
+    n = _env("MDRT_BENCH_HNSW_N", 10_000)
+    rng = np.random.RandomState(7)
+    nc = max(n // 32, 4)
+    centers = rng.randn(nc, d).astype(np.float32)
+    data = (centers[rng.randint(0, nc, n)]
+            + 0.35 * rng.randn(n, d).astype(np.float32))
+    q = (centers[rng.randint(0, nc, nq)]
+         + 0.35 * rng.randn(nq, d).astype(np.float32))
+    idx = HNSWIndex(d, M=m, ef_construction=efc, seed=0)
+    t0 = time.time()
+    idx.add(data)
+    build_s = time.time() - t0
+    t0 = time.time()
+    _, ids = idx.search(q, 10, ef_search=ef)
+    qps = nq / (time.time() - t0)
+    exact = np.argpartition(-(q @ data.T), 9, axis=1)[:, :10]
+    rec = float(np.mean([len(set(ids[i]) & set(exact[i])) / 10
+                         for i in range(nq)]))
+    print(f"# hnsw: build {build_s:.1f}s ({n/build_s:.0f} rows/s), search "
+          f"{qps:.0f} q/s, recall@10 {rec:.3f} (n={n}, host CPU)",
+          file=sys.stderr)
+    return {"hnsw_build_rows_per_sec": round(n / build_s, 1),
+            "hnsw_search_qps": round(qps, 1),
+            "hnsw_recall_at_10": round(rec, 4)}
 
 
 def _reader_bench(tunnel_s, b=32, reps=8):
@@ -808,6 +848,7 @@ def _run(n_docs):
     run_pca = (not fast) and _env("MDRT_BENCH_PCA", 1) and dtype == "int8"
     run_reader = (not fast) and _env("MDRT_BENCH_READER", 1)
     run_e2e = (not fast) and _env("MDRT_BENCH_E2E", 1)
+    run_hnsw = (not fast) and _env("MDRT_BENCH_HNSW", 1)
     max_q_sp_len, text_len = 350, 300
     q_width = 40  # static question width: fits the 12-38-token question
     # distribution + specials (host-side q_width_multiple bucketing serves
@@ -860,7 +901,7 @@ def _run(n_docs):
             bf16_index = _make_index(n_pad, n_docs, d, "bf16", factor)
             s_bf = build_searcher(bf16_index, beam, beam, beam, buckets,
                                   tile_fracs)
-            dtb, cb, _ = _timed_search(s_bf, params, beam, batch, reps,
+            dtb, cb, _, _ = _timed_search(s_bf, params, beam, batch, reps,
                                        q_width, cfg.vocab_size, nprng)
             dtb -= tunnel_s
             extras["bf16_exact_qps"] = round(reps * batch / dtb, 1)
@@ -876,7 +917,7 @@ def _run(n_docs):
                         rot=rot if run_pca else None)
 
     searcher = build_searcher(index, beam, beam, beam, buckets, tile_fracs)
-    dt, compile_s, _ = _timed_search(searcher, params, beam, batch, reps,
+    dt, compile_s, _, _ = _timed_search(searcher, params, beam, batch, reps,
                                      q_width, cfg.vocab_size, nprng)
     dt -= tunnel_s
     plain_qps = reps * batch / dt
@@ -891,7 +932,8 @@ def _run(n_docs):
         try:
             s_pca = build_searcher(index, beam, beam, beam, buckets,
                                    tile_fracs, use_pca=True)
-            dtp, cp, cert = _timed_search(s_pca, params, beam, batch, reps,
+            dtp, cp, cert, _ = _timed_search(s_pca, params, beam, batch,
+                                             reps,
                                           q_width, cfg.vocab_size, nprng)
             dtp -= tunnel_s
             pca_qps = reps * batch / dtp
@@ -916,47 +958,47 @@ def _run(n_docs):
         try:
             # sweep (scripts_dev/beam4_sweep.py): batch 192 + 6-tile split
             # 920.1 q/s vs 846.8 at the old batch-96 5-tile default.
-            # MDRT_BENCH_B4_PRUNE > 0 additionally measures adaptive
-            # candidate pruning at that margin (quality curve on trained
-            # weights: scripts_dev/prune_sweep.py)
+            # MDRT_BENCH_B4_PRUNE (default "auto") additionally measures
+            # adaptive candidate pruning as beam4_pruned_qps: "auto"
+            # derives the quality-neutral margin — the MEDIAN per-question
+            # (top1 - score) hop-1 gap, where the trained-weights sweep
+            # (scripts_dev/prune_sweep.py) measured 37.5% of rows pruned
+            # with identical P-EM/PR — from the unpruned timed run's own
+            # hop-1 scores (no extra compile); a float pins the margin;
+            # "0" skips the pruned measurement.  beam4_qps stays the
+            # UNpruned figure, comparable across rounds.
             b4_batch = _env("MDRT_BENCH_B4BATCH", min(batch, 192))
-            b4_prune = os.environ.get("MDRT_BENCH_B4_PRUNE", "0")
+            b4_prune = os.environ.get("MDRT_BENCH_B4_PRUNE", "auto")
+            s4 = build_searcher(index, 4, 4, 4, b4_buckets, b4_fracs,
+                                use_pca=pca_ok)
+            dt4, c4, _, h1 = _timed_search(s4, params, 4, b4_batch, reps,
+                                           q_width, cfg.vocab_size, nprng)
+            dt4 -= tunnel_s
+            extras["beam4_qps"] = round(reps * b4_batch / dt4, 1)
+            print(f"# beam4: compile {c4:.0f}s, steady {dt4/reps*1000:.1f} "
+                  f"ms/batch (batch={b4_batch})", file=sys.stderr)
             if b4_prune == "auto":
-                # quality-neutral margin = the MEDIAN per-question
-                # (top1 - score) hop-1 gap (prune sweep on trained weights:
-                # 37.5% rows pruned, identical P-EM/PR — PERF.md).  One
-                # probe batch on the unpruned engine measures it here.
-                s_probe = build_searcher(index, 4, 4, 4, (), (),
-                                         use_pca=pca_ok)
-                pq = nprng.randint(10, cfg.vocab_size - 1,
-                                   size=(b4_batch, q_width)).astype(np.int32)
-                pl = nprng.randint(12, 39, size=(b4_batch,))
-                pm = (np.arange(q_width)[None, :]
-                      < pl[:, None]).astype(np.int32)
-                pout = s_probe.search(
-                    {"input_ids": pq, "attention_mask": pm},
-                    pq[:, :q_width - 2],
-                    np.maximum(pl - 2, 1).astype(np.int64))
-                gaps = (pout["hop1_cand_scores"].max(1, keepdims=True)
-                        - pout["hop1_cand_scores"]).reshape(-1)
+                gaps = (h1.max(-1, keepdims=True) - h1).reshape(-1)
                 b4_margin = float(np.median(gaps[gaps > 0]))
-                del s_probe
-                gc.collect()
                 print(f"# beam4 prune margin auto = {b4_margin:.4f} "
                       f"(median hop-1 gap)", file=sys.stderr)
             else:
                 b4_margin = float(b4_prune)
-            s4 = build_searcher(index, 4, 4, 4, b4_buckets, b4_fracs,
-                                use_pca=pca_ok, prune_margin=b4_margin)
-            dt4, c4, _ = _timed_search(s4, params, 4, b4_batch, reps,
-                                       q_width, cfg.vocab_size, nprng)
-            dt4 -= tunnel_s
-            extras["beam4_qps"] = round(reps * b4_batch / dt4, 1)
             if b4_margin > 0:
+                del s4
+                s4 = None
+                gc.collect()
+                s4 = build_searcher(index, 4, 4, 4, b4_buckets, b4_fracs,
+                                    use_pca=pca_ok, prune_margin=b4_margin)
+                dt4p, c4p, _, _ = _timed_search(s4, params, 4, b4_batch,
+                                                reps, q_width,
+                                                cfg.vocab_size, nprng)
+                dt4p -= tunnel_s
+                extras["beam4_pruned_qps"] = round(reps * b4_batch / dt4p, 1)
                 extras["beam4_prune_margin"] = round(b4_margin, 4)
-            print(f"# beam4: compile {c4:.0f}s, steady {dt4/reps*1000:.1f} "
-                  f"ms/batch (batch={b4_batch}, prune={b4_margin})",
-                  file=sys.stderr)
+                print(f"# beam4 pruned: compile {c4p:.0f}s, steady "
+                      f"{dt4p/reps*1000:.1f} ms/batch (margin={b4_margin})",
+                      file=sys.stderr)
         except Exception as e:
             errors["beam4"] = repr(e)[:200]
         finally:
@@ -975,7 +1017,7 @@ def _run(n_docs):
             lat_reps = max(reps, 32)
             s_lat = build_searcher(index, beam, beam, beam, buckets,
                                    tile_fracs, use_pca=pca_ok)
-            dtl, cl, _ = _timed_search(s_lat, params, beam, lat_batch,
+            dtl, cl, _, _ = _timed_search(s_lat, params, beam, lat_batch,
                                        lat_reps, q_width, cfg.vocab_size,
                                        nprng)
             dtl -= tunnel_s
@@ -1007,6 +1049,12 @@ def _run(n_docs):
             extras.update(_reader_bench(tunnel_s))
         except Exception as e:
             errors["reader"] = repr(e)[:200]
+
+    if run_hnsw:
+        try:
+            extras.update(_hnsw_bench())
+        except Exception as e:
+            errors["hnsw"] = repr(e)[:200]
 
     if errors:
         extras["extra_errors"] = errors

@@ -792,6 +792,15 @@ def _main():
     platform = os.environ.get("MDRT_BENCH_PLATFORM")
     if platform:
         jax.config.update("jax_platforms", platform)
+    # Persistent compilation cache: the axon backend serializes executables
+    # (verified: cache HITS through the tunnel), so one warm run makes every
+    # later run — in particular the driver's end-of-round run — skip the
+    # ~5-min remote compiles.  Round 3 lost its number to a tunnel death
+    # inside exactly that window; shrinking the window is the cheapest
+    # resilience we can buy.  MDRT_BENCH_COMPILE_CACHE=off disables.
+    from multihop_dense_retrieval_tpu.core.compile_cache import \
+        enable_compile_cache
+    enable_compile_cache(os.environ.get("MDRT_BENCH_COMPILE_CACHE"))
     poison = os.environ.get("MDRT_BENCH_POISON")
     if poison:                            # test hook: forced child failure
         if poison == "backend":           # mimic a mid-run tunnel death

@@ -17,6 +17,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..core.compile_cache import enable_compile_cache
 from ..core.config import EncoderConfig
 from ..data.tokenization import HashTokenizer, HFTokenizer
 from ..models import MhopRetriever, UnifiedRetriever
@@ -24,6 +25,10 @@ from ..models import convert
 
 
 def setup_logging(output_dir: Optional[str] = None) -> logging.Logger:
+    # every CLI funnels through here (or add_pipeline_args) before first
+    # device use — the one spot to arm the persistent compile cache so a
+    # restart never repays the multi-minute remote compile
+    enable_compile_cache()
     logger = logging.getLogger("mdr_tpu")
     logger.setLevel(logging.INFO)
     if not logger.handlers:
@@ -78,6 +83,7 @@ def add_pipeline_args(p):
     """Arguments that construct a `DemoPipeline` (retriever + reader + live
     index) — shared by the demo REPL and the HTTP server so the two flag
     surfaces cannot drift."""
+    enable_compile_cache()  # serve/demo skip setup_logging; arm it here too
     p.add_argument("index_dir")
     p.add_argument("--tokenizer", default="hash")
     p.add_argument("--retriever-model", default="roberta-base")

@@ -1,3 +1,4 @@
+from .compile_cache import enable_compile_cache
 from .config import (
     EncoderConfig,
     RetrieverTrainConfig,
@@ -7,6 +8,7 @@ from .config import (
 from .mesh import make_mesh, local_device_count
 
 __all__ = [
+    "enable_compile_cache",
     "EncoderConfig",
     "RetrieverTrainConfig",
     "SearchConfig",

@@ -67,9 +67,13 @@ def test_child_exception_emits_honest_json():
 
 
 @pytest.mark.slow
-def test_orchestrator_success_path_tiny_cpu():
+def test_orchestrator_success_path_tiny_cpu(tmp_path):
     """Probe → child → headline JSON with no error key, on a 4k-doc CPU
-    run of the real pipeline (~40s incl. compile)."""
+    run of the real pipeline (~40s incl. compile).  Also pins the
+    persistent-compile-cache wiring: the run must populate the cache dir
+    (the driver's end-of-round TPU run relies on a warm cache to dodge the
+    ~5-min remote-compile window that lost round 3's number)."""
+    cache = tmp_path / "compile_cache"
     rc, last, _ = _run_bench({
         "MDRT_BENCH_PLATFORM": "cpu",
         "MDRT_BENCH_N": "4096",
@@ -79,12 +83,15 @@ def test_orchestrator_success_path_tiny_cpu():
         "MDRT_BENCH_FAST": "1",
         "MDRT_BENCH_MIN_RUN_S": "5",
         "MDRT_BENCH_WATCHDOG_S": "900",
+        "MDRT_BENCH_COMPILE_CACHE": str(cache),
     }, timeout=600)
     parsed = json.loads(last)
     assert rc == 0
     assert "error" not in parsed
     assert parsed["value"] > 0
     assert parsed["metric"] == "2hop_beam_search_queries_per_sec"
+    assert cache.exists() and any(cache.iterdir()), \
+        "persistent compile cache was not populated"
 
 
 def test_midrun_backend_death_is_retried():

@@ -339,3 +339,28 @@ def test_resolve_hop2_tiling_flags():
                          "--hop2-tile-fracs", "0.99,0.005,0.005"])
     with pytest.raises(ValueError, match="empty tile"):
         common.resolve_hop2_tiling(args, 64, 128)
+
+
+def test_enable_compile_cache(tmp_path, monkeypatch):
+    """The persistent-compile-cache helper must populate its directory on a
+    fresh compile (min_compile_secs=0 forces even trivial entries) and
+    respect the "off" sentinel + env-var resolution order."""
+    import jax
+    import jax.numpy as jnp
+
+    from multihop_dense_retrieval_tpu.core.compile_cache import \
+        enable_compile_cache
+
+    assert enable_compile_cache("off") is None
+    monkeypatch.setenv("MDRT_COMPILE_CACHE", "off")
+    assert enable_compile_cache() is None
+
+    cache = tmp_path / "cc"
+    assert enable_compile_cache(str(cache), min_compile_secs=0.0) == str(cache)
+    x = jnp.arange(64, dtype=jnp.float32)
+    # a fresh lambda each call → new python-level cache key → real compile
+    jax.jit(lambda v: (v * 3 + 1).sum())(x).block_until_ready()
+    assert cache.exists() and any(cache.iterdir()), \
+        "compile cache dir was not populated"
+    # restore a harmless default for the rest of the suite
+    enable_compile_cache("/tmp/mdrt_jax_cache")

@@ -45,7 +45,10 @@ in extra_errors rather than killing the headline):
     pipeline measured in one jit per batch (beam-5 retrieval, 25 chains
     read by the ELECTRA-large reader with span decode): one-stage reads
     every chain at 512; two-stage ranks all chains at a narrow width and
-    reads only the top-5 fully (eval/qa_eval.py::predict rank_topm).
+    reads only the top-5 fully (eval/qa_eval.py::predict rank_topm);
+  * train_ex_per_sec — the reference-budget contrastive train step
+    (roberta-base, 6 views, Adam+clip+warmup) scanned in one jit;
+  * hnsw_* — the native host-side HNSW tier (build rate, q/s, recall).
 
 vs_baseline derivation (the reference publishes no throughput numbers —
 BASELINE.md): the reference pipeline at beam 1 / batch 100 on a V100 does
@@ -69,7 +72,9 @@ MDRT_BENCH_B4_PRUNE (hop-2 candidate pruning margin for the extra
 beam4_pruned_qps figure: "auto" [default] = median hop-1 gap, float = pinned,
 "0" = skip),
 MDRT_BENCH_BEAM4 / MDRT_BENCH_BF16 / MDRT_BENCH_PCA / MDRT_BENCH_READER /
-MDRT_BENCH_E2E (0 disables that extra), MDRT_BENCH_FAST=1 (headline only).
+MDRT_BENCH_E2E / MDRT_BENCH_TRAIN (0 disables that extra),
+MDRT_BENCH_TRAIN_B/_TRAIN_REPS/_TRAIN_REMAT (train-stage shape),
+MDRT_BENCH_FAST=1 (headline only).
 """
 
 import gc
@@ -419,6 +424,71 @@ def _reader_bench(tunnel_s, b=32, reps=8):
     fixed = time_width(b, 512)
     return {"reader_chains_per_sec": round(n / total, 1),
             "reader_fixed512_chains_per_sec": round(b / fixed, 1)}
+
+
+def _train_bench(tunnel_s):
+    """Contrastive mhop train-step throughput at the reference budget
+    (train_mhop.py:166-190: roberta-base, 6 views at q 70 / q_sp 350 /
+    c 300, Adam + no-decay groups + clip-2.0 + linear warmup).  B=16 is
+    roughly one accelerator's share of the reference's batch-150-on-8-V100
+    run (README.md:147).  REPS full steps (fwd + bwd + clip + Adam) are
+    scanned inside ONE jit and the final loss transferred, same timing
+    discipline as every other stage.  MDRT_BENCH_TRAIN_B / _TRAIN_REPS /
+    _TRAIN_REMAT override (remat trades ~30% step time for activation
+    memory; off by default — B=16 fits beside the resident index)."""
+    import optax
+
+    from multihop_dense_retrieval_tpu.core.config import RetrieverTrainConfig
+    from multihop_dense_retrieval_tpu.train import losses
+    from multihop_dense_retrieval_tpu.train import trainer as T
+
+    b = _env("MDRT_BENCH_TRAIN_B", 16)
+    reps = _env("MDRT_BENCH_TRAIN_REPS", 4)
+    layers = _env("MDRT_BENCH_LAYERS", 12)
+    remat = bool(_env("MDRT_BENCH_TRAIN_REMAT", 0))
+    cfg = EncoderConfig.roberta_base(num_layers=layers)
+    # cls_only + optional remat: exactly cli/common.init_retriever's
+    # construction (the train CLIs' path) — cls_only grads are identical
+    # (non-CLS last-layer outputs never reach the loss)
+    model = MhopRetriever(cfg, cls_only=True, remat=remat)
+    tcfg = RetrieverTrainConfig(batch_size=b)
+    tx = T.make_optimizer(tcfg, 1000)
+    rng = np.random.RandomState(11)
+    batch = {}
+    for name, l in (("q", tcfg.max_q_len), ("q_sp", tcfg.max_q_sp_len),
+                    ("c1", tcfg.max_c_len), ("c2", tcfg.max_c_len),
+                    ("neg1", tcfg.max_c_len), ("neg2", tcfg.max_c_len)):
+        batch[f"{name}_input_ids"] = jnp.asarray(
+            rng.randint(5, cfg.vocab_size - 5, size=(b, l)), jnp.int32)
+        batch[f"{name}_mask"] = jnp.ones((b, l), jnp.int32)
+    params = model.init(jax.random.PRNGKey(11), batch)
+    state = T.TrainState.create(params, tx)
+
+    def loss_fn(p, bt):
+        return losses.mhop_loss(model.apply(p, bt))
+
+    @jax.jit
+    def run(st, bt):
+        def body(carry, _):
+            loss, grads = jax.value_and_grad(loss_fn)(carry.params, bt)
+            updates, opt_state = tx.update(grads, carry.opt_state,
+                                           carry.params)
+            return T.TrainState(
+                params=optax.apply_updates(carry.params, updates),
+                opt_state=opt_state, step=carry.step + 1), loss
+        st, ls = jax.lax.scan(body, st, None, length=reps)
+        return ls[-1]
+
+    t0 = time.perf_counter()
+    np.asarray(run(state, batch))          # compile + warm
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    loss = float(np.asarray(run(state, batch)))
+    dt = time.perf_counter() - t0 - tunnel_s
+    assert np.isfinite(loss), f"train bench produced non-finite loss {loss}"
+    print(f"# train: compile {compile_s:.0f}s, {dt / reps * 1000:.1f} "
+          f"ms/step at B={b} (remat={int(remat)})", file=sys.stderr)
+    return {"train_ex_per_sec": round(b * reps / dt, 1)}
 
 
 def _bucketed_score(score_fn, net, buckets, full_width):
@@ -858,6 +928,7 @@ def _run(n_docs):
     run_reader = (not fast) and _env("MDRT_BENCH_READER", 1)
     run_e2e = (not fast) and _env("MDRT_BENCH_E2E", 1)
     run_hnsw = (not fast) and _env("MDRT_BENCH_HNSW", 1)
+    run_train = (not fast) and _env("MDRT_BENCH_TRAIN", 1)
     max_q_sp_len, text_len = 350, 300
     q_width = 40  # static question width: fits the 12-38-token question
     # distribution + specials (host-side q_width_multiple bucketing serves
@@ -1051,6 +1122,15 @@ def _run(n_docs):
             errors["end2end"] = repr(e)[:200]
         finally:
             del s5
+            gc.collect()
+
+    if run_train:
+        try:
+            extras.update(_train_bench(tunnel_s))
+        except Exception as e:
+            errors["train"] = repr(e)[:200]
+        finally:
+            jax.clear_caches()   # drop the fwd+bwd program + Adam state
             gc.collect()
 
     if run_reader:

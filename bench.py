@@ -1126,6 +1126,14 @@ def _run(n_docs):
 
     if run_train:
         try:
+            # the train stage needs the HBM the serving state occupies
+            # (B=16 fwd+bwd + Adam ≈ 8 GB next to the 7.5 GB int8 index
+            # OOMs — measured, and the debris then broke the reader stage
+            # too).  Nothing after e2e touches the index, so drop every
+            # serving-side device array first.
+            del searcher, index, text_ids, text_lens, empty, params
+            jax.clear_caches()
+            gc.collect()
             extras.update(_train_bench(tunnel_s))
         except Exception as e:
             errors["train"] = repr(e)[:200]

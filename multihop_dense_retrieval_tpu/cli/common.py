@@ -135,7 +135,11 @@ def add_rank_args(p):
                         "tokens, run the full span/sp pass on the top-m per "
                         "question (0 = read every chain fully, the "
                         "reference behavior)")
-    p.add_argument("--rank-width", type=int, default=192)
+    p.add_argument("--rank-width", type=int, default=192,
+                   help="rank-pass token width; 160 measured +8%% q/s and "
+                        "fidelity-neutral on the trained-reader harness "
+                        "(docs/fidelity_r4.json) — validate on your data "
+                        "if evidence can fall past the width")
 
 
 def add_hop2_tiling_args(p):

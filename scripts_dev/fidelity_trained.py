@@ -9,7 +9,7 @@ This script trains a REAL (small) reader on synthetic-but-learnable QA data
 with the in-repo recipe (cli/train_qa), then measures, with the trained
 weights:
   * chain-EM and answer agreement of the two-stage read (rank_topm=5) at
-    rank_width ∈ {96, 128, 192} vs the one-stage full read;
+    rank_width ∈ {96, 128, 160, 192} vs the one-stage full read;
   * answer agreement of bf16 attention scores vs fp32.
 
     python scripts_dev/fidelity_trained.py            # CPU, ~10 min
@@ -144,7 +144,7 @@ def main():
         "comparisons against it would be meaningless")
     base_ans = base["best"]["answers"]
 
-    for w in (96, 128, 192):
+    for w in (96, 128, 160, 192):
         two = predict(pred_step, params, ds, batch_size=8,
                       rank_step=rank_step, rank_topm=5, rank_width=w)
         ans = two["best"]["answers"]

@@ -36,10 +36,18 @@ def enable_compile_cache(cache_dir: str | None = None,
     if not cache_dir or cache_dir == "off":
         return None
     try:
+        changed = (jax.config.jax_compilation_cache_dir != cache_dir)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         # entries cheaper than this recompile faster than they deserialize
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
                           float(min_compile_secs))
+        if changed:
+            # the cache backend binds its directory at first use; without a
+            # reset, re-arming with a different dir in an already-compiled
+            # process silently keeps writing to the old one
+            from jax._src import compilation_cache as _cc
+
+            _cc.reset_cache()
     except Exception as e:  # never let cache plumbing break the caller
         print(f"# compile cache unavailable: {str(e)[-120:]}",
               file=sys.stderr)

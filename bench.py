@@ -122,6 +122,26 @@ def measure_tunnel_overhead():
     return min(ts)
 
 
+def _min_time(fn, n=None):
+    """Best-of-n wall time of `fn()` (each call is one full dispatch+sync).
+
+    The axon tunnel occasionally stalls for seconds mid-run (observed: a
+    pca stage measuring 457 ms/batch where the surrounding stages and two
+    later reruns measured ~65 ms); a stall only ever ADDS latency, so the
+    min over a few repetitions recovers the true steady state.  Costs
+    (n-1) extra steady-state runs per stage — seconds, vs the minutes the
+    compile already takes.  MDRT_BENCH_TIMED_REPS overrides n.
+    Returns (best_seconds, last_result).
+    """
+    n = n or _env("MDRT_BENCH_TIMED_REPS", 3)
+    best, out = float("inf"), None
+    for _ in range(max(n, 1)):
+        t0 = time.perf_counter()
+        out = fn()
+        best = min(best, time.perf_counter() - t0)
+    return best, out
+
+
 def synth_doc_lens(rng, n, lo=20, hi=300):
     """Wiki-abstract-like token lengths: lognormal, mean ~100, clipped."""
     lens = np.exp(rng.normal(np.log(95.0), 0.55, size=n))
@@ -319,10 +339,12 @@ def _timed_search(searcher, params, beam, batch, reps, q_width, vocab_size,
     t_c0 = time.time()
     _ = np.asarray(run(params, store, qids, qmask, raw_ids, raw_lens)[0])
     compile_s = time.time() - t_c0
-    t0 = time.perf_counter()
-    _, cm, h1 = run(params, store, qids, qmask, raw_ids, raw_lens)
-    cm = np.asarray(cm)
-    dt = time.perf_counter() - t0
+
+    def timed():
+        _, cm, h1 = run(params, store, qids, qmask, raw_ids, raw_lens)
+        return np.asarray(cm), h1
+
+    dt, (cm, h1) = _min_time(timed)
     cert_frac = float(cm) / reps if has_cert else None
     return dt, compile_s, cert_frac, np.asarray(h1)
 
@@ -347,9 +369,8 @@ def _hnsw_bench(d=768, m=32, efc=200, nq=256, ef=128):
     t0 = time.time()
     idx.add(data)
     build_s = time.time() - t0
-    t0 = time.time()
-    _, ids = idx.search(q, 10, ef_search=ef)
-    qps = nq / (time.time() - t0)
+    dt, (_, ids) = _min_time(lambda: idx.search(q, 10, ef_search=ef))
+    qps = nq / dt
     exact = np.argpartition(-(q @ data.T), 9, axis=1)[:, :10]
     rec = float(np.mean([len(set(ids[i]) & set(exact[i])) / 10
                          for i in range(nq)]))
@@ -403,9 +424,8 @@ def _reader_bench(tunnel_s, b=32, reps=8):
             return acc
 
         np.asarray(run(params, nets))
-        t0 = time.perf_counter()
-        np.asarray(run(params, nets))
-        return (time.perf_counter() - t0 - tunnel_s) / reps
+        dt, _ = _min_time(lambda: np.asarray(run(params, nets)))
+        return (dt - tunnel_s) / reps
 
     rng = np.random.RandomState(3)
     n = 4096
@@ -482,9 +502,8 @@ def _train_bench(tunnel_s):
     t0 = time.perf_counter()
     np.asarray(run(state, batch))          # compile + warm
     compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    loss = float(np.asarray(run(state, batch)))
-    dt = time.perf_counter() - t0 - tunnel_s
+    dt, loss = _min_time(lambda: float(np.asarray(run(state, batch))))
+    dt -= tunnel_s
     assert np.isfinite(loss), f"train bench produced non-finite loss {loss}"
     print(f"# train: compile {compile_s:.0f}s, {dt / reps * 1000:.1f} "
           f"ms/step at B={b} (remat={int(remat)})", file=sys.stderr)
@@ -666,9 +685,8 @@ def _end2end_bench(searcher, params, enc_cfg, tunnel_s, rng, *,
         t_c = time.time()
         run_all()
         c_s = time.time() - t_c
-        t0 = time.perf_counter()
-        run_all()
-        dt = time.perf_counter() - t0 - tunnel_s
+        dt, _ = _min_time(run_all)
+        dt -= tunnel_s
         res[name] = round(reps * batch / dt, 1)
         print(f"# {name}: compile+warm {c_s:.0f}s, steady "
               f"{dt / reps * 1000:.1f} ms/batch (batch={batch}, beam={beam},"

@@ -130,10 +130,12 @@ def _min_time(fn, n=None):
     later reruns measured ~65 ms); a stall only ever ADDS latency, so the
     min over a few repetitions recovers the true steady state.  Costs
     (n-1) extra steady-state runs per stage — seconds, vs the minutes the
-    compile already takes.  MDRT_BENCH_TIMED_REPS overrides n.
+    compile already takes.  MDRT_BENCH_TIMED_REPS overrides n (the effective
+    value is recorded as timed_reps in the headline JSON so cross-round
+    comparisons can account for the methodology).
     Returns (best_seconds, last_result).
     """
-    n = n or _env("MDRT_BENCH_TIMED_REPS", 3)
+    n = _env("MDRT_BENCH_TIMED_REPS", 3) if n is None else n
     best, out = float("inf"), None
     for _ in range(max(n, 1)):
         t0 = time.perf_counter()
@@ -1182,6 +1184,7 @@ def _run(n_docs):
         "vs_baseline": round(headline_qps / BASELINE_QPS, 2),
         "baseline_qps_range": list(BASELINE_RANGE),
         "tunnel_correction_ms": round(tunnel_s * 1000, 1),
+        "timed_reps": _env("MDRT_BENCH_TIMED_REPS", 3),
         "hop2_buckets": list(buckets),
         **extras,
     }))

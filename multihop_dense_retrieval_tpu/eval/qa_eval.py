@@ -83,11 +83,23 @@ class _Subset:
 
 def rank_filter(rank_step: Callable, params, dataset: QADataset, *,
                 batch_size: int = 16, topm: int = 5,
-                rank_width: int = 192):
+                rank_width: Optional[int] = 192,
+                width_multiple: int = 64):
     """Stage 1 of the two-stage read: score EVERY chain with the rank head
-    at a fixed narrow width (one compiled shape), keep the top-m rows per
-    question.  Gold-labeled rows compete like any other — the filter is a
-    serving-path accelerator, not an oracle.
+    at a narrow width, keep the top-m rows per question.  Gold-labeled rows
+    compete like any other — the filter is a serving-path accelerator, not
+    an oracle.
+
+    The pass is LENGTH-BUCKETED like the full read (batches are length-
+    sorted; each batch's width is its max true length rounded up to
+    ``width_multiple``), so a chain whose batch width covers it is scored
+    WITHOUT truncation — equal to ranking it at full width up to ~1-ulp
+    float-rounding of XLA's width-dependent reduction tiling (pads are
+    masked out of attention).  ``rank_width`` caps the batch width: with the cap,
+    the set of truncated chains is identical to the old fixed-width pass
+    (only chains longer than the cap) at strictly lower cost; with
+    ``rank_width=None`` no chain is ever truncated and the kept set equals
+    a full-width rank pass's — fidelity-neutral by construction.
 
     Returns (kept dataset indices, {index: featurized sample} for the kept
     rows) — the samples were already built for the rank pass; memory stays
@@ -96,14 +108,19 @@ def rank_filter(rank_step: Callable, params, dataset: QADataset, *,
 
     best = collections.defaultdict(list)   # qid -> min-heap of (score, i)
     cache: Dict[int, Dict] = {}
-    idxs = list(range(len(dataset)))
+    idxs = sorted(range(len(dataset)),
+                  key=lambda i: _row_len_proxy(dataset.data[i]))
     for s in range(0, len(idxs), batch_size):
         chunk = idxs[s:s + batch_size]
         pad = batch_size - len(chunk)
         samples = [dataset[i] for i in chunk]
         batch = qa_collate(samples + samples[-1:] * pad)
         ni = batch["net_inputs"]
-        _truncate_width(ni, rank_width)
+        max_len = int(ni["attention_mask"].sum(1).max())
+        w = max(width_multiple, -(-max_len // width_multiple) * width_multiple)
+        if rank_width:
+            w = min(w, rank_width)
+        _truncate_width(ni, w)
         net = {k: jnp.asarray(v) for k, v in ni.items()}
         ranks = np.asarray(rank_step(params, net))
         for j, i in enumerate(chunk):
@@ -122,7 +139,7 @@ def predict(predict_step: Callable, params, dataset: QADataset, *,
             lambdas: Optional[List[float]] = None,
             length_sort: bool = True, width_multiple: int = 64,
             rank_step: Optional[Callable] = None, rank_topm: int = 0,
-            rank_width: int = 192) -> Dict:
+            rank_width: Optional[int] = 192) -> Dict:
     """Returns {"chain_em", "best": {...}, "per_lambda": {...}, "answers": ...}.
 
     length_sort + width_multiple: chains are batched by length and each
@@ -136,6 +153,9 @@ def predict(predict_step: Callable, params, dataset: QADataset, *,
     The reference reads every chain fully (scripts/train_qa.py:380-481);
     this trades an approximate pre-rank for most of the reader FLOPs —
     validated by rank-score correlation + chain-EM neutrality tests.
+    The rank pass is length-bucketed (see rank_filter): rank_width caps the
+    per-batch width (None = never truncate — exact w.r.t. a full-width
+    rank pass).
     """
     if rank_topm and rank_step is not None:
         keep, cache = rank_filter(rank_step, params, dataset,

@@ -33,7 +33,10 @@ EFC = int(os.environ.get("HNSW_SCALE_EFC", 200))  # reference efConstruction
 NQ = int(os.environ.get("HNSW_SCALE_NQ", 512))
 BATCH = int(os.environ.get("HNSW_SCALE_BATCH", 10_000))
 OUT = os.environ.get("HNSW_SCALE_OUT", "/tmp/hnsw_scale_result.json")
-IDX_PATH = os.environ.get("HNSW_SCALE_IDX", "/tmp/hnsw_1m.bin")
+# Per-milestone index files (hnsw_<n>.bin) so serving q/s can be re-measured
+# from disk on an idle host AFTER the build — the in-build serving numbers
+# are contended by whatever else shares this 1-core host (VERDICT r4 weak 1).
+IDX_PREFIX = os.environ.get("HNSW_SCALE_IDX_PREFIX", "/tmp/hnsw")
 # Milestones at which we pause the build, measure recall/qps over the rows
 # built so far, and append a complete evidence record — so a wall-clock cap
 # still yields a full result at the largest finished milestone.
@@ -61,6 +64,9 @@ def main():
         data[s:e] = centers[asn] + 0.35 * rng.randn(e - s, D).astype(np.float32)
     queries = (centers[rng.randint(0, nc, NQ)]
                + 0.35 * rng.randn(NQ, D)).astype(np.float32)
+    # saved so the post-build uncontended serving re-measure uses the SAME
+    # query set without replaying the full data-generation RNG stream
+    np.save(f"{IDX_PREFIX}_queries.npy", queries)
 
     def evaluate(idx, n_built, build_s):
         """Exact ground truth over the first n_built rows, then recall/qps."""
@@ -80,6 +86,7 @@ def main():
             r = np.arange(NQ)[:, None]
             best_scores, best_ids = cand[r, top], cid[r, top]
         exact_sets = [set(row) for row in best_ids]
+        np.save(f"{IDX_PREFIX}_gt_{n_built}.npy", best_ids)
         log(f"[ckpt {n_built}] ground truth in {time.time() - t0:.0f}s")
 
         res = {"n": n_built, "d": D, "M": M, "ef_construction": EFC,
@@ -112,7 +119,7 @@ def main():
             f"({e / build_s:.0f} rows/s, eta {(N - e) / max(e / build_s, 1):.0f}s)")
         while ckpt is not None and e >= ckpt:
             results.append(evaluate(idx, e, build_s))
-            idx.save(IDX_PATH)
+            idx.save(f"{IDX_PREFIX}_{e}.bin")
             with open(OUT, "w") as f:
                 json.dump(results, f, indent=1)
             log(f"[ckpt {e}] saved index + results")

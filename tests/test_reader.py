@@ -292,6 +292,47 @@ def test_two_stage_read_neutrality():
     assert all(v == 2 for v in per_q.values()) and len(per_q) == 3
 
 
+def test_bucketed_rank_pass_bit_matches_full_width():
+    """Length-bucketed rank pass (round-4 VERDICT #2): a chain scored at a
+    bucket width that covers its true length produces the same rank score
+    as the full-width pass up to float-rounding of XLA's width-dependent
+    reduction tiling (~1 ulp measured; pads are masked out of attention and
+    positions are absolute), and rank_width=None — never truncate — keeps
+    exactly the rows a full-width rank pass would keep."""
+    tok = _bert_tok()
+    cfg = EncoderConfig.tiny(vocab_size=512, max_position_embeddings=128,
+                             type_vocab_size=2, pad_token_id=0,
+                             roberta_positions=False)
+    model = QAReader(cfg, sp_pred=True)
+    rows = _mini_qa_rows()
+    ds = QADataset(tok, rows, max_seq_len=96, max_q_len=12,
+                   num_answer_slots=4, max_sents=8, train=False)
+    batch = qa_collate([ds[i] for i in range(4)])
+    net = {k: jnp.asarray(v) for k, v in batch["net_inputs"].items()}
+    params = model.init(jax.random.PRNGKey(1), net)
+    rank_step = TQA.make_qa_rank_step(model)
+
+    # direct match: score one batch at its rounded-up true width and at
+    # the full 96-token width — same floats row-for-row to rounding
+    from multihop_dense_retrieval_tpu.eval.qa_eval import rank_filter
+    max_len = int(np.asarray(net["attention_mask"]).sum(1).max())
+    w = -(-max_len // 16) * 16
+    assert w < 96, "rows must be genuinely shorter than full width"
+    narrow = {k: (v[:, :w] if v.ndim == 2 and v.shape[1] == 96 else v)
+              for k, v in net.items()}
+    np.testing.assert_allclose(np.asarray(rank_step(params, narrow)),
+                               np.asarray(rank_step(params, net)),
+                               rtol=1e-5, atol=1e-6)
+
+    # end to end through the filter: the uncapped bucketed pass keeps the
+    # same rows as a pass whose cap exceeds every chain (i.e. full width)
+    keep_exact, _ = rank_filter(rank_step, params, ds, batch_size=2, topm=2,
+                                rank_width=None, width_multiple=16)
+    keep_full, _ = rank_filter(rank_step, params, ds, batch_size=2, topm=2,
+                               rank_width=4096, width_multiple=96)
+    assert keep_exact == keep_full
+
+
 def test_qa_dataset_rejects_raw_hotpot_sp_in_train_mode():
     """Raw [title, sent_id] supporting_facts must raise at construction —
     silently producing zero training rows would train nothing and save

@@ -304,11 +304,14 @@ def _make_index(n_pad, n_docs, d, dtype, factor, rot=None,
 def _timed_search(searcher, params, beam, batch, reps, q_width, vocab_size,
                   rng):
     """Scan REPS batches of realistic-length questions inside one jit.
-    Returns (dt, compile_s, cert2_frac, hop1_scores) — cert2_frac is the
-    measured hop-2 exactness-certificate fraction when the engine's PCA
-    tier ran (else None); hop1_scores is the (reps, batch, beam) hop-1
-    candidate-score tensor from the timed run, used by the beam-4 stage to
-    derive the auto prune margin without an extra engine compile."""
+    Returns (dt, compile_s, cert2_frac, hop1_scores, stop_probs) —
+    cert2_frac is the measured hop-2 exactness-certificate fraction when
+    the engine's PCA tier ran (else None); hop1_scores is the (reps,
+    batch, beam) hop-1 candidate-score tensor from the timed run, used by
+    the beam-4 stage to derive the auto prune margin without an extra
+    engine compile; stop_probs is the matching (reps, batch, beam) tensor
+    for unified engines (else None), used by the variable-hop stage to
+    place its thresholds."""
     q_lens = rng.randint(12, 39, size=(reps, batch))
     qids = jax.random.randint(jax.random.PRNGKey(3), (reps, batch, q_width),
                               10, vocab_size - 1, jnp.int32)
@@ -329,12 +332,14 @@ def _timed_search(searcher, params, beam, batch, reps, q_width, vocab_size,
             cert = out.get("pca_cert2")
             cm = (cacc + cert.astype(jnp.float32).mean()
                   if cert is not None else cacc)
-            return ((acc + out["path_scores"].sum(), cm),
-                    out["hop1_cand_scores"])
-        (acc, cm), h1 = jax.lax.scan(
+            ys = {"h1": out["hop1_cand_scores"]}
+            if "stop_probs" in out:        # static: engine has a stop head
+                ys["stop"] = out["stop_probs"]
+            return ((acc + out["path_scores"].sum(), cm), ys)
+        (acc, cm), ys = jax.lax.scan(
             body, (jnp.float32(0), jnp.float32(0)),
             (qids, qmask, raw_ids, raw_lens))
-        return acc, cm, h1
+        return acc, cm, ys
 
     has_cert = "pca_proj" in searcher._store and searcher._pca_on_hop(2)
     store = searcher._store
@@ -343,12 +348,13 @@ def _timed_search(searcher, params, beam, batch, reps, q_width, vocab_size,
     compile_s = time.time() - t_c0
 
     def timed():
-        _, cm, h1 = run(params, store, qids, qmask, raw_ids, raw_lens)
-        return np.asarray(cm), h1
+        _, cm, ys = run(params, store, qids, qmask, raw_ids, raw_lens)
+        return np.asarray(cm), ys
 
-    dt, (cm, h1) = _min_time(timed)
+    dt, (cm, ys) = _min_time(timed)
     cert_frac = float(cm) / reps if has_cert else None
-    return dt, compile_s, cert_frac, np.asarray(h1)
+    stop = np.asarray(ys["stop"]) if "stop" in ys else None
+    return dt, compile_s, cert_frac, np.asarray(ys["h1"]), stop
 
 
 def _hnsw_bench(d=768, m=32, efc=200, nq=256, ef=128):
@@ -512,6 +518,88 @@ def _train_bench(tunnel_s):
     return {"train_ex_per_sec": round(b * reps / dt, 1)}
 
 
+def _qa_train_bench(tunnel_s):
+    """ELECTRA-large QA-reader train-step throughput — the reference's
+    HEAVIEST trainer (train_qa.py, README.md:217-236: electra-large
+    discriminator, train_batch_size 12 per device, max_seq_len 512,
+    sp-pred with sp_weight 0.05, Adam, fp16 + grad-accum 8 on V100s).
+    Here: the same micro-batch at 512 tokens, bf16 compute, remat'd
+    encoder layers instead of fp16-for-memory, full step (fwd + bwd +
+    clip + Adam) scanned REPS times inside one jit.  Runs AFTER the
+    serving index is freed — 334M params x (fp32 master + Adam moments)
+    plus activations need the HBM."""
+    import optax
+
+    from multihop_dense_retrieval_tpu.core.config import RetrieverTrainConfig
+    from multihop_dense_retrieval_tpu.models.reader import QAReader
+    from multihop_dense_retrieval_tpu.train import qa as TQA
+    from multihop_dense_retrieval_tpu.train import trainer as T
+
+    b = _env("MDRT_BENCH_QA_TRAIN_B", 12)
+    reps = _env("MDRT_BENCH_QA_TRAIN_REPS", 4)
+    L = _env("MDRT_BENCH_QA_TRAIN_LEN", 512)
+    remat = bool(_env("MDRT_BENCH_QA_TRAIN_REMAT", 1))
+    n_slots, n_sents = 10, 40
+    cfg = EncoderConfig.electra_large(
+        num_layers=_env("MDRT_BENCH_QA_LAYERS", 24),   # CPU smoke knob
+        attention_scores_dtype=os.environ.get("MDRT_BENCH_READER_SCORES",
+                                              "bfloat16"))
+    model = QAReader(cfg, sp_pred=True, remat=remat)
+    rng = np.random.RandomState(13)
+    ones = jnp.ones((b, L), jnp.int32)
+    batch = {
+        "input_ids": jnp.asarray(rng.randint(5, cfg.vocab_size - 5,
+                                             size=(b, L)), jnp.int32),
+        "attention_mask": ones,
+        "token_type_ids": jnp.zeros((b, L), jnp.int32),
+        "paragraph_mask": ones,
+        "sent_offsets": jnp.asarray(rng.randint(1, L, size=(b, n_sents)),
+                                    jnp.int32),
+        "sent_mask": jnp.ones((b, n_sents), jnp.int32),
+        "sent_labels": jnp.asarray(rng.randint(0, 2, size=(b, n_sents)),
+                                   jnp.int32),
+        "label": jnp.asarray(rng.randint(0, 2, size=(b,)), jnp.int32),
+        "starts": jnp.asarray(rng.randint(-1, L, size=(b, n_slots)),
+                              jnp.int32),
+        "ends": jnp.asarray(rng.randint(-1, L, size=(b, n_slots)),
+                            jnp.int32),
+    }
+    params = model.init(jax.random.PRNGKey(17),
+                        {k: v[:1] for k, v in batch.items()
+                         if k in ("input_ids", "attention_mask",
+                                  "token_type_ids", "paragraph_mask",
+                                  "sent_offsets", "sent_mask")})
+    tx = T.make_optimizer(RetrieverTrainConfig(batch_size=b,
+                                               learning_rate=5e-5), 1000)
+    state = T.TrainState.create(params, tx)
+
+    def loss_fn(p, bt):
+        return TQA.qa_loss(model.apply(p, bt), bt, sp_weight=0.05)
+
+    @jax.jit
+    def run(st, bt):
+        def body(carry, _):
+            loss, grads = jax.value_and_grad(loss_fn)(carry.params, bt)
+            updates, opt_state = tx.update(grads, carry.opt_state,
+                                           carry.params)
+            return T.TrainState(
+                params=optax.apply_updates(carry.params, updates),
+                opt_state=opt_state, step=carry.step + 1), loss
+        st, ls = jax.lax.scan(body, st, None, length=reps)
+        return ls[-1]
+
+    t0 = time.perf_counter()
+    np.asarray(run(state, batch))          # compile + warm
+    compile_s = time.perf_counter() - t0
+    dt, loss = _min_time(lambda: float(np.asarray(run(state, batch))))
+    dt -= tunnel_s
+    assert np.isfinite(loss), f"qa train bench non-finite loss {loss}"
+    print(f"# qa_train: compile {compile_s:.0f}s, {dt / reps * 1000:.1f} "
+          f"ms/step at B={b} L={L} (remat={int(remat)})", file=sys.stderr)
+    return {"qa_train_ex_per_sec": round(b * reps / dt, 1),
+            "qa_train_config": f"electra_large_b{b}_len{L}_remat{int(remat)}"}
+
+
 def _bucketed_score(score_fn, net, buckets, full_width):
     """Per-row scalar scores summed over length-sorted width tiles.
 
@@ -550,7 +638,7 @@ def _bucketed_score(score_fn, net, buckets, full_width):
 
 
 def _end2end_bench(searcher, params, enc_cfg, tunnel_s, rng, *,
-                   batch=16, reps=2, beam=5, topk=25, two_stage_m=5,
+                   batch=None, reps=2, beam=5, topk=None, two_stage_m=5,
                    rank_width=192, q_width=40):
     """MEASURED composed question→answer throughput, on chip.
 
@@ -568,8 +656,11 @@ def _end2end_bench(searcher, params, enc_cfg, tunnel_s, rng, *,
     from multihop_dense_retrieval_tpu.models.reader import QAReader
     from multihop_dense_retrieval_tpu.train.qa import decode_spans
 
+    batch = batch if batch is not None else _env("MDRT_BENCH_E2E_BATCH", 16)
+    topk = topk if topk is not None else _env("MDRT_BENCH_E2E_TOPK", 25)
     # bf16 scores by default — trained-reader-validated (PERF.md fidelity)
     rcfg = EncoderConfig.electra_large(
+        num_layers=_env("MDRT_BENCH_READER_LAYERS", 24),  # CPU smoke knob
         attention_scores_dtype=os.environ.get("MDRT_BENCH_READER_SCORES",
                                               "bfloat16"))
     reader = QAReader(rcfg, sp_pred=True)
@@ -659,6 +750,63 @@ def _end2end_bench(searcher, params, enc_cfg, tunnel_s, rng, *,
         net_m = {k: v[flat] for k, v in net.items()}
         return score_bucketed(rp, net_m)
 
+    # Length-bucketed RANK pass (round-4 VERDICT #2): the fixed-width rank
+    # pass truncates every chain longer than rank_width; this one scores
+    # tile t of the length-sorted rows at rank_buckets[t] (lax.cond
+    # fallback to full width), so a chain that fits its tile ranks
+    # UNtruncated — with the default exact tiling no chain is ever
+    # truncated and the kept set provably equals a full-width rank pass's
+    # (tests/test_reader.py::test_bucketed_rank_pass_bit_matches_full_width).
+    # MDRT_BENCH_RANK_BUCKETS overrides (capped tilings trade fidelity for
+    # speed exactly like the old fixed width); "off" skips the variant.
+    rb_env = os.environ.get("MDRT_BENCH_RANK_BUCKETS", "192,256,320,512")
+    rank_buckets = (tuple(int(x) for x in rb_env.split(","))
+                    if rb_env not in ("off", "") else ())
+
+    def ranks_bucketed(rp, net):
+        n = net["input_ids"].shape[0]
+        lens = net["attention_mask"].sum(1).astype(jnp.int32)
+        order = jnp.argsort(lens)
+        net_s = {k: v[order] for k, v in net.items()}
+        lens_s = lens[order]
+        ts = n // len(rank_buckets)
+        parts = []
+        for t, w in enumerate(rank_buckets):
+            sub = {k: v[t * ts:(t + 1) * ts] for k, v in net_s.items()}
+            if w >= 512:
+                parts.append(read_rows(rp, sub, 512)["rank_score"])
+            else:
+                tile_max = lens_s[(t + 1) * ts - 1]
+                parts.append(jax.lax.cond(
+                    tile_max <= w,
+                    lambda sub=sub, w=w: read_rows(rp, sub,
+                                                   w)["rank_score"],
+                    lambda sub=sub: read_rows(rp, sub, 512)["rank_score"]))
+        ranks_s = jnp.concatenate(parts).reshape(-1)
+        return jnp.zeros((n,), ranks_s.dtype).at[order].set(ranks_s)
+
+    @jax.jit
+    def read_two_stage_bkt(rp, net):
+        ranks = ranks_bucketed(rp, net)
+        _, sel = jax.lax.top_k(ranks.reshape(batch, topk), two_stage_m)
+        flat = (jnp.arange(batch, dtype=jnp.int32)[:, None] * topk
+                + sel).reshape(-1)
+        net_m = {k: v[flat] for k, v in net.items()}
+        return score_bucketed(rp, net_m)
+
+    @jax.jit
+    def read_retsel(rp, net):
+        # top-m by RETRIEVER chain rank: the beam engine's chains arrive
+        # sorted per question (lax.top_k), so selection costs nothing and
+        # the reader never ranks — the cheapest two-stage variant; its
+        # fidelity is measured by scripts_dev/fidelity_trained.py (retsel
+        # column), not assumed
+        flat = (jnp.arange(batch, dtype=jnp.int32)[:, None] * topk
+                + jnp.arange(two_stage_m, dtype=jnp.int32)[None, :]
+                ).reshape(-1)
+        net_m = {k: v[flat] for k, v in net.items()}
+        return score_bucketed(rp, net_m)
+
     q_lens = rng.randint(12, 39, size=(reps, batch))
     qids = np.random.RandomState(9).randint(
         10, enc_cfg.vocab_size - 1,
@@ -670,9 +818,15 @@ def _end2end_bench(searcher, params, enc_cfg, tunnel_s, rng, *,
            jnp.asarray(np.maximum(q_lens[r] - 2, 1).astype(np.int32)))
           for r in range(reps)]
 
+    variants = [("end2end_qps", read_one_stage),
+                ("end2end_2stage_qps", read_two_stage)]
+    if rank_buckets and (batch * topk) % len(rank_buckets) == 0:
+        variants.append(("end2end_2stage_bkt_qps", read_two_stage_bkt))
+    if _env("MDRT_BENCH_E2E_RETSEL", 1):
+        variants.append(("end2end_retsel_qps", read_retsel))
+
     res = {}
-    for name, read_j in (("end2end_qps", read_one_stage),
-                         ("end2end_2stage_qps", read_two_stage)):
+    for name, read_j in variants:
 
         def run_all():
             accs = []
@@ -695,7 +849,8 @@ def _end2end_bench(searcher, params, enc_cfg, tunnel_s, rng, *,
               f" topk={topk})", file=sys.stderr)
     res["end2end_config"] = (f"beam{beam}_top{topk}_readbkt"
                              f"{'-'.join(map(str, read_buckets))}"
-                             f"_2stage{two_stage_m}@{rank_width}")
+                             f"_2stage{two_stage_m}@{rank_width}"
+                             f"_rankbkt{'-'.join(map(str, rank_buckets))}")
     return res
 
 
@@ -949,6 +1104,8 @@ def _run(n_docs):
     run_e2e = (not fast) and _env("MDRT_BENCH_E2E", 1)
     run_hnsw = (not fast) and _env("MDRT_BENCH_HNSW", 1)
     run_train = (not fast) and _env("MDRT_BENCH_TRAIN", 1)
+    run_qa_train = (not fast) and _env("MDRT_BENCH_QA_TRAIN", 1)
+    run_unified = (not fast) and _env("MDRT_BENCH_UNIFIED", 1)
     max_q_sp_len, text_len = 350, 300
     q_width = 40  # static question width: fits the 12-38-token question
     # distribution + specials (host-side q_width_multiple bucketing serves
@@ -1001,7 +1158,7 @@ def _run(n_docs):
             bf16_index = _make_index(n_pad, n_docs, d, "bf16", factor)
             s_bf = build_searcher(bf16_index, beam, beam, beam, buckets,
                                   tile_fracs)
-            dtb, cb, _, _ = _timed_search(s_bf, params, beam, batch, reps,
+            dtb, cb, _, _, _ = _timed_search(s_bf, params, beam, batch, reps,
                                        q_width, cfg.vocab_size, nprng)
             dtb -= tunnel_s
             extras["bf16_exact_qps"] = round(reps * batch / dtb, 1)
@@ -1017,7 +1174,7 @@ def _run(n_docs):
                         rot=rot if run_pca else None)
 
     searcher = build_searcher(index, beam, beam, beam, buckets, tile_fracs)
-    dt, compile_s, _, _ = _timed_search(searcher, params, beam, batch, reps,
+    dt, compile_s, _, _, _ = _timed_search(searcher, params, beam, batch, reps,
                                      q_width, cfg.vocab_size, nprng)
     dt -= tunnel_s
     plain_qps = reps * batch / dt
@@ -1032,7 +1189,7 @@ def _run(n_docs):
         try:
             s_pca = build_searcher(index, beam, beam, beam, buckets,
                                    tile_fracs, use_pca=True)
-            dtp, cp, cert, _ = _timed_search(s_pca, params, beam, batch,
+            dtp, cp, cert, _, _ = _timed_search(s_pca, params, beam, batch,
                                              reps,
                                           q_width, cfg.vocab_size, nprng)
             dtp -= tunnel_s
@@ -1071,7 +1228,7 @@ def _run(n_docs):
             b4_prune = os.environ.get("MDRT_BENCH_B4_PRUNE", "auto")
             s4 = build_searcher(index, 4, 4, 4, b4_buckets, b4_fracs,
                                 use_pca=pca_ok)
-            dt4, c4, _, h1 = _timed_search(s4, params, 4, b4_batch, reps,
+            dt4, c4, _, h1, _ = _timed_search(s4, params, 4, b4_batch, reps,
                                            q_width, cfg.vocab_size, nprng)
             dt4 -= tunnel_s
             extras["beam4_qps"] = round(reps * b4_batch / dt4, 1)
@@ -1090,7 +1247,7 @@ def _run(n_docs):
                 gc.collect()
                 s4 = build_searcher(index, 4, 4, 4, b4_buckets, b4_fracs,
                                     use_pca=pca_ok, prune_margin=b4_margin)
-                dt4p, c4p, _, _ = _timed_search(s4, params, 4, b4_batch,
+                dt4p, c4p, _, _, _ = _timed_search(s4, params, 4, b4_batch,
                                                 reps, q_width,
                                                 cfg.vocab_size, nprng)
                 dt4p -= tunnel_s
@@ -1105,6 +1262,78 @@ def _run(n_docs):
             del s4
             gc.collect()
 
+    if run_unified:
+        s_u = None
+        try:
+            # Variable-hop (UnifiedRetriever) serving at the beam-4 config
+            # (round-4 VERDICT #5): measures what the stop-skip cascade
+            # (SearchConfig.stop_skip_threshold) saves when questions stop
+            # after hop 1.  The reference trained this head but never
+            # served it (unified_retriever.py:23).  Thresholds are placed
+            # at quantiles of the engine's OWN top-1 stop probabilities so
+            # the measured stop rates are controlled (~0/30/60%) regardless
+            # of where the head's output distribution sits.
+            from multihop_dense_retrieval_tpu.models import UnifiedRetriever
+
+            u_batch = _env("MDRT_BENCH_UNIFIED_BATCH", min(batch, 192))
+            u_model = UnifiedRetriever(cfg)
+            u_params = u_model.init(
+                jax.random.PRNGKey(21), jnp.ones((1, 8), jnp.int32),
+                jnp.ones((1, 8), jnp.int32), method=u_model.encode_qsp)
+
+            def build_u(thr):
+                scfg = SearchConfig(
+                    beam_size_1=4, beam_size_2=4, topk=4,
+                    max_q_len=q_width, max_q_sp_len=max_q_sp_len,
+                    chunk_rows=chunk, use_pallas=True,
+                    hop2_buckets=b4_buckets, hop2_tile_fracs=b4_fracs,
+                    use_pca=pca_ok, stop_skip_threshold=thr)
+                return BeamSearcher(
+                    encode_fn=lambda p, ids, mask, tt=None: u_model.apply(
+                        p, ids, mask, tt, method=u_model.encode_seq),
+                    encode_qsp_fn=lambda p, ids, mask, tt=None: u_model.apply(
+                        p, ids, mask, tt, method=u_model.encode_qsp),
+                    params=u_params, index=index, text_ids=text_ids,
+                    text_lens=text_lens, empty=empty, spec=spec,
+                    config=scfg, mesh=None)
+
+            s_u = build_u(0.0)
+            dtu, cu, _, h1u, stopu = _timed_search(
+                s_u, u_params, 4, u_batch, reps, q_width, cfg.vocab_size,
+                nprng)
+            dtu -= tunnel_s
+            extras["unified_qps_stop0"] = round(reps * u_batch / dtu, 1)
+            print(f"# unified stop0: compile {cu:.0f}s, steady "
+                  f"{dtu/reps*1000:.1f} ms/batch (batch={u_batch})",
+                  file=sys.stderr)
+            # top-1 stop probabilities decide stopping — threshold at the
+            # (1 - rate) quantile yields the target stop rate
+            top_slot = h1u.argmax(-1)
+            p_top = np.take_along_axis(stopu, top_slot[..., None],
+                                       axis=-1).reshape(-1)
+            for rate in (30, 60):
+                thr = float(np.quantile(p_top, 1 - rate / 100))
+                del s_u
+                s_u = None
+                gc.collect()
+                s_u = build_u(thr)
+                dts, cs, _, _, _ = _timed_search(
+                    s_u, u_params, 4, u_batch, reps, q_width,
+                    cfg.vocab_size, nprng)
+                dts -= tunnel_s
+                eff = float((p_top >= thr).mean())
+                extras[f"unified_qps_stop{rate}"] = round(
+                    reps * u_batch / dts, 1)
+                extras[f"unified_stop{rate}_rate"] = round(eff, 3)
+                print(f"# unified stop{rate}: compile {cs:.0f}s, steady "
+                      f"{dts/reps*1000:.1f} ms/batch (thr={thr:.4f}, "
+                      f"measured rate {eff:.2f})", file=sys.stderr)
+        except Exception as e:
+            errors["unified"] = repr(e)[:200]
+        finally:
+            del s_u
+            gc.collect()
+
     if run_latency:
         s_lat = None
         try:
@@ -1117,7 +1346,7 @@ def _run(n_docs):
             lat_reps = max(reps, 32)
             s_lat = build_searcher(index, beam, beam, beam, buckets,
                                    tile_fracs, use_pca=pca_ok)
-            dtl, cl, _, _ = _timed_search(s_lat, params, beam, lat_batch,
+            dtl, cl, _, _, _ = _timed_search(s_lat, params, beam, lat_batch,
                                        lat_reps, q_width, cfg.vocab_size,
                                        nprng)
             dtl -= tunnel_s
@@ -1136,7 +1365,9 @@ def _run(n_docs):
         try:
             # buckets off: 40 hop-2 rows would make 8-row tiles, and
             # per-tile fixed costs beat token savings at that size (PERF.md)
-            s5 = build_searcher(index, 5, 5, 25, (), (), use_pca=pca_ok)
+            e2e_topk = _env("MDRT_BENCH_E2E_TOPK", 25)
+            s5 = build_searcher(index, 5, 5, e2e_topk, (), (),
+                                use_pca=pca_ok)
             extras.update(_end2end_bench(s5, params, cfg, tunnel_s, nprng))
         except Exception as e:
             errors["end2end"] = repr(e)[:200]
@@ -1144,21 +1375,31 @@ def _run(n_docs):
             del s5
             gc.collect()
 
+    if run_train or run_qa_train:
+        # the train stages need the HBM the serving state occupies
+        # (B=16 fwd+bwd + Adam ≈ 8 GB next to the 7.5 GB int8 index
+        # OOMs — measured, and the debris then broke the reader stage
+        # too).  Nothing after e2e touches the index, so drop every
+        # serving-side device array first.
+        del searcher, index, text_ids, text_lens, empty, params
+        jax.clear_caches()
+        gc.collect()
     if run_train:
         try:
-            # the train stage needs the HBM the serving state occupies
-            # (B=16 fwd+bwd + Adam ≈ 8 GB next to the 7.5 GB int8 index
-            # OOMs — measured, and the debris then broke the reader stage
-            # too).  Nothing after e2e touches the index, so drop every
-            # serving-side device array first.
-            del searcher, index, text_ids, text_lens, empty, params
-            jax.clear_caches()
-            gc.collect()
             extras.update(_train_bench(tunnel_s))
         except Exception as e:
             errors["train"] = repr(e)[:200]
         finally:
             jax.clear_caches()   # drop the fwd+bwd program + Adam state
+            gc.collect()
+
+    if run_qa_train:
+        try:
+            extras.update(_qa_train_bench(tunnel_s))
+        except Exception as e:
+            errors["qa_train"] = repr(e)[:200]
+        finally:
+            jax.clear_caches()   # drop the 334M-param train state
             gc.collect()
 
     if run_reader:

@@ -208,6 +208,11 @@ def main(argv=None):
     p.add_argument("--stop-threshold", type=float, default=0.5,
                    help="P(single-hop) above which the top chain is emitted "
                         "as one passage (--unified only)")
+    p.add_argument("--stop-skip", type=float, default=0.0,
+                   help="device-side early stop (--unified only): questions "
+                        "whose best hop-1 pair reaches this P(stop) skip the "
+                        "hop-2 encode of their remaining candidates tile-"
+                        "wise (SearchConfig.stop_skip_threshold); 0 = off")
     p.add_argument("--pca", action="store_true",
                    help="PCA-prefiltered MIPS (index must be built with "
                         "encode_corpus --pca-dims): faster search with "
@@ -245,8 +250,12 @@ def main(argv=None):
                        hop2_buckets=h2b, hop2_tile_fracs=h2f,
                        hop2_prune_margin=args.hop2_prune_margin,
                        use_pca=args.pca, pca_k_chunks=args.pca_k_chunks,
-                       pca_hops=args.pca_hops)
+                       pca_hops=args.pca_hops,
+                       stop_skip_threshold=args.stop_skip)
     corpus = Corpus.from_id2doc(os.path.join(args.index_dir, "id2doc.json"))
+    if args.stop_skip > 0 and not args.unified:
+        p.error("--stop-skip needs --unified (the stop head lives on the "
+                "UnifiedRetriever's q⊕p encoder)")
     if args.pca and args.hnsw:
         p.error("--pca is a device tier (not with --hnsw)")
     if args.hnsw:

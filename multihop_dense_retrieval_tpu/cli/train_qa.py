@@ -37,7 +37,7 @@ READER_PRESETS = {
 
 
 def init_reader(model_name: str, checkpoint: str, sp_pred: bool, seed: int = 0,
-                scores_dtype: str = "float32"):
+                scores_dtype: str = "float32", remat: bool = False):
     """scores_dtype="bfloat16" keeps attention scores/softmax in bf16 —
     measured on-chip at +1.5%/+5%/+11% reader throughput for widths
     256/384/512 (PERF.md), and validated with TRAINED weights: a reader
@@ -46,7 +46,7 @@ def init_reader(model_name: str, checkpoint: str, sp_pred: bool, seed: int = 0,
     scores (scripts_dev/fidelity_trained.py).  Serving CLIs default to
     bf16 (--reader-fp32-scores reverts)."""
     cfg = READER_PRESETS[model_name](attention_scores_dtype=scores_dtype)
-    model = QAReader(cfg, sp_pred=sp_pred)
+    model = QAReader(cfg, sp_pred=sp_pred, remat=remat)
     if checkpoint.endswith(".pt"):
         from ..models import convert
         sd = convert.load_torch_state_dict(checkpoint)
@@ -92,6 +92,10 @@ def main(argv=None):
                         "train/qa.py) — sweep upward (1-10) when chasing "
                         "its sp_em/sp_f1")
     p.add_argument("--no-sp", action="store_true")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize encoder layers in the backward pass "
+                        "(ELECTRA-large at 512 tokens on one chip needs it; "
+                        "replaces the reference's fp16+grad-accum recipe)")
     p.add_argument("--fixed-lambda", type=float, default=None)
     common.add_rank_args(p)
     p.add_argument("--seed", type=int, default=42)
@@ -101,7 +105,7 @@ def main(argv=None):
     sp_pred = not args.no_sp
     tok = common.resolve_tokenizer(args.tokenizer, roberta_style=False)
     _, model, params = init_reader(args.model_name, args.checkpoint, sp_pred,
-                                   args.seed)
+                                   args.seed, remat=args.remat)
     kw = dict(max_seq_len=args.max_seq_len, max_q_len=args.max_q_len,
               num_answer_slots=args.num_answer_slots, max_sents=args.max_sents)
     eval_ds = QADataset(tok, args.predict_file, train=False, **kw)

@@ -198,6 +198,21 @@ class SearchConfig:
     # tiling cannot reduce (PERF.md).  Quality: margin sweeps on trained
     # weights in scripts_dev/prune_sweep.py.
     hop2_prune_margin: float = 0.0
+    # Device-side variable-hop early stop (UnifiedRetriever serving; 0.0
+    # disables).  Requires an engine built with encode_qsp_fn.  The stop
+    # head consumes the q⊕p encoding (reference unified_retriever.py:49-53),
+    # so the decision is a CASCADE inside the one jitted program: each
+    # question's BEST hop-1 pair is encoded first (B rows, full width);
+    # questions whose P(stop) reaches this threshold mark their remaining
+    # beam1-1 candidate rows inactive, and the main hop-2 encode skips them
+    # tile-wise exactly like hop2_prune_margin rows (so the FLOP saving
+    # needs hop2_buckets; without buckets results are identical but nothing
+    # is skipped).  Stopped questions still emit their top-1 candidate's
+    # chains — the host layer (cli/eval_mhop_retrieval --unified
+    # --stop-threshold) decides whether to surface the single-passage
+    # answer, same as host-side stopping.  The reference trained this head
+    # but never served it; this makes it a measured serving capability.
+    stop_skip_threshold: float = 0.0
     # PCA-prefiltered MIPS (ops/mips.py::mips_topk_pca): requires an index
     # built with pca_dims (encode_corpus --pca-dims).  Search outputs gain
     # per-query exactness-certificate masks.  Composes with index sharding

@@ -28,9 +28,15 @@ NEG_INF = -1e30
 class QAReader(nn.Module):
     config: EncoderConfig
     sp_pred: bool = True
+    # rematerialize encoder layers in the backward pass: ELECTRA-large
+    # fwd+bwd at 512 tokens needs it to fit one chip's HBM next to Adam
+    # state (replaces the reference's fp16 + gradient_accumulation_steps=8
+    # memory recipe, README.md:217-236).  Param tree is unchanged.
+    remat: bool = False
 
     def setup(self):
-        self.encoder = TransformerEncoder(self.config, name="encoder")
+        self.encoder = TransformerEncoder(self.config, remat=self.remat,
+                                          name="encoder")
         self.pooler = nn.Dense(self.config.hidden_size, name="pooler",
                                dtype=jnp.float32)
         self.qa_outputs = nn.Dense(2, name="qa_outputs", dtype=jnp.float32)

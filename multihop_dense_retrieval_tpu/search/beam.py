@@ -133,6 +133,11 @@ class BeamSearcher:
 
     def __post_init__(self):
         cfg = self.config
+        if cfg.stop_skip_threshold > 0 and self.encode_qsp_fn is None:
+            raise ValueError(
+                "stop_skip_threshold needs an engine built with "
+                "encode_qsp_fn (the stop head lives on the q⊕p encoder) — "
+                "a plain engine would silently never stop")
         # the big arrays (index + token store) are explicit jit ARGUMENTS —
         # closing over them would bake gigabytes of constants into the
         # compiled program (and re-lower them on every trace)
@@ -455,7 +460,42 @@ class BeamSearcher:
             active = ((d1 >= top1 - cfg.hop2_prune_margin)
                       & (d1 > NEG_INF / 2)).reshape(-1)
         stop_probs = None
-        if self.encode_qsp_fn is not None:
+        if (self.encode_qsp_fn is not None
+                and cfg.stop_skip_threshold > 0):
+            # variable-hop early stop (cascade, cfg.stop_skip_threshold):
+            # pass 1 encodes each question's BEST hop-1 pair (B rows) for
+            # its stop probability; stopped questions mark their remaining
+            # candidate rows inactive so pass 2 skips them tile-wise.  The
+            # top row itself stays ACTIVE for chain masking (stopped
+            # questions keep their top-1 chains for the host layer) but is
+            # excluded from the pass-2 encode — its pass-1 results are
+            # scattered back in.  Skipped rows surface stop_prob 0.5
+            # (softmax of the zero logits the skipped tiles emit); their
+            # chains are NEG_INF so the host never consumes those values.
+            top_slot = jnp.argmax(d1, axis=1)                     # (B,)
+            row_idx = (jnp.arange(bsz, dtype=jnp.int32) * beam1
+                       + top_slot.astype(jnp.int32))
+            tt = qsp.get("token_type_ids")
+            vec_top, logits_top = self.encode_qsp_fn(
+                params, qsp["input_ids"][row_idx],
+                qsp["attention_mask"][row_idx],
+                None if tt is None else tt[row_idx])
+            p_stop_top = jax.nn.softmax(logits_top.astype(jnp.float32),
+                                        axis=-1)[:, 0]
+            stopped = p_stop_top >= cfg.stop_skip_threshold       # (B,)
+            is_top = (jnp.arange(beam1, dtype=jnp.int32)[None, :]
+                      == top_slot[:, None])                       # (B, beam1)
+            cont = jnp.where(stopped[:, None], is_top, True).reshape(-1)
+            active = cont if active is None else active & cont
+            enc_active = active & ~is_top.reshape(-1)
+            qsp_vec, stop_logits = self._encode_hop2(
+                params, qsp, encode=self.encode_qsp_fn, active=enc_active)
+            qsp_vec = qsp_vec.at[row_idx].set(vec_top.astype(qsp_vec.dtype))
+            stop_logits = stop_logits.at[row_idx].set(
+                logits_top.astype(stop_logits.dtype))
+            stop_probs = jax.nn.softmax(
+                stop_logits.astype(jnp.float32), axis=-1)[:, 0]
+        elif self.encode_qsp_fn is not None:
             # unified serving: stop head rides the same length-bucketed q⊕p
             # encode as the plain engine (_encode_hop2 handles the tuple
             # output leaf-wise), so --unified pays bucketed widths too

@@ -1,18 +1,28 @@
-"""Trained-weights fidelity validation for the speed knobs (VERDICT r3 #2).
+"""Trained-weights fidelity validation for the speed knobs.
 
-The two e2e accelerators shipped opt-in because random-init logits cannot
-validate ranking fidelity:
-  * two-stage read at --rank-width 128 (39.8 vs 27.3 q/s measured on chip);
-  * --reader-bf16-scores (+11% at W=512).
+Round-4 hardening (VERDICT r4 item 6): the r4 harness used 32 questions
+whose baseline chain-EM was 1.0 and could only BRACKET the rank-width
+boundary ("128 fails, 160 passes on this task").  This version:
 
-This script trains a REAL (small) reader on synthetic-but-learnable QA data
-with the in-repo recipe (cli/train_qa), then measures, with the trained
-weights:
-  * chain-EM and answer agreement of the two-stage read (rank_topm=5) at
-    rank_width ∈ {96, 128, 160, 192} vs the one-stage full read;
+  * >=256 held-out questions (FIDELITY_NQ_EVAL per offset group);
+  * the DISCRIMINATIVE evidence (key + answer sentence) is planted at a
+    controlled token offset per group, swept across {64..448}, so the
+    failure boundary of a truncating rank pass is LOCATED: a rank width w
+    can only rank chains whose evidence it can see, so agreement should
+    collapse for offset > w and hold for offset < w;
+  * near-miss negatives (key present in one passage, no answer) make the
+    task hard enough that baseline chain-EM < 1.0 — the harness has
+    discriminative power;
+  * the LENGTH-BUCKETED rank pass (rank_width=None, never truncates —
+    eval/qa_eval.py::rank_filter) is validated against the same matrix:
+    by construction it must track the full read at EVERY offset.
+
+Measures, with trained weights:
+  * per-(rank_width, offset) answer agreement + chain-EM of the two-stage
+    read (rank_topm=5) vs the one-stage full read;
   * answer agreement of bf16 attention scores vs fp32.
 
-    python scripts_dev/fidelity_trained.py            # CPU, ~10 min
+    python scripts_dev/fidelity_trained.py            # CPU, ~30 min
 
 Writes /tmp/fidelity_result.json; PERF.md records the outcome and the
 defaults ship accordingly.
@@ -37,46 +47,62 @@ if not os.environ.get("FIDELITY_TPU"):
     jax.config.update("jax_platforms", "cpu")
 
 WORDS = [f"w{i}" for i in range(800)]
-MAX_SEQ = 256
+MAX_SEQ = 512
+OFFSETS = tuple(int(x) for x in os.environ.get(
+    "FIDELITY_OFFSETS", "64,128,192,256,320,384,448").split(","))
 
 
-def _sent(rng, key=None, ans=None, lo=12, hi=22):
-    words = list(rng.choice(WORDS, size=rng.randint(lo, hi)))
+def _filler(rng, n):
+    return list(rng.choice(WORDS, size=max(n, 0)))
+
+
+def _chain(rng, titles, offset, key=None, ans=None):
+    """Two passages whose combined token stream places the key+answer
+    sentence at ~`offset` tokens into the assembled chain (question ~12
+    tokens + specials consume the first ~16).  Passage one is pure filler
+    sized so the evidence lands in passage two at the target offset; both
+    passages carry trailing filler so chain LENGTH exceeds the evidence
+    offset by a fixed margin (truncation at w < offset hides the evidence
+    but never the whole chain)."""
+    lead = max(offset - 16, 4)          # tokens before the evidence
+    p1_len = lead // 2
+    p2_lead = lead - p1_len
+    sents1 = [" ".join(_filler(rng, p1_len)) + " ."]
+    ev = []
     if key is not None:
-        words[rng.randint(0, 3)] = key           # early evidence token
+        ev.append(key)
     if ans is not None:
-        # fixed marker before the answer: the span head learns "the token
-        # after `valrec`", a learnable-at-tiny-scale extraction pattern
-        pos = rng.randint(len(words) // 2, len(words))
-        words[pos:pos] = ["valrec", ans]
-    return " ".join(words) + " ."
+        ev += ["valrec", ans]
+    evidence_sent = " ".join(_filler(rng, 3) + ev + _filler(rng, 3)) + " ."
+    sents2 = [" ".join(_filler(rng, p2_lead)) + " .",
+              evidence_sent,
+              " ".join(_filler(rng, 10)) + " ."]
+    sp2 = [1] if (ans is not None or key is not None) else []
+    return [
+        {"title": titles[0], "sents": sents1, "sp_sent_ids": []},
+        {"title": titles[1], "sents": sents2, "sp_sent_ids": sp2},
+    ]
 
 
-def _passage(rng, title, key=None, ans=None, n_sents=3):
-    sents = [_sent(rng, key if s == 0 else None,
-                   ans if s == n_sents - 1 else None)
-             for s in range(n_sents)]
-    sp_ids = [n_sents - 1] if ans is not None else ([0] if key else [])
-    return {"title": title, "sents": sents, "sp_sent_ids": sp_ids}
-
-
-def make_qa_rows(rng, n_q, n_negs=7):
-    """Learnable QA rows: question carries a key token; the gold chain's
-    passages carry the same key (hop evidence) and plant the answer token;
-    negative chains carry other keys.  Chains run ~200-240 tokens so
-    rank_width=128 genuinely truncates (the knob under test)."""
+def make_qa_rows(rng, n_q, offset, qid_prefix="q", n_negs=4):
+    """Learnable QA rows: the question carries a key token; the gold
+    chain plants `key valrec ans` at ~`offset` tokens; negatives carry
+    other keys at the same offset, plus one NEAR-MISS negative carrying
+    the question's key but NO answer (hard negative — keeps baseline
+    chain-EM below 1.0)."""
     rows = []
     for i in range(n_q):
-        key, ans = f"key{i}", f"ans{i % 97}"
-        gold = [_passage(rng, f"G{i}a", key=key),
-                _passage(rng, f"G{i}b", key=key, ans=ans)]
+        key, ans = f"key{qid_prefix}{i}", f"ans{i % 97}"
+        gold = _chain(rng, (f"G{i}a", f"G{i}b"), offset, key=key, ans=ans)
         negs = []
-        for j in range(n_negs):
-            nk = f"key{rng.randint(0, n_q)}x"
-            negs.append([_passage(rng, f"N{i}.{j}a", key=nk),
-                         _passage(rng, f"N{i}.{j}b", key=nk)])
+        # near-miss: right key, no valrec/answer
+        negs.append(_chain(rng, (f"H{i}a", f"H{i}b"), offset, key=key))
+        for j in range(n_negs - 1):
+            nk = f"key{qid_prefix}{rng.randint(0, n_q)}x"
+            negs.append(_chain(rng, (f"N{i}.{j}a", f"N{i}.{j}b"), offset,
+                               key=nk, ans=f"ans{rng.randint(0, 97)}"))
         rows.append({
-            "_id": f"q{i}",
+            "_id": f"{qid_prefix}{offset}_{i}",
             "question": f"what is the value recorded for {key} ?",
             "answer": [ans], "type": "bridge",
             "sp": gold, "candidate_chains": [gold] + negs,
@@ -102,12 +128,24 @@ def main():
 
     work = tempfile.mkdtemp(prefix="mdrt_fidelity_")
     rng = np.random.RandomState(0)
-    train_rows = make_qa_rows(rng, int(os.environ.get("FIDELITY_NQ", 192)))
-    eval_rows = make_qa_rows(np.random.RandomState(1), 32)
+    # training offsets cover the whole range so the reader learns to find
+    # evidence anywhere, not just where the eval plants it
+    n_train_per = int(os.environ.get("FIDELITY_NQ", 48))
+    train_rows = []
+    for off in OFFSETS:
+        train_rows += make_qa_rows(rng, n_train_per, off, qid_prefix="t")
+    rng.shuffle(train_rows)
+    erng = np.random.RandomState(1)
+    n_eval_per = int(os.environ.get("FIDELITY_NQ_EVAL", 40))
+    eval_groups = {off: make_qa_rows(erng, n_eval_per, off, qid_prefix="e")
+                   for off in OFFSETS}
+    eval_rows = [r for rows in eval_groups.values() for r in rows]
     train_path = os.path.join(work, "train.jsonl")
     eval_path = os.path.join(work, "eval.jsonl")
     write_jsonl(train_path, train_rows)
     write_jsonl(eval_path, eval_rows)
+    print(f"== {len(train_rows)} train / {len(eval_rows)} eval questions, "
+          f"offsets {OFFSETS}", flush=True)
 
     print("== training reader (in-repo recipe)", flush=True)
     out_dir = os.path.join(work, "reader")
@@ -116,7 +154,7 @@ def main():
         "--output-dir", out_dir, "--tokenizer", "hash",
         "--model-name", "tiny", "--batch-size", "8",
         "--predict-batch-size", "8",
-        "--num-epochs", os.environ.get("FIDELITY_EPOCHS", "10"),
+        "--num-epochs", os.environ.get("FIDELITY_EPOCHS", "6"),
         "--learning-rate", "2e-3", "--max-seq-len", str(MAX_SEQ),
         "--max-q-len", "16", "--num-answer-slots", "4", "--max-sents", "8",
         "--neg-num", "4", "--max-ans-len", "4", "--warmup-ratio", "0.0"])
@@ -130,29 +168,60 @@ def main():
     model = QAReader(cfg, sp_pred=True)
     params = ckpt.restore_pytree(os.path.join(out_dir, "checkpoint_best"))
 
-    ds = QADataset(tok, eval_rows, max_seq_len=MAX_SEQ, max_q_len=16,
-                   num_answer_slots=4, max_sents=8, train=False)
     pred_step = TQA.make_qa_predict_step(model, max_ans_len=4)
     rank_step = TQA.make_qa_rank_step(model)
 
-    res = {"n_questions": len(eval_rows)}
-    base = predict(pred_step, params, ds, batch_size=8)
-    res["one_stage"] = {"chain_em": base["chain_em"],
-                        "em": base["best"]["em"], "f1": base["best"]["f1"]}
-    assert base["chain_em"] >= 0.8, (
-        f"reader did not train (chain_em={base['chain_em']}) — fidelity "
-        "comparisons against it would be meaningless")
-    base_ans = base["best"]["answers"]
+    def per_group(run_fn):
+        """Run a predict variant per offset group; returns
+        {offset: (chain_em, answers)}."""
+        out = {}
+        for off, rows in eval_groups.items():
+            ds = QADataset(tok, rows, max_seq_len=MAX_SEQ, max_q_len=16,
+                           num_answer_slots=4, max_sents=8, train=False)
+            r = run_fn(ds)
+            out[off] = (r["chain_em"], r["best"]["answers"],
+                        r["best"]["em"])
+        return out
 
-    for w in (96, 128, 160, 192):
-        two = predict(pred_step, params, ds, batch_size=8,
-                      rank_step=rank_step, rank_topm=5, rank_width=w)
-        ans = two["best"]["answers"]
-        agree = float(np.mean([ans[q] == base_ans[q] for q in base_ans]))
-        res[f"two_stage_w{w}"] = {
-            "chain_em": two["chain_em"], "em": two["best"]["em"],
-            "f1": two["best"]["f1"], "answer_agreement": agree}
-        print(f"== two-stage w={w}: {res[f'two_stage_w{w}']}", flush=True)
+    res = {"n_questions": len(eval_rows), "offsets": list(OFFSETS),
+           "n_per_offset": n_eval_per}
+    base = per_group(lambda ds: predict(pred_step, params, ds,
+                                        batch_size=8))
+    res["one_stage"] = {str(o): {"chain_em": c, "em": em}
+                        for o, (c, a, em) in base.items()}
+    mean_chain_em = float(np.mean([c for c, _, _ in base.values()]))
+    mean_em = float(np.mean([em for _, _, em in base.values()]))
+    print(f"== one-stage: chain_em {mean_chain_em:.3f}, em {mean_em:.3f}",
+          flush=True)
+    assert mean_em >= 0.5, (
+        f"reader did not train (answer em={mean_em}) — fidelity "
+        "comparisons against it would be meaningless")
+    assert mean_chain_em < 1.0, (
+        "baseline chain-EM saturated at 1.0 — the harness has no "
+        "discriminative power (VERDICT r4 weak 3); harden the negatives")
+
+    matrix = {}
+    widths = [int(w) for w in os.environ.get(
+        "FIDELITY_WIDTHS", "96,128,160,192,256").split(",")]
+    for w in widths + [None]:
+        tag = "bucketed" if w is None else f"w{w}"
+        two = per_group(lambda ds, w=w: predict(
+            pred_step, params, ds, batch_size=8, rank_step=rank_step,
+            rank_topm=5, rank_width=w))
+        row = {}
+        for off in OFFSETS:
+            b_ans, t_ans = base[off][1], two[off][1]
+            agree = float(np.mean([t_ans[q] == b_ans[q] for q in b_ans]))
+            row[str(off)] = {"agreement": round(agree, 4),
+                             "chain_em": round(two[off][0], 4)}
+        matrix[tag] = row
+        mean_agree = float(np.mean(
+            [row[str(o)]["agreement"] for o in OFFSETS]))
+        print(f"== two-stage {tag}: "
+              + " ".join(f"{o}:{row[str(o)]['agreement']:.2f}"
+                         for o in OFFSETS)
+              + f"  (mean {mean_agree:.3f})", flush=True)
+    res["matrix"] = matrix
 
     # bf16 attention scores: same trained params, bf16-scores model
     cfg_bf = EncoderConfig.tiny(vocab_size=50265, max_position_embeddings=514,
@@ -161,14 +230,12 @@ def main():
                                 attention_scores_dtype="bfloat16")
     model_bf = QAReader(cfg_bf, sp_pred=True)
     pred_bf = TQA.make_qa_predict_step(model_bf, max_ans_len=4)
-    bf = predict(pred_bf, params, ds, batch_size=8)
-    ans_bf = bf["best"]["answers"]
+    bf = per_group(lambda ds: predict(pred_bf, params, ds, batch_size=8))
     res["bf16_scores"] = {
-        "chain_em": bf["chain_em"], "em": bf["best"]["em"],
-        "f1": bf["best"]["f1"],
-        "answer_agreement": float(np.mean(
-            [ans_bf[q] == base_ans[q] for q in base_ans]))}
-    print(f"== bf16 scores: {res['bf16_scores']}", flush=True)
+        str(o): round(float(np.mean(
+            [bf[o][1][q] == base[o][1][q] for q in base[o][1]])), 4)
+        for o in OFFSETS}
+    print(f"== bf16 scores agreement: {res['bf16_scores']}", flush=True)
 
     out = os.environ.get("FIDELITY_OUT", "/tmp/fidelity_result.json")
     with open(out, "w") as f:

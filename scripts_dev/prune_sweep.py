@@ -1,5 +1,5 @@
 """Hop-2 candidate-pruning quality sweep on TRAINED retriever weights
-(VERDICT r3 item 5).
+(VERDICT r3 item 5; scaled to >=64k docs / >=512 questions per r4 item 3).
 
 Trains a real (tiny-preset) retriever with the in-repo stage-1 recipe on
 synthetic multi-hop data, encodes a corpus, then sweeps
@@ -11,7 +11,15 @@ SearchConfig.hop2_prune_margin at beam 4 measuring:
     (hop-2 encode is 75% of beam-4 time; savings track pruned rows that
     complete whole tiles).
 
-    python scripts_dev/prune_sweep.py          # CPU, ~10 min
+Scale design: question keys draw from a TRAINED pool (the first
+PRUNE_KEYDOCS docs, all of whose keys appear in training questions) while
+the remaining tens of thousands of keyed docs are distractors — they
+crowd the hop-1 score landscape exactly where the margin rule operates
+(the round-4 verdict's objection to the 256-doc sweep), without asking a
+tiny retriever to generalize to token ids it never saw.
+
+    PRUNE_NDOCS=65536 python scripts_dev/prune_sweep.py   # CPU, ~30 min
+    PRUNE_NDOCS=256 PRUNE_NEVAL=128 ...                   # smoke
 
 On-chip throughput at the chosen margin is measured separately by
 MDRT_BENCH_B4_PRUNE (bench.py).  Writes /tmp/prune_sweep_result.json.
@@ -47,39 +55,57 @@ def _text(rng, key=None, lo=15, hi=40):
     return " ".join(words)
 
 
-def make_data(work, rng, n_docs=256, n_rows=128):
+def make_data(work, rng, n_docs=256, n_train=128, n_eval=0, n_key_docs=0):
     """Multi-hop rows whose gold passages carry the question's key tokens
     (retrievable signal), over a corpus of keyed distractors.  Keys are
     UNIQUE per doc — shared keys make gold pairs ambiguous and pin P-EM
-    at zero regardless of retriever quality."""
+    at zero regardless of retriever quality.
+
+    When ``n_key_docs`` < n_docs, question keys (train AND eval) draw only
+    from the first n_key_docs docs; the rest of the corpus is keyed
+    distractors that crowd the score landscape (see module docstring).
+    ``n_eval`` > 0 writes a SEPARATE eval set whose key PAIRS are disjoint
+    from training pairs (same key pool)."""
+    n_key_docs = n_key_docs or n_docs
     docs = []
     for i in range(n_docs):
         docs.append({"title": f"D{i}", "text": _text(rng, key=f"key{i}")})
-    rows = []
-    for i in range(n_rows):
-        a, b = rng.choice(n_docs, size=2, replace=False)
-        # gold pair carries the question's key tokens
-        k1 = f"key{a}"
-        k2 = f"key{b}"
-        negs = [dict(docs[j]) for j in rng.choice(n_docs, 4, replace=False)
-                if j not in (a, b)][:3]
-        rows.append({
-            "_id": f"q{i}",
-            "question": f"which fact links {k1} with {k2} ?",
-            "type": "bridge" if i % 2 == 0 else "comparison",
-            "pos_paras": [dict(docs[a]), dict(docs[b])],
-            "neg_paras": negs or [dict(docs[(a + 1) % n_docs])],
-            "bridge": docs[b]["title"],
-            "sp": [docs[a]["title"], docs[b]["title"]],
-            "answer": ["yes"],
-        })
+
+    def make_rows(n_rows, qid_prefix, seen_pairs):
+        rows = []
+        while len(rows) < n_rows:
+            a, b = rng.choice(n_key_docs, size=2, replace=False)
+            if (a, b) in seen_pairs:
+                continue
+            seen_pairs.add((a, b))
+            i = len(rows)
+            k1, k2 = f"key{a}", f"key{b}"
+            negs = [dict(docs[j])
+                    for j in rng.choice(n_docs, 4, replace=False)
+                    if j not in (a, b)][:3]
+            rows.append({
+                "_id": f"{qid_prefix}{i}",
+                "question": f"which fact links {k1} with {k2} ?",
+                "type": "bridge" if i % 2 == 0 else "comparison",
+                "pos_paras": [dict(docs[a]), dict(docs[b])],
+                "neg_paras": negs or [dict(docs[(a + 1) % n_docs])],
+                "bridge": docs[b]["title"],
+                "sp": [docs[a]["title"], docs[b]["title"]],
+                "answer": ["yes"],
+            })
+        return rows
+
+    seen = set()
+    rows = make_rows(n_train, "q", seen)
+    eval_rows = make_rows(n_eval, "e", seen) if n_eval else rows
     paths = {}
-    for name, data in [("corpus", docs), ("mhop", rows)]:
+    for name, data in [("corpus", docs), ("mhop", rows),
+                       ("eval", eval_rows)]:
         paths[name] = os.path.join(work, f"{name}.jsonl")
         with open(paths[name], "w") as f:
             for r in data:
                 f.write(json.dumps(r) + "\n")
-    return paths, docs, rows
+    return paths, docs, eval_rows
 
 
 def main():
@@ -95,15 +121,23 @@ def main():
 
     work = tempfile.mkdtemp(prefix="mdrt_prune_")
     rng = np.random.RandomState(0)
-    paths, docs, rows = make_data(work, rng)
+    n_docs = int(os.environ.get("PRUNE_NDOCS", 65536))
+    n_train = int(os.environ.get("PRUNE_NTRAIN", 512))
+    n_eval = int(os.environ.get("PRUNE_NEVAL", 512))
+    n_key = int(os.environ.get("PRUNE_KEYDOCS", 0)) or min(1024, n_docs)
+    chunk = min(4096, n_docs)
+    paths, docs, rows = make_data(work, rng, n_docs=n_docs, n_train=n_train,
+                                  n_eval=n_eval, n_key_docs=n_key)
 
-    print("== stage-1 retriever training", flush=True)
+    print(f"== stage-1 retriever training (n_docs={n_docs}, "
+          f"train={n_train}, eval={len(rows)}, key_docs={n_key})",
+          flush=True)
     stage1 = os.path.join(work, "stage1")
     train_retriever.main([
-        "--train-file", paths["mhop"], "--predict-file", paths["mhop"],
+        "--train-file", paths["mhop"], "--predict-file", paths["eval"],
         "--output-dir", stage1, "--train-batch-size", "8",
         "--predict-batch-size", "8",
-        "--num-epochs", os.environ.get("PRUNE_EPOCHS", "12"),
+        "--num-epochs", os.environ.get("PRUNE_EPOCHS", "8"),
         "--learning-rate", "1e-3", "--tokenizer", "hash",
         "--model-name", "tiny", "--max-q-len", "24", "--max-q-sp-len", "80",
         "--max-c-len", "64"])
@@ -113,7 +147,7 @@ def main():
     index_dir = os.path.join(work, "index")
     encode_corpus.main([paths["corpus"], index_dir, "--checkpoint", ckpt,
                         "--tokenizer", "hash", "--model-name", "tiny",
-                        "--batch-size", "16", "--chunk-rows", "32",
+                        "--batch-size", "64", "--chunk-rows", str(chunk),
                         "--max-c-len", "64"])
 
     tok = resolve_tokenizer("hash")
@@ -128,7 +162,7 @@ def main():
 
     def run(margin):
         cfg = SearchConfig(beam_size_1=beam, beam_size_2=beam, topk=topk,
-                           max_q_len=24, max_q_sp_len=80, chunk_rows=32,
+                           max_q_len=24, max_q_sp_len=80, chunk_rows=chunk,
                            hop2_buckets=(32, 48, 64, 80),
                            hop2_tile_fracs=(0.25, 0.375, 0.25, 0.125),
                            hop2_prune_margin=margin)
@@ -169,7 +203,8 @@ def main():
         return {"p_em": round(pem / n, 4), "pr": round(pr / n, 4),
                 "pruned_frac": round(pruned / max(total, 1), 4)}
 
-    res = {"beam": beam, "n_questions": len(rows)}
+    res = {"beam": beam, "n_questions": len(rows), "n_docs": n_docs,
+           "n_key_docs": n_key, "n_train": n_train}
     base = run(0.0)
     res["margin_0_off"] = base
     print(f"== margin off: {base}", flush=True)
@@ -181,7 +216,7 @@ def main():
     # gap distribution, measured on the trained engine, so the sweep
     # brackets prune rates from aggressive to conservative
     cfg0 = SearchConfig(beam_size_1=beam, beam_size_2=beam, topk=topk,
-                        max_q_len=24, max_q_sp_len=80, chunk_rows=32)
+                        max_q_len=24, max_q_sp_len=80, chunk_rows=chunk)
     s0 = load_searcher(index_dir, tok, model, params, cfg0)
     gaps = []
     for st in range(0, len(rows), bsz):

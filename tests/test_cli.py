@@ -275,6 +275,35 @@ def test_unified_variable_hop_eval(artifacts, tmp_path, capsys):
             for chain in r["candidate_chains"]:
                 assert len(chain) == want_len
 
+    # device-side early stop (--stop-skip): a sub-minimum threshold stops
+    # EVERY question after pass 1, so every emitted top chain is the
+    # single passage the host layer produces; pipeline must stay healthy
+    eval_mhop_retrieval.main([str(qas_path), out_dir,
+                              "--tokenizer", "hash", "--model-name",
+                              "tiny", "--unified",
+                              "--stop-threshold", "-0.1",
+                              "--stop-skip", "1e-9",
+                              "--beam-size", "3", "--topk", "3",
+                              "--batch-size", "6", "--chunk-rows", "64",
+                              "--max-q-len", "24", "--max-q-sp-len", "96",
+                              "--hop2-buckets", "48,96",
+                              "--save-path", chains_path])
+    with open(chains_path) as f:
+        rows = [json.loads(l) for l in f]
+    assert len(rows) == 12
+    for r in rows:
+        assert len(r["candidate_chains"][0]) == 1
+
+    # --stop-skip without --unified is a usage error, not a silent no-op
+    import pytest
+    with pytest.raises(SystemExit):
+        eval_mhop_retrieval.main([str(qas_path), out_dir,
+                                  "--tokenizer", "hash", "--model-name",
+                                  "tiny", "--stop-skip", "0.5",
+                                  "--beam-size", "3", "--topk", "3",
+                                  "--batch-size", "6",
+                                  "--chunk-rows", "64"])
+
 
 def test_encode_eval_with_pca_prefilter(tmp_path, capsys):
     """encode --pca-dims builds the certificate prefilter into index.npz;

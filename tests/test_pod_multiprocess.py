@@ -123,6 +123,75 @@ def _dp_worker(process_id, coordinator, out_dir):
     print("DP WORKER OK", flush=True)
 
 
+def _search_worker(process_id, coordinator, out_dir):
+    """Sharded BeamSearcher over a 2-process × 4-device global index mesh
+    (round-4 VERDICT #8): the flagship serving path on a REAL multi-process
+    mesh.  Process 0 dumps the chains for the parity assertion."""
+    jax = _worker_init(process_id, coordinator)
+    import functools
+
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sys.path.insert(0, REPO)
+    import dataclasses
+
+    from multihop_dense_retrieval_tpu.core.config import SearchConfig
+    from multihop_dense_retrieval_tpu.core.mesh import INDEX_AXIS, make_mesh
+    from multihop_dense_retrieval_tpu.index.store import DenseIndex
+    from multihop_dense_retrieval_tpu.search.beam import BeamSearcher
+    from tests.pod_batch import (SEARCH_CFG, make_search_fixture,
+                                 make_search_queries, search_store)
+
+    assert jax.process_count() == 2 and len(jax.devices()) == 8
+    mesh = make_mesh(index=8)
+    tok, model, params, emb, tc, n_docs = make_search_fixture()
+
+    # build the index host-side (identical in both processes), then promote
+    # the row-sharded vectors to a GLOBAL array: each process contributes
+    # the half that lives on its 4 devices (mesh device order is process 0
+    # then process 1, core/mesh.py)
+    local = DenseIndex.build(emb, chunk_rows=8, n_shards=8,
+                             dtype=jnp.float32)
+    vec = np.asarray(local.vectors, np.float32)
+    half = vec.shape[0] // 2
+    lo = process_id * half
+    gvec = multihost_utils.host_local_array_to_global_array(
+        vec[lo:lo + half], mesh, P(INDEX_AXIS, None))
+    index = dataclasses.replace(local, vectors=gvec)
+
+    rep = lambda x: multihost_utils.host_local_array_to_global_array(
+        np.asarray(x), mesh, P())
+    text_ids, text_lens, empty = search_store(tok, tc, n_docs,
+                                              vec.shape[0])
+    gparams = jax.tree_util.tree_map(rep, params)
+    searcher = BeamSearcher(
+        encode_fn=lambda p, ids, mask, tt=None: model.apply(
+            p, ids, mask, tt, method=model.encode_seq),
+        params=gparams, index=index, text_ids=rep(text_ids),
+        text_lens=rep(text_lens), empty=rep(empty), spec=tok.spec,
+        config=SearchConfig(**SEARCH_CFG), mesh=mesh)
+
+    q_inputs, rid, rlen = make_search_queries(tok)
+    qg = {k: rep(v) for k, v in q_inputs.items()}
+
+    @functools.partial(jax.jit,
+                       out_shardings=NamedSharding(mesh, P()))
+    def run(p, store, q, r_ids, r_lens):
+        return searcher._search_impl(p, store, q, r_ids, r_lens,
+                                     beam1=4, beam2=4, topk=4)
+
+    out = run(gparams, searcher._store, qg, rep(rid), rep(rlen))
+    if process_id == 0:
+        np.savez(os.path.join(out_dir, "search_result.npz"),
+                 hop1_ids=np.asarray(out["hop1_ids"]),
+                 hop2_ids=np.asarray(out["hop2_ids"]),
+                 path_scores=np.asarray(out["path_scores"]))
+    multihost_utils.sync_global_devices("search_worker_done")
+    print("SEARCH WORKER OK", flush=True)
+
+
 def _encode_worker(process_id, coordinator, corpus, out_dir):
     """The real CLI path: cli.pod encode_corpus (barrier + rank-0 merge)."""
     sys.path.insert(0, REPO)
@@ -222,11 +291,55 @@ def test_two_process_pod_encode_corpus_matches_single(tmp_path):
         np.asarray(a.vectors, np.float32), np.asarray(b.vectors, np.float32))
 
 
+def test_two_process_sharded_search_matches_single_process(tmp_path):
+    """The sharded BeamSearcher on a 2-process × 4-device global mesh must
+    retrieve the SAME chains as the identical engine on a single-process
+    8-device mesh (same (1, 8) mesh shape → same programs and merge
+    structure), closing the one flagship path the multi-process harness
+    didn't cover (the dryrun runs it single-process only)."""
+    import dataclasses as _dc
+
+    import jax
+    import jax.numpy as jnp
+    from multihop_dense_retrieval_tpu.core.config import SearchConfig
+    from multihop_dense_retrieval_tpu.core.mesh import make_mesh
+    from multihop_dense_retrieval_tpu.index.store import DenseIndex
+    from multihop_dense_retrieval_tpu.search.beam import BeamSearcher
+    from tests.pod_batch import (SEARCH_CFG, make_search_fixture,
+                                 make_search_queries, search_store)
+
+    outs = _launch_pair("search", [str(tmp_path)])
+    assert all("SEARCH WORKER OK" in o for o in outs)
+    pod = np.load(tmp_path / "search_result.npz")
+
+    mesh = make_mesh(index=8)
+    tok, model, params, emb, tc, n_docs = make_search_fixture()
+    index = DenseIndex.build(emb, chunk_rows=8, n_shards=8,
+                             dtype=jnp.float32, mesh=mesh)
+    text_ids, text_lens, empty = search_store(tok, tc, n_docs,
+                                              index.vectors.shape[0])
+    searcher = BeamSearcher(
+        encode_fn=lambda p, ids, mask, tt=None: model.apply(
+            p, ids, mask, tt, method=model.encode_seq),
+        params=params, index=index, text_ids=jnp.asarray(text_ids),
+        text_lens=jnp.asarray(text_lens), empty=jnp.asarray(empty),
+        spec=tok.spec, config=SearchConfig(**SEARCH_CFG), mesh=mesh)
+    q_inputs, rid, rlen = make_search_queries(tok)
+    ref = searcher.search(q_inputs, rid, rlen)
+
+    np.testing.assert_array_equal(pod["hop1_ids"], ref["hop1_ids"])
+    np.testing.assert_array_equal(pod["hop2_ids"], ref["hop2_ids"])
+    np.testing.assert_allclose(pod["path_scores"], ref["path_scores"],
+                               rtol=1e-6, atol=1e-6)
+
+
 if __name__ == "__main__":
     worker, pid, coord = sys.argv[1], int(sys.argv[2]), sys.argv[3]
     if worker == "dp":
         _dp_worker(pid, coord, sys.argv[4])
     elif worker == "encode":
         _encode_worker(pid, coord, sys.argv[4], sys.argv[5])
+    elif worker == "search":
+        _search_worker(pid, coord, sys.argv[4])
     else:
         raise SystemExit(f"unknown worker {worker}")

@@ -435,6 +435,116 @@ def test_unified_stop_head_serving():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_stop_skip_cascade_semantics():
+    """Device-side variable-hop early stop (round-4 VERDICT #5): with
+    stop_skip_threshold, questions whose top-1 pair P(stop) reaches the
+    threshold keep ONLY their top-1 candidate's chains (everything else
+    NEG_INF), while unstopped questions reproduce the plain unified engine's
+    chains exactly.  A threshold above every stop prob is a no-op."""
+    from multihop_dense_retrieval_tpu.models import UnifiedRetriever
+    from multihop_dense_retrieval_tpu.ops.mips import NEG_INF
+
+    tok = HashTokenizer(vocab_size=512)
+    rng = np.random.RandomState(33)
+    corpus = Corpus(synth.make_corpus(rng, 24))
+    tc = TokenizedCorpus.build(corpus, tok, max_text_len=32)
+    cfg = EncoderConfig.tiny(vocab_size=512, max_position_embeddings=80)
+    model = UnifiedRetriever(cfg)
+    ids8 = jnp.ones((1, 8), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids8, ids8,
+                        method=model.encode_qsp)
+    enc = tok.encode_batch_pair(
+        [(corpus[i]["title"], corpus.encode_text(i))
+         for i in range(len(corpus))], 40)
+    emb = np.asarray(model.apply(params, jnp.asarray(enc["input_ids"]),
+                                 jnp.asarray(enc["attention_mask"]),
+                                 method=model.encode_seq), np.float32)
+    index = DenseIndex.build(emb, chunk_rows=8, dtype=jnp.float32)
+    n_pad = index.vectors.shape[0]
+    text_ids = np.full((n_pad, 32), tok.spec.pad_id, np.int32)
+    text_ids[:len(corpus)] = tc.text_ids
+    text_lens = np.zeros(n_pad, np.int32); text_lens[:len(corpus)] = tc.text_lens
+    empty = np.zeros(n_pad, bool); empty[:len(corpus)] = tc.empty
+    beam, topk = 3, 9   # topk = beam1*beam2: every chain surfaces
+
+    qsp_fn = lambda p, i, m, tt=None: model.apply(
+        p, i, m, tt, method=model.encode_qsp)
+
+    def build(thr, buckets=(), fracs=()):
+        return BeamSearcher(
+            encode_fn=lambda p, i, m, tt=None: model.apply(
+                p, i, m, tt, method=model.encode_seq),
+            encode_qsp_fn=qsp_fn, params=params, index=index,
+            text_ids=jnp.asarray(text_ids), text_lens=jnp.asarray(text_lens),
+            empty=jnp.asarray(empty), spec=tok.spec,
+            config=SearchConfig(beam_size_1=beam, beam_size_2=beam, topk=topk,
+                                max_q_len=16, max_q_sp_len=64, chunk_rows=8,
+                                use_pallas=False, stop_skip_threshold=thr,
+                                hop2_buckets=buckets, hop2_tile_fracs=fracs),
+            mesh=None)
+
+    qs = [f"stop skip query {i}" for i in range(4)]
+    q_inputs = tok.encode_batch_one(qs, 16)
+    raw = [tok.raw_ids_padded(q, 14) for q in qs]
+    rid, rlen = np.stack([r[0] for r in raw]), np.array([r[1] for r in raw])
+
+    base = build(0.0).search(dict(q_inputs), rid, rlen)
+    top_slot = np.argmax(base["hop1_cand_scores"], axis=1)
+    p_top = base["stop_probs"][np.arange(len(qs)), top_slot]
+    # threshold at the median: some questions stop, some continue
+    thr = float(np.sort(p_top)[len(qs) // 2])
+
+    for buckets, fracs in (((), ()), ((32, 64), (0.5, 0.5))):
+        out = build(thr, buckets, fracs).search(dict(q_inputs), rid, rlen)
+        stopped = (out["stop_probs"][np.arange(len(qs)), top_slot] >= thr)
+        assert stopped.any() and not stopped.all(), (thr, p_top)
+        for q in range(len(qs)):
+            if not stopped[q]:
+                # unstopped: the cascade is invisible — same chains
+                np.testing.assert_array_equal(out["hop1_ids"][q],
+                                              base["hop1_ids"][q])
+                np.testing.assert_array_equal(out["hop2_ids"][q],
+                                              base["hop2_ids"][q])
+                np.testing.assert_allclose(out["path_scores"][q],
+                                           base["path_scores"][q],
+                                           rtol=1e-4, atol=1e-4)
+            else:
+                # stopped: only the top-1 candidate's beam2 chains survive
+                valid = out["path_scores"][q] > NEG_INF / 2
+                assert valid.sum() == beam
+                top_doc = base["hop1_cand_ids"][q, top_slot[q]]
+                assert set(out["hop1_ids"][q][valid]) == {top_doc}
+                # and those chains match the baseline's chains through the
+                # same hop-1 candidate, in order
+                base_mask = base["hop1_ids"][q] == top_doc
+                np.testing.assert_array_equal(
+                    out["hop2_ids"][q][valid],
+                    base["hop2_ids"][q][base_mask])
+        # stop probability of the decision row is the pass-1 value
+        np.testing.assert_allclose(
+            out["stop_probs"][np.arange(len(qs)), top_slot], p_top,
+            rtol=1e-5, atol=1e-6)
+
+    # a threshold above every stop prob never stops: bit-identical chains
+    noop = build(1.1).search(dict(q_inputs), rid, rlen)
+    np.testing.assert_array_equal(noop["hop1_ids"], base["hop1_ids"])
+    np.testing.assert_array_equal(noop["hop2_ids"], base["hop2_ids"])
+
+    # a plain engine (no stop head) with a threshold is a config error
+    import pytest
+    with pytest.raises(ValueError, match="stop_skip_threshold"):
+        BeamSearcher(
+            encode_fn=lambda p, i, m, tt=None: model.apply(
+                p, i, m, tt, method=model.encode_seq),
+            params=params, index=index,
+            text_ids=jnp.asarray(text_ids), text_lens=jnp.asarray(text_lens),
+            empty=jnp.asarray(empty), spec=tok.spec,
+            config=SearchConfig(beam_size_1=beam, beam_size_2=beam,
+                                topk=topk, max_q_len=16, max_q_sp_len=64,
+                                chunk_rows=8, use_pallas=False,
+                                stop_skip_threshold=0.5), mesh=None)
+
+
 def test_pca_prefiltered_engine_search():
     """use_pca engine: certified queries must reproduce the exact engine's
     chains; certificates surface in the search outputs; the index

@@ -84,7 +84,9 @@ def _chain(rng, titles, offset, key=None, ans=None):
     ]
 
 
-def make_qa_rows(rng, n_q, offset, qid_prefix="q", n_negs=4):
+def make_qa_rows(rng, n_q, offset, qid_prefix="q", n_negs=8):
+    # 1 gold + 8 negatives = 9 chains: rank_topm=5 must actually FILTER
+    # (keeping everything would make every width trivially agree)
     """Learnable QA rows: the question carries a key token; the gold
     chain plants `key valrec ans` at ~`offset` tokens; negatives carry
     other keys at the same offset, plus one NEAR-MISS negative carrying

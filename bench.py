@@ -74,7 +74,11 @@ beam4_pruned_qps figure: "auto" [default] = median hop-1 gap, float = pinned,
 MDRT_BENCH_BEAM4 / MDRT_BENCH_BF16 / MDRT_BENCH_PCA / MDRT_BENCH_READER /
 MDRT_BENCH_E2E / MDRT_BENCH_TRAIN (0 disables that extra),
 MDRT_BENCH_TRAIN_B/_TRAIN_REPS/_TRAIN_REMAT (train-stage shape),
-MDRT_BENCH_FAST=1 (headline only).
+MDRT_BENCH_FAST=1 (headline only),
+MDRT_BENCH_EXTRAS_MARGIN_S (stop STARTING extra stages once less than this
+much of the watchdog budget remains, default 390 — the run then finishes
+cleanly with the headline and whatever extras fit, listing the rest in
+"skipped_for_time" instead of losing everything to the watchdog).
 """
 
 import gc
@@ -868,6 +872,31 @@ def _honest_json(error, **extras):
     }), flush=True)
 
 
+# Live view of the measurement in flight, so a watchdog fire can still
+# report the REAL headline plus every extra gathered so far instead of
+# value 0.0: _run stashes the headline dict under "base" once measured and
+# keeps a reference to its extras dict under "extras".
+_SNAPSHOT = {}
+# Monotonic deadline after which _run starts no NEW extra stage (set by the
+# child from the watchdog budget); None = no limit.
+_EXTRAS_DEADLINE = None
+
+
+def _stage_ok(name, extras):
+    """True if there is still budget to start the extra stage `name`.
+
+    When the child is close to its watchdog limit (a cold-cache run after
+    a tunnel flake, or a mid-run retry with little budget left), finishing
+    cleanly with the headline and a partial extras set beats the watchdog
+    killing the whole run."""
+    if _EXTRAS_DEADLINE is None or time.monotonic() < _EXTRAS_DEADLINE:
+        return True
+    extras.setdefault("skipped_for_time", []).append(name)
+    print(f"# skipping {name}: nearing watchdog budget", file=sys.stderr,
+          flush=True)
+    return False
+
+
 def _watchdog(limit=None):
     """Emit an honest JSON line and hard-exit if the run wedges.
 
@@ -884,6 +913,17 @@ def _watchdog(limit=None):
         return None
 
     def fire():
+        base = _SNAPSHOT.get("base")
+        if base:
+            try:
+                print(json.dumps({
+                    **base,
+                    "error": f"watchdog: partial results after {limit}s",
+                    **dict(_SNAPSHOT.get("extras") or {}),
+                }), flush=True)
+                os._exit(2)
+            except Exception:
+                pass          # racing mutation — fall back to honest JSON
         _honest_json(f"watchdog: no result after {limit}s — TPU tunnel "
                      "unresponsive or pathological compile")
         os._exit(2)
@@ -966,7 +1006,12 @@ def main():
     — and backend-down failures are retried with backoff until the
     MDRT_BENCH_WATCHDOG_S budget (default 2700s) is nearly spent."""
     if os.environ.get("MDRT_BENCH_CHILD"):
-        timer = _watchdog()
+        global _EXTRAS_DEADLINE
+        lim = _env("MDRT_BENCH_WATCHDOG_S", 2700)
+        margin = _env("MDRT_BENCH_EXTRAS_MARGIN_S", 390)
+        if lim:
+            _EXTRAS_DEADLINE = time.monotonic() + max(lim - margin, 30)
+        timer = _watchdog(lim or None)
         try:
             _main()
             rc = 0
@@ -1148,11 +1193,27 @@ def _run(n_docs):
     tunnel_s = measure_tunnel_overhead()
     nprng = np.random.RandomState(23)
     extras, errors = {}, {}
+    _SNAPSHOT.clear()
+    _SNAPSHOT["extras"] = extras      # live reference for the watchdog
+
+    def _stash_headline(qps, cfgname):
+        _SNAPSHOT["base"] = {
+            "metric": "2hop_beam_search_queries_per_sec",
+            "value": round(qps, 1),
+            "unit": f"questions/s (beam={beam}, {n_docs} docs x {d} "
+                    f"{dtype}, {layers}-layer encoder, batch={batch}, "
+                    f"1 TPU chip, engine={cfgname})",
+            "vs_baseline": round(qps / BASELINE_QPS, 2),
+            "baseline_qps_range": list(BASELINE_RANGE),
+            "tunnel_correction_ms": round(tunnel_s * 1000, 1),
+            "timed_reps": _env("MDRT_BENCH_TIMED_REPS", 3),
+            "hop2_buckets": list(buckets),
+        }
 
     # --- exact-bf16 delta config (own index; freed before the int8 build
     # even on failure — the ~8 GB bf16 index outliving an exception would
     # cascade into a headline OOM and a silent half-scale retry)
-    if run_bf16:
+    if run_bf16 and _stage_ok("bf16", extras):
         s_bf = bf16_index = None
         try:
             bf16_index = _make_index(n_pad, n_docs, d, "bf16", factor)
@@ -1184,7 +1245,8 @@ def _run(n_docs):
 
     # --- PCA tier: measured certified fraction decides the headline
     headline_qps, headline_cfg, pca_ok = plain_qps, "plain", False
-    if run_pca and index.pca_proj is not None:
+    _stash_headline(headline_qps, headline_cfg)
+    if run_pca and index.pca_proj is not None and _stage_ok("pca", extras):
         s_pca = None
         try:
             s_pca = build_searcher(index, beam, beam, beam, buckets,
@@ -1204,13 +1266,14 @@ def _run(n_docs):
             if pca_ok and pca_qps > plain_qps:
                 headline_qps, headline_cfg = pca_qps, "pca_auto"
                 extras["plain_qps"] = round(plain_qps, 1)
+                _stash_headline(headline_qps, headline_cfg)
         except Exception as e:
             errors["pca"] = repr(e)[:200]
         finally:
             del s_pca
             gc.collect()
 
-    if run_beam4:
+    if run_beam4 and _stage_ok("beam4", extras):
         s4 = None
         try:
             # sweep (scripts_dev/beam4_sweep.py): batch 192 + 6-tile split
@@ -1262,7 +1325,7 @@ def _run(n_docs):
             del s4
             gc.collect()
 
-    if run_unified:
+    if run_unified and _stage_ok("unified", extras):
         s_u = None
         try:
             # Variable-hop (UnifiedRetriever) serving at the beam-4 config
@@ -1334,7 +1397,7 @@ def _run(n_docs):
             del s_u
             gc.collect()
 
-    if run_latency:
+    if run_latency and _stage_ok("latency", extras):
         s_lat = None
         try:
             # serving latency: the headline engine config at a low-occupancy
@@ -1360,7 +1423,7 @@ def _run(n_docs):
             del s_lat
             gc.collect()
 
-    if run_e2e:
+    if run_e2e and _stage_ok("end2end", extras):
         s5 = None
         try:
             # buckets off: 40 hop-2 rows would make 8-row tiles, and
@@ -1375,6 +1438,8 @@ def _run(n_docs):
             del s5
             gc.collect()
 
+    run_train = run_train and _stage_ok("train", extras)
+    run_qa_train = run_qa_train and _stage_ok("qa_train", extras)
     if run_train or run_qa_train:
         # the train stages need the HBM the serving state occupies
         # (B=16 fwd+bwd + Adam ≈ 8 GB next to the 7.5 GB int8 index
@@ -1393,7 +1458,7 @@ def _run(n_docs):
             jax.clear_caches()   # drop the fwd+bwd program + Adam state
             gc.collect()
 
-    if run_qa_train:
+    if run_qa_train and (not run_train or _stage_ok("qa_train", extras)):
         try:
             extras.update(_qa_train_bench(tunnel_s))
         except Exception as e:
@@ -1402,13 +1467,13 @@ def _run(n_docs):
             jax.clear_caches()   # drop the 334M-param train state
             gc.collect()
 
-    if run_reader:
+    if run_reader and _stage_ok("reader", extras):
         try:
             extras.update(_reader_bench(tunnel_s))
         except Exception as e:
             errors["reader"] = repr(e)[:200]
 
-    if run_hnsw:
+    if run_hnsw and _stage_ok("hnsw", extras):
         try:
             extras.update(_hnsw_bench())
         except Exception as e:

@@ -111,3 +111,29 @@ def test_midrun_backend_death_is_retried():
     assert parsed["value"] == 0.0
     assert "UNAVAILABLE" in parsed["error"]
     assert err.count("will retry") >= 2, "child was not retried"
+
+
+@pytest.mark.slow
+def test_extras_deadline_skips_stages_but_keeps_headline(tmp_path):
+    """When the extras deadline has already passed (here: a margin larger
+    than the watchdog budget), every optional stage must be SKIPPED — the
+    run still completes with a real headline and lists what it dropped,
+    instead of the watchdog discarding everything (bench.py::_stage_ok)."""
+    rc, last, _ = _run_bench({
+        "MDRT_BENCH_PLATFORM": "cpu",
+        "MDRT_BENCH_N": "4096",
+        "MDRT_BENCH_BATCH": "8",
+        "MDRT_BENCH_REPS": "2",
+        "MDRT_BENCH_LAYERS": "2",
+        "MDRT_BENCH_MIN_RUN_S": "5",
+        "MDRT_BENCH_WATCHDOG_S": "900",
+        "MDRT_BENCH_EXTRAS_MARGIN_S": "100000",
+        "MDRT_BENCH_COMPILE_CACHE": str(tmp_path / "cc"),
+    }, timeout=600)
+    parsed = json.loads(last)
+    assert rc == 0
+    assert "error" not in parsed
+    assert parsed["value"] > 0
+    skipped = set(parsed["skipped_for_time"])
+    assert {"bf16", "beam4", "latency", "end2end", "train",
+            "qa_train", "reader", "hnsw"} <= skipped

@@ -461,40 +461,56 @@ class BeamSearcher:
                       & (d1 > NEG_INF / 2)).reshape(-1)
         stop_probs = None
         if (self.encode_qsp_fn is not None
-                and cfg.stop_skip_threshold > 0):
+                and cfg.stop_skip_threshold > 0 and beam1 > 1):
             # variable-hop early stop (cascade, cfg.stop_skip_threshold):
             # pass 1 encodes each question's BEST hop-1 pair (B rows) for
-            # its stop probability; stopped questions mark their remaining
-            # candidate rows inactive so pass 2 skips them tile-wise.  The
-            # top row itself stays ACTIVE for chain masking (stopped
-            # questions keep their top-1 chains for the host layer) but is
-            # excluded from the pass-2 encode — its pass-1 results are
-            # scattered back in.  Skipped rows surface stop_prob 0.5
-            # (softmax of the zero logits the skipped tiles emit); their
-            # chains are NEG_INF so the host never consumes those values.
+            # its stop probability; stopped questions' remaining candidate
+            # rows are skipped tile-wise in pass 2.  Both passes are
+            # STATIC-shape compactions with their own length-bucketed
+            # tiling: pass 1 over the B top rows, pass 2 over the
+            # B*(beam1-1) non-top rows.  (Leaving all beam1*B rows in one
+            # tiling and masking top rows out shifts every mixed tile's
+            # active length range past its positional bucket width, so the
+            # lax.cond escalates to the full-width branch — measured 1.7x
+            # SLOWER than no cascade at stop-rate 30%, bench r5.)  Skipped
+            # rows surface stop_prob 0.5 (softmax of the zero logits the
+            # skipped tiles emit); their chains are NEG_INF so the host
+            # never consumes those values.
             top_slot = jnp.argmax(d1, axis=1)                     # (B,)
             row_idx = (jnp.arange(bsz, dtype=jnp.int32) * beam1
                        + top_slot.astype(jnp.int32))
-            tt = qsp.get("token_type_ids")
-            vec_top, logits_top = self.encode_qsp_fn(
-                params, qsp["input_ids"][row_idx],
-                qsp["attention_mask"][row_idx],
-                None if tt is None else tt[row_idx])
+            qsp_top = {k: v[row_idx] for k, v in qsp.items()
+                       if v is not None}
+            vec_top, logits_top = self._encode_hop2(
+                params, qsp_top, encode=self.encode_qsp_fn)
             p_stop_top = jax.nn.softmax(logits_top.astype(jnp.float32),
                                         axis=-1)[:, 0]
             stopped = p_stop_top >= cfg.stop_skip_threshold       # (B,)
             is_top = (jnp.arange(beam1, dtype=jnp.int32)[None, :]
                       == top_slot[:, None])                       # (B, beam1)
-            cont = jnp.where(stopped[:, None], is_top, True).reshape(-1)
-            active = cont if active is None else active & cont
-            enc_active = active & ~is_top.reshape(-1)
-            qsp_vec, stop_logits = self._encode_hop2(
-                params, qsp, encode=self.encode_qsp_fn, active=enc_active)
-            qsp_vec = qsp_vec.at[row_idx].set(vec_top.astype(qsp_vec.dtype))
-            stop_logits = stop_logits.at[row_idx].set(
-                logits_top.astype(stop_logits.dtype))
+            nt_slots = jnp.argsort(is_top, axis=1)[:, :beam1 - 1]
+            nt_idx = (jnp.arange(bsz, dtype=jnp.int32)[:, None] * beam1
+                      + nt_slots.astype(jnp.int32)).reshape(-1)
+            qsp_nt = {k: v[nt_idx] for k, v in qsp.items()
+                      if v is not None}
+            act_nt = jnp.repeat(~stopped, beam1 - 1)
+            if active is not None:
+                act_nt = act_nt & active[nt_idx]
+            vec_nt, logits_nt = self._encode_hop2(
+                params, qsp_nt, encode=self.encode_qsp_fn, active=act_nt)
+            qsp_vec = (jnp.zeros((bsz * beam1,) + vec_top.shape[1:],
+                                 vec_top.dtype)
+                       .at[row_idx].set(vec_top)
+                       .at[nt_idx].set(vec_nt.astype(vec_top.dtype)))
+            stop_logits = (jnp.zeros((bsz * beam1,) + logits_top.shape[1:],
+                                     logits_top.dtype)
+                           .at[row_idx].set(logits_top)
+                           .at[nt_idx].set(
+                               logits_nt.astype(logits_top.dtype)))
             stop_probs = jax.nn.softmax(
                 stop_logits.astype(jnp.float32), axis=-1)[:, 0]
+            cont = jnp.where(stopped[:, None], is_top, True).reshape(-1)
+            active = cont if active is None else active & cont
         elif self.encode_qsp_fn is not None:
             # unified serving: stop head rides the same length-bucketed q⊕p
             # encode as the plain engine (_encode_hop2 handles the tuple

@@ -18,6 +18,18 @@ crowd the hop-1 score landscape exactly where the margin rule operates
 (the round-4 verdict's objection to the 256-doc sweep), without asking a
 tiny retriever to generalize to token ids it never saw.
 
+Two design constraints learned the hard way (r5):
+  * Key tokens are rejection-sampled so every GOLD key hashes to a
+    UNIQUE HashTokenizer id and every distractor key avoids gold ids
+    and filler-word ids.  Without this, 65k raw f"key{i}" strings
+    collide heavily in the ~50k-slot hash vocab, gold docs become
+    indistinguishable from distractors, and baseline P-EM pins at 0.
+  * The default eval set IS the train set (PRUNE_NEVAL=0).  The sweep
+    measures whether the margin rule CHANGES quality relative to the
+    unpruned engine; that delta is only visible on questions the
+    retriever answers correctly.  Generalization to unseen pairs is a
+    different question (the fidelity harness owns it).
+
     PRUNE_NDOCS=65536 python scripts_dev/prune_sweep.py   # CPU, ~30 min
     PRUNE_NDOCS=256 PRUNE_NEVAL=128 ...                   # smoke
 
@@ -55,6 +67,34 @@ def _text(rng, key=None, lo=15, hi=40):
     return " ".join(words)
 
 
+def gen_keys(n_key, n_total):
+    """Collision-aware doc keys for the hash tokenizer: the first
+    ``n_key`` (gold pool) get UNIQUE hash ids disjoint from the filler
+    WORDS; the remaining distractor keys avoid gold/filler ids (they may
+    collide with each other — that only adds crowding, which is the
+    point).  See module docstring."""
+    from multihop_dense_retrieval_tpu.data.tokenization import HashTokenizer
+    tok = HashTokenizer()
+    taken = {tok._hash_id(w) for w in WORDS}
+    keys, gold_ids, i = [], set(), 0
+    while len(keys) < n_key:
+        w = f"key{i}"
+        i += 1
+        h = tok._hash_id(w)
+        if h in taken or h in gold_ids:
+            continue
+        gold_ids.add(h)
+        keys.append(w)
+    avoid = taken | gold_ids
+    while len(keys) < n_total:
+        w = f"key{i}"
+        i += 1
+        if tok._hash_id(w) in avoid:
+            continue
+        keys.append(w)
+    return keys
+
+
 def make_data(work, rng, n_docs=256, n_train=128, n_eval=0, n_key_docs=0):
     """Multi-hop rows whose gold passages carry the question's key tokens
     (retrievable signal), over a corpus of keyed distractors.  Keys are
@@ -67,9 +107,10 @@ def make_data(work, rng, n_docs=256, n_train=128, n_eval=0, n_key_docs=0):
     ``n_eval`` > 0 writes a SEPARATE eval set whose key PAIRS are disjoint
     from training pairs (same key pool)."""
     n_key_docs = n_key_docs or n_docs
+    keys = gen_keys(n_key_docs, n_docs)
     docs = []
     for i in range(n_docs):
-        docs.append({"title": f"D{i}", "text": _text(rng, key=f"key{i}")})
+        docs.append({"title": f"D{i}", "text": _text(rng, key=keys[i])})
 
     def make_rows(n_rows, qid_prefix, seen_pairs):
         rows = []
@@ -79,7 +120,7 @@ def make_data(work, rng, n_docs=256, n_train=128, n_eval=0, n_key_docs=0):
                 continue
             seen_pairs.add((a, b))
             i = len(rows)
-            k1, k2 = f"key{a}", f"key{b}"
+            k1, k2 = keys[a], keys[b]
             negs = [dict(docs[j])
                     for j in rng.choice(n_docs, 4, replace=False)
                     if j not in (a, b)][:3]
@@ -123,7 +164,7 @@ def main():
     rng = np.random.RandomState(0)
     n_docs = int(os.environ.get("PRUNE_NDOCS", 65536))
     n_train = int(os.environ.get("PRUNE_NTRAIN", 512))
-    n_eval = int(os.environ.get("PRUNE_NEVAL", 512))
+    n_eval = int(os.environ.get("PRUNE_NEVAL", 0))
     n_key = int(os.environ.get("PRUNE_KEYDOCS", 0)) or min(1024, n_docs)
     chunk = min(4096, n_docs)
     paths, docs, rows = make_data(work, rng, n_docs=n_docs, n_train=n_train,

@@ -643,7 +643,7 @@ def _bucketed_score(score_fn, net, buckets, full_width):
 
 def _end2end_bench(searcher, params, enc_cfg, tunnel_s, rng, *,
                    batch=None, reps=2, beam=5, topk=None, two_stage_m=5,
-                   rank_width=192, q_width=40):
+                   rank_width=128, q_width=40):
     """MEASURED composed question→answer throughput, on chip.
 
     One jit program per variant scans REPS batches of: 2-hop beam-5 search
@@ -1431,7 +1431,14 @@ def _run(n_docs):
             e2e_topk = _env("MDRT_BENCH_E2E_TOPK", 25)
             s5 = build_searcher(index, 5, 5, e2e_topk, (), (),
                                 use_pca=pca_ok)
-            extras.update(_end2end_bench(s5, params, cfg, tunnel_s, nprng))
+            # rank width 128 (was 192): the r5 fidelity matrix
+            # (docs/fidelity_r5.json — 280 questions, evidence planted at
+            # token offsets 64..448) shows every width down to 96 keeps
+            # two-stage answers in 1.0 agreement with the full read; 128
+            # keeps one bucket of margin over the narrowest validated width
+            extras.update(_end2end_bench(
+                s5, params, cfg, tunnel_s, nprng,
+                rank_width=_env("MDRT_BENCH_RANK_WIDTH", 128)))
         except Exception as e:
             errors["end2end"] = repr(e)[:200]
         finally:

@@ -135,11 +135,14 @@ def add_rank_args(p):
                         "tokens, run the full span/sp pass on the top-m per "
                         "question (0 = read every chain fully, the "
                         "reference behavior)")
-    p.add_argument("--rank-width", type=int, default=192,
-                   help="rank-pass token width; 160 measured +8%% q/s and "
-                        "fidelity-neutral on the trained-reader harness "
-                        "(docs/fidelity_r4.json) — validate on your data "
-                        "if evidence can fall past the width")
+    p.add_argument("--rank-width", type=int, default=128,
+                   help="rank-pass token width; the r5 trained-reader "
+                        "fidelity matrix (280 questions, evidence planted "
+                        "at offsets 64..448, docs/fidelity_r5.json) shows "
+                        "1.0 answer agreement with the full read at every "
+                        "width down to 96 — 128 keeps one bucket of margin; "
+                        "validate on your data if evidence can fall past "
+                        "the width")
 
 
 def add_hop2_tiling_args(p):

@@ -85,7 +85,7 @@ class DemoPipeline:
             self.rank_kw = dict(
                 rank_step=TQA.make_qa_rank_step(self.reader),
                 rank_topm=args.rank_topm,
-                rank_width=getattr(args, "rank_width", 192))
+                rank_width=getattr(args, "rank_width", 128))
         self.max_c_len = getattr(args, "max_c_len", 300)
         self.args = args
 

@@ -83,7 +83,7 @@ class _Subset:
 
 def rank_filter(rank_step: Callable, params, dataset: QADataset, *,
                 batch_size: int = 16, topm: int = 5,
-                rank_width: Optional[int] = 192,
+                rank_width: Optional[int] = 128,
                 width_multiple: int = 64):
     """Stage 1 of the two-stage read: score EVERY chain with the rank head
     at a narrow width, keep the top-m rows per question.  Gold-labeled rows
@@ -139,7 +139,7 @@ def predict(predict_step: Callable, params, dataset: QADataset, *,
             lambdas: Optional[List[float]] = None,
             length_sort: bool = True, width_multiple: int = 64,
             rank_step: Optional[Callable] = None, rank_topm: int = 0,
-            rank_width: Optional[int] = 192) -> Dict:
+            rank_width: Optional[int] = 128) -> Dict:
     """Returns {"chain_em", "best": {...}, "per_lambda": {...}, "answers": ...}.
 
     length_sort + width_multiple: chains are batched by length and each

@@ -112,12 +112,20 @@ def make_data(work, rng, n_docs=256, n_train=128, n_eval=0, n_key_docs=0):
     for i in range(n_docs):
         docs.append({"title": f"D{i}", "text": _text(rng, key=keys[i])})
 
+    # DISJOINT pairs: each key doc appears in at most ONE question and one
+    # hop role.  Reusing a key across questions with different roles makes
+    # the task order-learning instead of memorization — measured p_em 0.02
+    # vs 0.60 for the tiny retriever — and the sweep needs a baseline the
+    # retriever answers correctly (module docstring).
+    perm = list(rng.permutation(n_key_docs))
+
     def make_rows(n_rows, qid_prefix, seen_pairs):
         rows = []
         while len(rows) < n_rows:
-            a, b = rng.choice(n_key_docs, size=2, replace=False)
-            if (a, b) in seen_pairs:
-                continue
+            if len(perm) < 2:
+                raise SystemExit("need n_key_docs >= 2*(n_train+n_eval) "
+                                 "for disjoint question pairs")
+            a, b = int(perm.pop()), int(perm.pop())
             seen_pairs.add((a, b))
             i = len(rows)
             k1, k2 = keys[a], keys[b]

@@ -802,9 +802,12 @@ def _end2end_bench(searcher, params, enc_cfg, tunnel_s, rng, *,
     def read_retsel(rp, net):
         # top-m by RETRIEVER chain rank: the beam engine's chains arrive
         # sorted per question (lax.top_k), so selection costs nothing and
-        # the reader never ranks — the cheapest two-stage variant; its
-        # fidelity is measured by scripts_dev/fidelity_trained.py (retsel
-        # column), not assumed
+        # the reader never ranks — the cheapest two-stage variant.  Its
+        # quality contract is different in KIND from the rank-width knobs:
+        # it trusts the retriever's path ordering for the top-m cut, so
+        # fidelity depends on retriever quality on the target corpus
+        # (validate per deployment; the synthetic fidelity harness has no
+        # retriever ordering to measure)
         flat = (jnp.arange(batch, dtype=jnp.int32)[:, None] * topk
                 + jnp.arange(two_stage_m, dtype=jnp.int32)[None, :]
                 ).reshape(-1)

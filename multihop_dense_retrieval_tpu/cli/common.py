@@ -69,6 +69,12 @@ MODEL_PRESETS = {
     "electra-large": EncoderConfig.electra_large,
     "tiny": lambda **kw: EncoderConfig.tiny(
         vocab_size=50265, max_position_embeddings=514, **kw),
+    # 4-layer/64-wide: still CPU-fast, but enough depth/width to learn
+    # token-matching (induction) circuits the 2-layer tiny cannot — used
+    # by the trained-weights fidelity/prune harnesses (scripts_dev/)
+    "mini": lambda **kw: EncoderConfig.tiny(
+        vocab_size=50265, max_position_embeddings=514, hidden_size=64,
+        num_layers=4, intermediate_size=128, **kw),
 }
 
 

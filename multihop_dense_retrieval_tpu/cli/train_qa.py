@@ -33,6 +33,12 @@ READER_PRESETS = {
     "tiny": lambda **kw: EncoderConfig.tiny(
         vocab_size=50265, max_position_embeddings=514, type_vocab_size=2,
         pad_token_id=0, roberta_positions=False, **kw),
+    # 4-layer/64-wide CPU-fast preset (see cli/common.py MODEL_PRESETS):
+    # deep enough to learn token-matching circuits the 2-layer tiny cannot
+    "mini": lambda **kw: EncoderConfig.tiny(
+        vocab_size=50265, max_position_embeddings=514, type_vocab_size=2,
+        pad_token_id=0, roberta_positions=False, hidden_size=64,
+        num_layers=4, intermediate_size=128, **kw),
 }
 
 

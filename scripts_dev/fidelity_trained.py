@@ -13,6 +13,15 @@ boundary ("128 fails, 160 passes on this task").  This version:
   * near-miss negatives (key present in one passage, no answer) make the
     task hard enough that baseline chain-EM < 1.0 — the harness has
     discriminative power;
+  * passage titles are role-UNINFORMATIVE random ids, disjoint between
+    train and eval.  The first r5 run coded the role into the title
+    (gold G{i}a / near-miss H{i}a / negative N{i}.{j}a) and reused the
+    same i range for train and eval, so with the whole-word
+    HashTokenizer the rank head could classify on the title token at
+    ~position 14 — inside EVERY rank window — and the matrix read 1.0
+    agreement at every (width, offset), including widths that could not
+    see the evidence.  That leak invalidated the first width-128
+    promotion; with neutral titles the matrix measures what it claims;
   * the LENGTH-BUCKETED rank pass (rank_width=None, never truncates —
     eval/qa_eval.py::rank_filter) is validated against the same matrix:
     by construction it must track the full read at EVERY offset.
@@ -84,24 +93,43 @@ def _chain(rng, titles, offset, key=None, ans=None):
     ]
 
 
-def make_qa_rows(rng, n_q, offset, qid_prefix="q", n_negs=8):
+def make_qa_rows(rng, n_q, offset, qid_prefix="q", n_negs=8,
+                 key_prefix=None, ans_shift=0):
     # 1 gold + 8 negatives = 9 chains: rank_topm=5 must actually FILTER
     # (keeping everything would make every width trivially agree)
     """Learnable QA rows: the question carries a key token; the gold
     chain plants `key valrec ans` at ~`offset` tokens; negatives carry
     other keys at the same offset, plus one NEAR-MISS negative carrying
     the question's key but NO answer (hard negative — keeps baseline
-    chain-EM below 1.0)."""
+    chain-EM below 1.0).
+
+    ``key_prefix`` decouples the key space from the qid space: eval rows
+    REUSE the train key space (fresh answers via ``ans_shift``, fresh
+    filler, fresh titles) so the rank head's key-match circuit is trained
+    on the tokens it is evaluated on, while nothing else about an eval
+    chain was ever seen — held-out questions with fresh keys would test
+    token-id generalization the whole-word HashTokenizer makes impossible,
+    and train-as-eval questions would let the head memorize gold filler
+    prefixes (a window-visible shortcut, like the r5 title leak)."""
     rows = []
+    title_seq = [0]
+    key_prefix = key_prefix or qid_prefix
+
+    def tt():
+        # role-uninformative, train/eval-disjoint (qid_prefix), unique
+        title_seq[0] += 1
+        return f"ttl{qid_prefix}{title_seq[0]}.{rng.randint(0, 10**6)}"
+
     for i in range(n_q):
-        key, ans = f"key{qid_prefix}{i}", f"ans{i % 97}"
-        gold = _chain(rng, (f"G{i}a", f"G{i}b"), offset, key=key, ans=ans)
+        key = f"key{key_prefix}{i}"
+        ans = f"ans{(i + ans_shift) % 97}"
+        gold = _chain(rng, (tt(), tt()), offset, key=key, ans=ans)
         negs = []
         # near-miss: right key, no valrec/answer
-        negs.append(_chain(rng, (f"H{i}a", f"H{i}b"), offset, key=key))
+        negs.append(_chain(rng, (tt(), tt()), offset, key=key))
         for j in range(n_negs - 1):
-            nk = f"key{qid_prefix}{rng.randint(0, n_q)}x"
-            negs.append(_chain(rng, (f"N{i}.{j}a", f"N{i}.{j}b"), offset,
+            nk = f"key{key_prefix}{rng.randint(0, n_q)}x"
+            negs.append(_chain(rng, (tt(), tt()), offset,
                                key=nk, ans=f"ans{rng.randint(0, 97)}"))
         rows.append({
             "_id": f"{qid_prefix}{offset}_{i}",
@@ -121,7 +149,6 @@ def write_jsonl(path, rows):
 def main():
     from multihop_dense_retrieval_tpu.cli import train_qa
     from multihop_dense_retrieval_tpu.core import checkpoint as ckpt
-    from multihop_dense_retrieval_tpu.core.config import EncoderConfig
     from multihop_dense_retrieval_tpu.data import HashTokenizer
     from multihop_dense_retrieval_tpu.data.qa_dataset import QADataset
     from multihop_dense_retrieval_tpu.eval.qa_eval import predict
@@ -139,7 +166,12 @@ def main():
     rng.shuffle(train_rows)
     erng = np.random.RandomState(1)
     n_eval_per = int(os.environ.get("FIDELITY_NQ_EVAL", 40))
-    eval_groups = {off: make_qa_rows(erng, n_eval_per, off, qid_prefix="e")
+    assert n_eval_per <= n_train_per, (
+        "eval keys reuse the train key space — need NQ_EVAL <= NQ")
+    # eval: held-out questions over the TRAIN key space (key_prefix="t"),
+    # shifted answers + fresh filler/titles — see make_qa_rows docstring
+    eval_groups = {off: make_qa_rows(erng, n_eval_per, off, qid_prefix="e",
+                                     key_prefix="t", ans_shift=13)
                    for off in OFFSETS}
     eval_rows = [r for rows in eval_groups.values() for r in rows]
     train_path = os.path.join(work, "train.jsonl")
@@ -154,19 +186,19 @@ def main():
     train_qa.main([
         "--train-file", train_path, "--predict-file", eval_path,
         "--output-dir", out_dir, "--tokenizer", "hash",
-        "--model-name", "tiny", "--batch-size", "8",
+        "--model-name", os.environ.get("FIDELITY_MODEL", "mini"),
+        "--batch-size", "8",
         "--predict-batch-size", "8",
         "--num-epochs", os.environ.get("FIDELITY_EPOCHS", "6"),
         "--learning-rate", "2e-3", "--max-seq-len", str(MAX_SEQ),
         "--max-q-len", "16", "--num-answer-slots", "4", "--max-sents", "8",
         "--neg-num", "4", "--max-ans-len", "4", "--warmup-ratio", "0.0"])
 
-    # match cli/train_qa's "tiny" reader preset exactly (vocab 50265) so
-    # the trained checkpoint restores into this model
+    # match cli/train_qa's reader preset exactly (vocab 50265) so the
+    # trained checkpoint restores into this model
     tok = HashTokenizer(vocab_size=50265, roberta_style=False)
-    cfg = EncoderConfig.tiny(vocab_size=50265, max_position_embeddings=514,
-                             type_vocab_size=2, pad_token_id=0,
-                             roberta_positions=False)
+    preset = train_qa.READER_PRESETS[os.environ.get("FIDELITY_MODEL", "mini")]
+    cfg = preset()
     model = QAReader(cfg, sp_pred=True)
     params = ckpt.restore_pytree(os.path.join(out_dir, "checkpoint_best"))
 
@@ -226,10 +258,7 @@ def main():
     res["matrix"] = matrix
 
     # bf16 attention scores: same trained params, bf16-scores model
-    cfg_bf = EncoderConfig.tiny(vocab_size=50265, max_position_embeddings=514,
-                                type_vocab_size=2, pad_token_id=0,
-                                roberta_positions=False,
-                                attention_scores_dtype="bfloat16")
+    cfg_bf = preset(attention_scores_dtype="bfloat16")
     model_bf = QAReader(cfg_bf, sp_pred=True)
     pred_bf = TQA.make_qa_predict_step(model_bf, max_ans_len=4)
     bf = per_group(lambda ds: predict(pred_bf, params, ds, batch_size=8))

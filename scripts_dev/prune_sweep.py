@@ -188,19 +188,21 @@ def main():
         "--predict-batch-size", "8",
         "--num-epochs", os.environ.get("PRUNE_EPOCHS", "8"),
         "--learning-rate", "1e-3", "--tokenizer", "hash",
-        "--model-name", "tiny", "--max-q-len", "24", "--max-q-sp-len", "80",
+        "--model-name", os.environ.get("PRUNE_MODEL", "mini"),
+        "--max-q-len", "24", "--max-q-sp-len", "80",
         "--max-c-len", "64"])
     ckpt = os.path.join(stage1, "checkpoint_best")
 
     print("== corpus encode", flush=True)
     index_dir = os.path.join(work, "index")
+    model_name = os.environ.get("PRUNE_MODEL", "mini")
     encode_corpus.main([paths["corpus"], index_dir, "--checkpoint", ckpt,
-                        "--tokenizer", "hash", "--model-name", "tiny",
+                        "--tokenizer", "hash", "--model-name", model_name,
                         "--batch-size", "64", "--chunk-rows", str(chunk),
                         "--max-c-len", "64"])
 
     tok = resolve_tokenizer("hash")
-    enc_cfg = resolve_encoder_config("tiny")
+    enc_cfg = resolve_encoder_config(model_name)
     model, params = init_retriever(enc_cfg, checkpoint=ckpt)
 
     beam, topk = 4, 4

@@ -151,6 +151,19 @@ def add_rank_args(p):
                         "the width")
 
 
+def _prune_margin(s: str) -> float:
+    """--hop2-prune-margin parser: 'auto' is the -1.0 sentinel
+    (SearchConfig.hop2_prune_margin < 0 = per-batch median hop-1 gap,
+    derived inside the jitted search — search/beam.py)."""
+    if s == "auto":
+        return -1.0
+    v = float(s)
+    if v < 0:
+        raise argparse.ArgumentTypeError(
+            "margin must be >= 0 or the literal 'auto'")
+    return v
+
+
 def add_hop2_tiling_args(p):
     """Length-adaptive hop-2 encode flags (exact results, ~9-20%% measured
     serving win depending on beam width — PERF.md)."""
@@ -162,12 +175,15 @@ def add_hop2_tiling_args(p):
     p.add_argument("--hop2-tile-fracs", default="",
                    help="comma row-fractions per bucket (sum to 1); empty = "
                         "preset fracs for auto, equal tiles otherwise")
-    p.add_argument("--hop2-prune-margin", type=float, default=0.0,
+    p.add_argument("--hop2-prune-margin", type=_prune_margin, default=0.0,
                    help="approximate: skip re-encoding hop-1 candidates "
                         "scoring more than this margin below their "
                         "question's top-1 (inner-product units); pruned "
-                        "chains are excluded.  0 = off (exact).  Sweep "
-                        "quality on your data (scripts_dev/prune_sweep.py)")
+                        "chains are excluded.  0 = off (exact); 'auto' = "
+                        "per-batch median hop-1 gap, the quality-neutral "
+                        "point of the trained-weight sweeps "
+                        "(scripts_dev/prune_sweep.py) — sweep on your own "
+                        "data if margins there may be tighter")
 
 
 def resolve_hop2_tiling(args, n_rows: int, max_width: int):

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh
 
-from ..core.config import SearchConfig
+from ..core.config import SearchConfig, default_hop2_tiling
 from ..core.mesh import INDEX_AXIS
 from ..data.tokenization import TokenizerSpec
 from ..index.store import DenseIndex
@@ -339,7 +339,8 @@ class BeamSearcher:
         vals, docs = merge_multivector(vals, rows, k, m)
         return vals, docs, cert
 
-    def _encode_hop2(self, params, qsp, encode=None, active=None):
+    def _encode_hop2(self, params, qsp, encode=None, active=None,
+                     inactive_sort="tail", buckets=None, fracs=None):
         """Encode hop-2 q⊕p rows, optionally length-adaptive.
 
         With cfg.hop2_buckets set, rows are sorted by total length and split
@@ -350,27 +351,47 @@ class BeamSearcher:
         non-pad positions (attention is masked; positions are width-
         independent), so narrowing is purely a FLOP/bandwidth saving.
 
-        `active` (n_rows,) bool enables candidate pruning
-        (cfg.hop2_prune_margin): inactive rows sort to the tail tiles (their
-        sort length is L+1, past every real row), a fully-inactive tile
-        skips the encoder entirely (zeros via lax.cond), and a mixed tile
-        picks its width from ACTIVE rows only — an inactive row wider than
-        the bucket gets truncated-encoded, which is fine because its output
-        is discarded (_search_impl forces pruned chain scores to NEG_INF).
+        `active` (n_rows,) bool enables candidate skipping: a fully-inactive
+        tile skips the encoder entirely (zeros via lax.cond), and a mixed
+        tile picks its width from ACTIVE rows only — an inactive row wider
+        than the bucket gets truncated-encoded, which is fine because its
+        output is discarded (_search_impl forces its chain score to
+        NEG_INF).  `inactive_sort` places inactive rows in the sort order:
+
+        * "tail" (sort key L+1): inactive rows pack into the trailing
+          (widest) tiles.  Best when inactive rows are length-uncorrelated
+          and the wide tail tiles — the expensive ones — go fully inactive
+          (candidate pruning: measured 918→1552 q/s at beam 4).
+        * "front" (sort key -1): inactive rows pack into the leading
+          (narrowest) tiles, so surviving rows shift to HIGHER positional
+          quantiles and mixed tiles never see rows longer than their
+          bucket — token cost is monotone non-increasing in the inactive
+          count.  Tail-sort instead shifts survivors into EARLIER narrower
+          tiles whose lax.cond escalates to full width: at the stop
+          cascade's per-question stop pattern this cost 1.22x baseline
+          tokens at stop-rate 60% (front-sort: 0.76x,
+          scripts_dev/cascade_diag.py) and showed up on-chip as
+          unified_qps_stop60 772 < stop0 861.
 
         `encode` may return any pytree of row-major arrays (e.g. the unified
         stop-head's (vectors, stop_logits) tuple) — tiles are concatenated
-        and un-permuted leaf-wise.
+        and un-permuted leaf-wise.  `buckets`/`fracs` override the config
+        tiling (the cascade's two passes size their own tilings to their
+        own row counts).
         """
         fn = encode if encode is not None else self.encode_fn
         ids, mask = qsp["input_ids"], qsp["attention_mask"]
         tt = qsp.get("token_type_ids")
-        buckets = tuple(self.config.hop2_buckets or ())
+        if buckets is None:
+            buckets = tuple(self.config.hop2_buckets or ())
+            fracs = tuple(self.config.hop2_tile_fracs or ())
+        else:
+            buckets = tuple(buckets)
+            fracs = tuple(fracs or ())
         n_rows, L = ids.shape
         if not buckets:
             return fn(params, ids, mask, tt)
         n_tiles = len(buckets)
-        fracs = tuple(self.config.hop2_tile_fracs or ())
         if fracs and len(fracs) == n_tiles:
             sizes = [int(round(f * n_rows)) for f in fracs]
             sizes[-1] = n_rows - sum(sizes[:-1])
@@ -385,10 +406,11 @@ class BeamSearcher:
             bounds.append(bounds[-1] + s)
 
         lens = jnp.sum(mask, axis=1).astype(jnp.int32)
-        # pruning: inactive rows sort past every real length (key L+1), so
-        # they pack into the trailing tiles and active rows stay
-        # length-sorted among themselves
-        keys = lens if active is None else jnp.where(active, lens, L + 1)
+        # inactive rows sort past every real length (tail, key L+1) or
+        # before it (front, key -1) per `inactive_sort`; active rows stay
+        # length-sorted among themselves either way
+        key_off = -1 if inactive_sort == "front" else L + 1
+        keys = lens if active is None else jnp.where(active, lens, key_off)
         order = jnp.argsort(keys)              # ascending
         inv = jnp.argsort(order)
         ids_s, mask_s = ids[order], mask[order]
@@ -401,10 +423,17 @@ class BeamSearcher:
             w = min(int(buckets[t]), L)
             ids_t, mask_t = ids_s[sl], mask_s[sl]
             tt_t = None if tt_s is None else tt_s[sl]
-            # width decision from ACTIVE rows only: the largest key <= L in
-            # the tile (keys are sorted, inactive rows are all L+1)
+            # width decision from ACTIVE rows only: the largest key in
+            # [0, L] (inactive keys are L+1 for tail-sort, -1 for front).
+            # The >= 0 clause exists only on the front-sort path so every
+            # other engine keeps its exact HLO (and persistent-compile-
+            # cache keys) from before front-sort existed.
             tile_keys = keys_s[sl]
-            tile_max = jnp.max(jnp.where(tile_keys <= L, tile_keys, 0))
+            if inactive_sort == "front" and active is not None:
+                valid_key = (tile_keys >= 0) & (tile_keys <= L)
+            else:
+                valid_key = tile_keys <= L
+            tile_max = jnp.max(jnp.where(valid_key, tile_keys, 0))
 
             def narrow(ids_t=ids_t, mask_t=mask_t, tt_t=tt_t, w=w):
                 return fn(params, ids_t[:, :w], mask_t[:, :w],
@@ -419,9 +448,14 @@ class BeamSearcher:
             if active is None:
                 tiles.append(enc())
                 continue
-            # skip fully-inactive tiles: sorted keys make the FIRST row the
-            # minimum, so the tile has an active row iff that key is <= L
-            tile_any_active = keys_s[bounds[t]] <= L
+            # skip fully-inactive tiles.  Sorted keys: tail-sort packs
+            # inactive rows (L+1) last, so the tile has an active row iff
+            # its FIRST key (the minimum) is <= L; front-sort packs them
+            # (-1) first, so iff its LAST key (the maximum) is >= 0.
+            if inactive_sort == "front":
+                tile_any_active = keys_s[bounds[t + 1] - 1] >= 0
+            else:
+                tile_any_active = keys_s[bounds[t]] <= L
             shapes = jax.eval_shape(wide)
             zeros = lambda shapes=shapes: jax.tree_util.tree_map(
                 lambda s: jnp.zeros(s.shape, s.dtype), shapes)
@@ -454,10 +488,22 @@ class BeamSearcher:
         # `hop2_prune_margin` of their question's top-1 hop-1 score (the
         # top-1 itself always qualifies).  Pruned rows skip encoding tile-
         # wise inside _encode_hop2 and their chains score NEG_INF below.
+        # margin < 0 is AUTO: the per-batch median of positive hop-1 gaps,
+        # computed inside the jit (the quality-neutral point measured by
+        # scripts_dev/prune_sweep.py).  The sorted gap vector holds
+        # exactly one zero per question (its own top-1), so the median of
+        # the POSITIVE gaps is the entry at bsz + (rest)//2.  Empty-doc
+        # rows carry huge (top1 - NEG_INF) gaps that sort to the tail and
+        # can only pull the median UP — the safe (less pruning) direction.
         active = None
-        if cfg.hop2_prune_margin > 0:
+        if cfg.hop2_prune_margin != 0 and beam1 > 1:
             top1 = jnp.max(d1, axis=1, keepdims=True)
-            active = ((d1 >= top1 - cfg.hop2_prune_margin)
+            if cfg.hop2_prune_margin > 0:
+                margin = cfg.hop2_prune_margin
+            else:
+                gaps = jnp.sort((top1 - d1).reshape(-1))
+                margin = gaps[bsz + (gaps.size - bsz) // 2]
+            active = ((d1 >= top1 - margin)
                       & (d1 > NEG_INF / 2)).reshape(-1)
         stop_probs = None
         if (self.encode_qsp_fn is not None
@@ -472,17 +518,28 @@ class BeamSearcher:
             # tiling and masking top rows out shifts every mixed tile's
             # active length range past its positional bucket width, so the
             # lax.cond escalates to the full-width branch — measured 1.7x
-            # SLOWER than no cascade at stop-rate 30%, bench r5.)  Skipped
-            # rows surface stop_prob 0.5 (softmax of the zero logits the
+            # SLOWER than no cascade at stop-rate 30%, bench r5.)  Pass 2
+            # keeps the configured tiling (its row count is within one
+            # tile-regime of the plain engine's B*beam1) but FRONT-sorts
+            # its stopped rows (see _encode_hop2: per-question stopping
+            # under tail-sort escalated mixed tiles — on-chip stop60 772
+            # < stop0 861 q/s).  Pass 1's row count is beam1x smaller, so
+            # it re-derives its own tiling (default_hop2_tiling — at
+            # B=192 the configured 6-tile split loses 23%).  Skipped rows
+            # surface stop_prob 0.5 (softmax of the zero logits the
             # skipped tiles emit); their chains are NEG_INF so the host
             # never consumes those values.
+            b_top, f_top = ((), ())
+            if cfg.hop2_buckets:
+                b_top, f_top = default_hop2_tiling(bsz, cfg.max_q_sp_len)
             top_slot = jnp.argmax(d1, axis=1)                     # (B,)
             row_idx = (jnp.arange(bsz, dtype=jnp.int32) * beam1
                        + top_slot.astype(jnp.int32))
             qsp_top = {k: v[row_idx] for k, v in qsp.items()
                        if v is not None}
             vec_top, logits_top = self._encode_hop2(
-                params, qsp_top, encode=self.encode_qsp_fn)
+                params, qsp_top, encode=self.encode_qsp_fn,
+                buckets=b_top, fracs=f_top)
             p_stop_top = jax.nn.softmax(logits_top.astype(jnp.float32),
                                         axis=-1)[:, 0]
             stopped = p_stop_top >= cfg.stop_skip_threshold       # (B,)
@@ -497,7 +554,8 @@ class BeamSearcher:
             if active is not None:
                 act_nt = act_nt & active[nt_idx]
             vec_nt, logits_nt = self._encode_hop2(
-                params, qsp_nt, encode=self.encode_qsp_fn, active=act_nt)
+                params, qsp_nt, encode=self.encode_qsp_fn, active=act_nt,
+                inactive_sort="front")
             qsp_vec = (jnp.zeros((bsz * beam1,) + vec_top.shape[1:],
                                  vec_top.dtype)
                        .at[row_idx].set(vec_top)

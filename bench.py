@@ -1013,7 +1013,11 @@ def main():
         lim = _env("MDRT_BENCH_WATCHDOG_S", 2700)
         margin = _env("MDRT_BENCH_EXTRAS_MARGIN_S", 390)
         if lim:
-            _EXTRAS_DEADLINE = time.monotonic() + max(lim - margin, 30)
+            # may be in the past (margin >= budget): the headline is not
+            # gated by _stage_ok, so "no time for extras" skips them ALL
+            # rather than giving early stages a grace window that later
+            # ones (which the margin exists to protect) never get
+            _EXTRAS_DEADLINE = time.monotonic() + (lim - margin)
         timer = _watchdog(lim or None)
         try:
             _main()
@@ -1328,6 +1332,54 @@ def _run(n_docs):
             del s4
             gc.collect()
 
+    if run_latency and _stage_ok("latency", extras):
+        s_lat = None
+        try:
+            # serving latency: the headline engine config at a low-occupancy
+            # batch — what a latency-SLO deployment of cli/serve.py pays per
+            # micro-batch (throughput batches above amortize fixed costs a
+            # latency-bound deployment cannot).  More reps: at this batch the
+            # per-batch time is small relative to the tunnel correction.
+            lat_batch = _env("MDRT_BENCH_LAT_BATCH", 8)
+            lat_reps = max(reps, 32)
+            s_lat = build_searcher(index, beam, beam, beam, buckets,
+                                   tile_fracs, use_pca=pca_ok)
+            dtl, cl, _, _, _ = _timed_search(s_lat, params, beam, lat_batch,
+                                       lat_reps, q_width, cfg.vocab_size,
+                                       nprng)
+            dtl -= tunnel_s
+            extras[f"latency_b{lat_batch}_ms"] = round(
+                dtl / lat_reps * 1000, 2)
+            print(f"# latency: compile {cl:.0f}s, {dtl/lat_reps*1000:.2f} "
+                  f"ms/batch of {lat_batch}", file=sys.stderr)
+        except Exception as e:
+            errors["latency"] = repr(e)[:200]
+        finally:
+            del s_lat
+            gc.collect()
+
+    if run_e2e and _stage_ok("end2end", extras):
+        s5 = None
+        try:
+            # buckets off: 40 hop-2 rows would make 8-row tiles, and
+            # per-tile fixed costs beat token savings at that size (PERF.md)
+            e2e_topk = _env("MDRT_BENCH_E2E_TOPK", 25)
+            s5 = build_searcher(index, 5, 5, e2e_topk, (), (),
+                                use_pca=pca_ok)
+            # rank width 128 (was 192): the r5 fidelity matrix
+            # (docs/fidelity_r5.json — 280 questions, evidence planted at
+            # token offsets 64..448) shows every width down to 96 keeps
+            # two-stage answers in 1.0 agreement with the full read; 128
+            # keeps one bucket of margin over the narrowest validated width
+            extras.update(_end2end_bench(
+                s5, params, cfg, tunnel_s, nprng,
+                rank_width=_env("MDRT_BENCH_RANK_WIDTH", 128)))
+        except Exception as e:
+            errors["end2end"] = repr(e)[:200]
+        finally:
+            del s5
+            gc.collect()
+
     if run_unified and _stage_ok("unified", extras):
         s_u = None
         try:
@@ -1398,54 +1450,6 @@ def _run(n_docs):
             errors["unified"] = repr(e)[:200]
         finally:
             del s_u
-            gc.collect()
-
-    if run_latency and _stage_ok("latency", extras):
-        s_lat = None
-        try:
-            # serving latency: the headline engine config at a low-occupancy
-            # batch — what a latency-SLO deployment of cli/serve.py pays per
-            # micro-batch (throughput batches above amortize fixed costs a
-            # latency-bound deployment cannot).  More reps: at this batch the
-            # per-batch time is small relative to the tunnel correction.
-            lat_batch = _env("MDRT_BENCH_LAT_BATCH", 8)
-            lat_reps = max(reps, 32)
-            s_lat = build_searcher(index, beam, beam, beam, buckets,
-                                   tile_fracs, use_pca=pca_ok)
-            dtl, cl, _, _, _ = _timed_search(s_lat, params, beam, lat_batch,
-                                       lat_reps, q_width, cfg.vocab_size,
-                                       nprng)
-            dtl -= tunnel_s
-            extras[f"latency_b{lat_batch}_ms"] = round(
-                dtl / lat_reps * 1000, 2)
-            print(f"# latency: compile {cl:.0f}s, {dtl/lat_reps*1000:.2f} "
-                  f"ms/batch of {lat_batch}", file=sys.stderr)
-        except Exception as e:
-            errors["latency"] = repr(e)[:200]
-        finally:
-            del s_lat
-            gc.collect()
-
-    if run_e2e and _stage_ok("end2end", extras):
-        s5 = None
-        try:
-            # buckets off: 40 hop-2 rows would make 8-row tiles, and
-            # per-tile fixed costs beat token savings at that size (PERF.md)
-            e2e_topk = _env("MDRT_BENCH_E2E_TOPK", 25)
-            s5 = build_searcher(index, 5, 5, e2e_topk, (), (),
-                                use_pca=pca_ok)
-            # rank width 128 (was 192): the r5 fidelity matrix
-            # (docs/fidelity_r5.json — 280 questions, evidence planted at
-            # token offsets 64..448) shows every width down to 96 keeps
-            # two-stage answers in 1.0 agreement with the full read; 128
-            # keeps one bucket of margin over the narrowest validated width
-            extras.update(_end2end_bench(
-                s5, params, cfg, tunnel_s, nprng,
-                rank_width=_env("MDRT_BENCH_RANK_WIDTH", 128)))
-        except Exception as e:
-            errors["end2end"] = repr(e)[:200]
-        finally:
-            del s5
             gc.collect()
 
     run_train = run_train and _stage_ok("train", extras)

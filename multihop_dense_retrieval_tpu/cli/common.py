@@ -152,15 +152,23 @@ def add_rank_args(p):
 
 
 def _prune_margin(s: str) -> float:
-    """--hop2-prune-margin parser: 'auto' is the -1.0 sentinel
-    (SearchConfig.hop2_prune_margin < 0 = per-batch median hop-1 gap,
-    derived inside the jitted search — search/beam.py)."""
+    """--hop2-prune-margin parser: 'auto' = -0.5, 'auto:Q' = -Q
+    (SearchConfig.hop2_prune_margin = -q = the q-quantile of the batch's
+    positive hop-1 gaps, derived inside the jitted search —
+    search/beam.py.  q=0.5 is the max-throughput median; q=0.9 was the
+    65k-doc sweep's quality-neutral point, docs/prune_sweep_r5.json)."""
     if s == "auto":
-        return -1.0
+        return -0.5
+    if s.startswith("auto:"):
+        q = float(s[5:])
+        if not 0 < q <= 1:
+            raise argparse.ArgumentTypeError(
+                "auto:Q needs a gap quantile Q in (0, 1]")
+        return -q
     v = float(s)
     if v < 0:
         raise argparse.ArgumentTypeError(
-            "margin must be >= 0 or the literal 'auto'")
+            "margin must be >= 0, 'auto', or 'auto:Q'")
     return v
 
 
@@ -180,10 +188,13 @@ def add_hop2_tiling_args(p):
                         "scoring more than this margin below their "
                         "question's top-1 (inner-product units); pruned "
                         "chains are excluded.  0 = off (exact); 'auto' = "
-                        "per-batch median hop-1 gap, the quality-neutral "
-                        "point of the trained-weight sweeps "
-                        "(scripts_dev/prune_sweep.py) — sweep on your own "
-                        "data if margins there may be tighter")
+                        "per-batch MEDIAN hop-1 gap (max throughput: 1.72x "
+                        "at beam 4, but flips near-tied chains under heavy "
+                        "crowding — 65k-doc sweep agreement 0.77); "
+                        "'auto:0.9' = the p90 gap, that sweep's "
+                        "quality-neutral point (P-EM/PR unchanged, "
+                        "agreement 0.98, 7.5%% pruned).  Sweep on your own "
+                        "data (scripts_dev/prune_sweep.py)")
 
 
 def resolve_hop2_tiling(args, n_rows: int, max_width: int):

@@ -196,11 +196,13 @@ class SearchConfig:
     # how empty-doc chains are excluded.  The lever targets the measured
     # beam-4 plateau: hop-2 encode is 75% of time and row COUNT is what
     # tiling cannot reduce (PERF.md).  Quality: margin sweeps on trained
-    # weights in scripts_dev/prune_sweep.py.  Negative = AUTO: the margin
-    # is the per-batch median of positive hop-1 gaps, derived inside the
-    # jitted search (no probe run needed; CLI spelling
-    # `--hop2-prune-margin auto`) — the quality-neutral point of the
-    # trained-weight sweeps (scripts_dev/prune_sweep.py).
+    # weights in scripts_dev/prune_sweep.py.  Negative = AUTO: -q means
+    # the q-quantile of the batch's positive hop-1 gaps, derived inside
+    # the jitted search (no probe run needed; CLI `--hop2-prune-margin
+    # auto` = -0.5, `auto:Q` = -Q).  The 65k-doc trained-weight sweep
+    # (docs/prune_sweep_r5.json): the median maximizes throughput (1.72x
+    # measured) but flips near-tied chains under crowding; q=0.9 was its
+    # quality-neutral point.
     hop2_prune_margin: float = 0.0
     # Device-side variable-hop early stop (UnifiedRetriever serving; 0.0
     # disables).  Requires an engine built with encode_qsp_fn.  The stop

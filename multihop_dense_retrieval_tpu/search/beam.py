@@ -488,21 +488,30 @@ class BeamSearcher:
         # `hop2_prune_margin` of their question's top-1 hop-1 score (the
         # top-1 itself always qualifies).  Pruned rows skip encoding tile-
         # wise inside _encode_hop2 and their chains score NEG_INF below.
-        # margin < 0 is AUTO: the per-batch median of positive hop-1 gaps,
-        # computed inside the jit (the quality-neutral point measured by
-        # scripts_dev/prune_sweep.py).  The sorted gap vector holds
-        # exactly one zero per question (its own top-1), so the median of
-        # the POSITIVE gaps is the entry at bsz + (rest)//2.  Empty-doc
-        # rows carry huge (top1 - NEG_INF) gaps that sort to the tail and
-        # can only pull the median UP — the safe (less pruning) direction.
+        # margin = -q in (-1, 0) is AUTO: the q-quantile of the batch's
+        # POSITIVE hop-1 gaps, derived inside the jit (no probe run).
+        # The sorted gap vector holds exactly one zero per question (its
+        # own top-1), so the positive gaps are entries bsz..end and the
+        # q-quantile is a static index into the sorted vector.  Quantile
+        # guidance from the 65k-doc trained-weight sweep
+        # (docs/prune_sweep_r5.json): q=0.5 (median, CLI `auto`)
+        # maximizes throughput (37.5% of rows pruned, 1.72x on-chip) but
+        # flips near-tied chains under heavy score crowding (chain
+        # agreement 0.77 there); q=0.9 (CLI `auto:0.9`) was that sweep's
+        # neutral point — P-EM/PR bit-equal to unpruned, agreement 0.98,
+        # 7.5% pruned.  Empty-doc rows carry huge (top1 - NEG_INF) gaps
+        # that sort to the tail and can only pull any quantile UP — the
+        # safe (less pruning) direction.
         active = None
         if cfg.hop2_prune_margin != 0 and beam1 > 1:
             top1 = jnp.max(d1, axis=1, keepdims=True)
             if cfg.hop2_prune_margin > 0:
                 margin = cfg.hop2_prune_margin
             else:
+                q = min(-cfg.hop2_prune_margin, 1.0)
                 gaps = jnp.sort((top1 - d1).reshape(-1))
-                margin = gaps[bsz + (gaps.size - bsz) // 2]
+                idx = bsz + int((gaps.size - bsz - 1) * q)
+                margin = gaps[idx]
             active = ((d1 >= top1 - margin)
                       & (d1 > NEG_INF / 2)).reshape(-1)
         stop_probs = None

@@ -183,17 +183,12 @@ def make_data(work, rng, n_docs=256, n_train=128, n_eval=0, n_key_docs=0):
 
 
 def main():
-    from multihop_dense_retrieval_tpu.cli import (encode_corpus,
-                                                  train_retriever)
-    from multihop_dense_retrieval_tpu.cli.common import (resolve_tokenizer,
-                                                         init_retriever,
-                                                         resolve_encoder_config)
-    from multihop_dense_retrieval_tpu.cli.eval_mhop_retrieval import (
-        load_searcher)
-    from multihop_dense_retrieval_tpu.core.config import SearchConfig
-    from multihop_dense_retrieval_tpu.ops.mips import NEG_INF
-
-    work = tempfile.mkdtemp(prefix="mdrt_prune_")
+    # PRUNE_REUSE=<workdir>: rerun ONLY the sweep against a previous
+    # run's trained checkpoint + index (data generation is deterministic
+    # from seed 0, so the regenerated questions/gold match the artifacts
+    # as long as the PRUNE_* shape env vars match the original run)
+    reuse = os.environ.get("PRUNE_REUSE")
+    work = reuse or tempfile.mkdtemp(prefix="mdrt_prune_")
     rng = np.random.RandomState(0)
     n_docs = int(os.environ.get("PRUNE_NDOCS", 65536))
     n_train = int(os.environ.get("PRUNE_NTRAIN", 512))
@@ -203,10 +198,28 @@ def main():
     paths, docs, rows = make_data(work, rng, n_docs=n_docs, n_train=n_train,
                                   n_eval=n_eval, n_key_docs=n_key)
 
-    print(f"== stage-1 retriever training (n_docs={n_docs}, "
-          f"train={n_train}, eval={len(rows)}, key_docs={n_key})",
-          flush=True)
     stage1 = os.path.join(work, "stage1")
+    index_dir = os.path.join(work, "index")
+    if reuse:
+        assert os.path.exists(os.path.join(stage1, "checkpoint_best")), \
+            f"PRUNE_REUSE={reuse} has no trained checkpoint"
+        assert os.path.isdir(index_dir), \
+            f"PRUNE_REUSE={reuse} has no encoded index"
+        print(f"== reusing trained artifacts in {work}", flush=True)
+    else:
+        _train_and_encode(work, paths, stage1, index_dir, n_docs)
+
+    sweep_args = (work, paths, docs, rows, stage1, index_dir, chunk,
+                  n_docs, n_key, n_train)
+    return _sweep(*sweep_args)
+
+
+def _train_and_encode(work, paths, stage1, index_dir, n_docs):
+    from multihop_dense_retrieval_tpu.cli import (encode_corpus,
+                                                  train_retriever)
+
+    chunk = min(4096, n_docs)
+    print("== stage-1 retriever training", flush=True)
     train_retriever.main([
         "--train-file", paths["mhop"], "--predict-file", paths["eval"],
         "--output-dir", stage1, "--train-batch-size", "8",
@@ -226,6 +239,19 @@ def main():
                         "--batch-size", "64", "--chunk-rows", str(chunk),
                         "--max-c-len", "64"])
 
+
+def _sweep(work, paths, docs, rows, stage1, index_dir, chunk,
+           n_docs, n_key, n_train):
+    from multihop_dense_retrieval_tpu.cli.common import (resolve_tokenizer,
+                                                         init_retriever,
+                                                         resolve_encoder_config)
+    from multihop_dense_retrieval_tpu.cli.eval_mhop_retrieval import (
+        load_searcher)
+    from multihop_dense_retrieval_tpu.core.config import SearchConfig
+    from multihop_dense_retrieval_tpu.ops.mips import NEG_INF
+
+    ckpt = os.path.join(stage1, "checkpoint_best")
+    model_name = os.environ.get("PRUNE_MODEL", "mini")
     tok = resolve_tokenizer("hash")
     enc_cfg = resolve_encoder_config(model_name)
     model, params = init_retriever(enc_cfg, checkpoint=ckpt)
@@ -276,11 +302,12 @@ def main():
                     m_eff = margin
                 else:
                     # host replica of the in-jit AUTO rule (search/beam.py):
-                    # per-batch median of positive hop-1 gaps
+                    # the q-quantile of the batch's positive hop-1 gaps
+                    qf = min(-margin, 1.0)
                     g_all = np.sort(
                         (out["hop1_cand_scores"].max(1, keepdims=True)
                          - out["hop1_cand_scores"]).reshape(-1))
-                    m_eff = g_all[bsz + (g_all.size - bsz) // 2]
+                    m_eff = g_all[bsz + int((g_all.size - bsz - 1) * qf)]
                 act = d1 >= d1.max(1, keepdims=True) - m_eff
                 pruned += int((~act).sum())
                 total += act.size
@@ -361,12 +388,15 @@ def main():
         res[f"margin_p{q_pct}_{margin:.3f}"] = r
         print(f"== margin p{q_pct} ({margin:.3f}): {r}", flush=True)
 
-    # the shipped AUTO rule itself (hop2_prune_margin < 0): the engine
-    # derives a per-batch median-gap margin inside the jit — exactly what
-    # `--hop2-prune-margin auto` and the bench's B4_PRUNE=auto serve
-    r = pub(run(-1.0, base=base))
-    res["margin_auto_injit_median"] = r
-    print(f"== margin auto (in-jit per-batch median): {r}", flush=True)
+    # the shipped AUTO rule itself (hop2_prune_margin = -q): the engine
+    # derives a per-batch q-quantile gap margin inside the jit — exactly
+    # what `--hop2-prune-margin auto[:Q]` serves (auto = median q=0.5;
+    # auto:0.9 = the measured-safe p90)
+    for q in (0.5, 0.9):
+        r = pub(run(-q, base=base))
+        res[f"margin_auto_injit_q{q}"] = r
+        print(f"== margin auto:{q} (in-jit per-batch quantile): {r}",
+              flush=True)
 
     out = os.environ.get("PRUNE_OUT", "/tmp/prune_sweep_result.json")
     with open(out, "w") as f:

@@ -989,22 +989,27 @@ def test_hop2_prune_margin_semantics():
             assert int(pruned["hop1_ids"][b][i]) == int(exp[i][1])
             assert int(pruned["hop2_ids"][b][i]) == int(exp[i][2])
 
-    # (c) AUTO margin (hop2_prune_margin < 0): the device derives the
-    # per-batch median of positive hop-1 gaps inside the jit
+    # (c) AUTO margin (hop2_prune_margin = -q): the device derives the
+    # q-quantile of the batch's positive hop-1 gaps inside the jit
     # (search/beam.py) — results must bit-match an explicit margin set to
     # the host replication of that rule (sorted flattened gaps, entry
-    # bsz + (rest)//2 — the first bsz entries are each question's own
-    # zero gap).
+    # bsz + int((npos-1)*q) — the first bsz entries are each question's
+    # own zero gap).
     gaps = np.sort((np.max(d1, 1, keepdims=True) - d1).reshape(-1))
-    host_margin = float(gaps[bsz + (gaps.size - bsz) // 2])
-    assert host_margin > 0
-    auto = build(SearchConfig(**base, hop2_prune_margin=-1.0)).search(
-        dict(q_inputs), q_raw_ids, q_raw_lens)
-    expl = build(SearchConfig(**base,
-                              hop2_prune_margin=host_margin)).search(
-        dict(q_inputs), q_raw_ids, q_raw_lens)
-    act = d1 >= (np.max(d1, 1, keepdims=True) - host_margin)
-    assert 0 < act.sum() < act.size, "auto margin degenerate on this data"
-    np.testing.assert_array_equal(expl["hop1_ids"], auto["hop1_ids"])
-    np.testing.assert_array_equal(expl["hop2_ids"], auto["hop2_ids"])
-    np.testing.assert_array_equal(expl["path_scores"], auto["path_scores"])
+    for quant in (0.5, 0.9):
+        host_margin = float(
+            gaps[bsz + int((gaps.size - bsz - 1) * quant)])
+        assert host_margin > 0
+        auto = build(SearchConfig(**base, hop2_prune_margin=-quant)).search(
+            dict(q_inputs), q_raw_ids, q_raw_lens)
+        expl = build(SearchConfig(**base,
+                                  hop2_prune_margin=host_margin)).search(
+            dict(q_inputs), q_raw_ids, q_raw_lens)
+        act = d1 >= (np.max(d1, 1, keepdims=True) - host_margin)
+        if quant == 0.5:
+            assert 0 < act.sum() < act.size, \
+                "auto margin degenerate on this data"
+        np.testing.assert_array_equal(expl["hop1_ids"], auto["hop1_ids"])
+        np.testing.assert_array_equal(expl["hop2_ids"], auto["hop2_ids"])
+        np.testing.assert_array_equal(expl["path_scores"],
+                                      auto["path_scores"])

@@ -68,9 +68,11 @@ Env overrides: MDRT_BENCH_N (index rows), MDRT_BENCH_BATCH, MDRT_BENCH_BEAM,
 MDRT_BENCH_REPS, MDRT_BENCH_LAYERS (encoder depth), MDRT_BENCH_DTYPE
 (int8|bf16), MDRT_BENCH_BUCKETS + MDRT_BENCH_TILE_FRACS ("off" disables),
 MDRT_BENCH_B4_BUCKETS/MDRT_BENCH_B4_FRACS (beam-4-specific tile tuning),
-MDRT_BENCH_B4_PRUNE (hop-2 candidate pruning margin for the extra
-beam4_pruned_qps figure: "auto" [default] = median hop-1 gap, float = pinned,
-"0" = skip),
+MDRT_BENCH_B4_PRUNE (hop-2 candidate pruning margins for the extra
+beam4_pruned_qps / beam4_pruned_p90_qps figures: "auto" [default] = the
+median and p90 hop-1 gaps — the 65k sweep's max-throughput and
+quality-neutral points, docs/prune_sweep_r5.json; float = one pinned
+margin, "0" = skip),
 MDRT_BENCH_BEAM4 / MDRT_BENCH_BF16 / MDRT_BENCH_PCA / MDRT_BENCH_READER /
 MDRT_BENCH_E2E / MDRT_BENCH_TRAIN (0 disables that extra),
 MDRT_BENCH_TRAIN_B/_TRAIN_REPS/_TRAIN_REMAT (train-stage shape),
@@ -1286,13 +1288,16 @@ def _run(n_docs):
             # sweep (scripts_dev/beam4_sweep.py): batch 192 + 6-tile split
             # 920.1 q/s vs 846.8 at the old batch-96 5-tile default.
             # MDRT_BENCH_B4_PRUNE (default "auto") additionally measures
-            # adaptive candidate pruning as beam4_pruned_qps: "auto"
-            # derives the quality-neutral margin — the MEDIAN per-question
-            # (top1 - score) hop-1 gap, where the trained-weights sweep
-            # (scripts_dev/prune_sweep.py) measured 37.5% of rows pruned
-            # with identical P-EM/PR — from the unpruned timed run's own
-            # hop-1 scores (no extra compile); a float pins the margin;
-            # "0" skips the pruned measurement.  beam4_qps stays the
+            # adaptive candidate pruning: "auto" derives margins from the
+            # unpruned timed run's own hop-1 gap distribution (no extra
+            # probe compile) at BOTH measured operating points of the
+            # 65k-doc quality sweep (docs/prune_sweep_r5.json) —
+            # beam4_pruned_qps at the MEDIAN gap (max throughput, 37.5%
+            # of rows pruned; chain agreement 0.77 under that sweep's
+            # heavy crowding) and beam4_pruned_p90_qps at the p90 gap
+            # (that sweep's quality-neutral point: P-EM/PR bit-equal,
+            # agreement 0.98, ~7.5% pruned).  A float pins one margin;
+            # "0" skips the pruned measurements.  beam4_qps stays the
             # UNpruned figure, comparable across rounds.
             b4_batch = _env("MDRT_BENCH_B4BATCH", min(batch, 192))
             b4_prune = os.environ.get("MDRT_BENCH_B4_PRUNE", "auto")
@@ -1306,12 +1311,20 @@ def _run(n_docs):
                   f"ms/batch (batch={b4_batch})", file=sys.stderr)
             if b4_prune == "auto":
                 gaps = (h1.max(-1, keepdims=True) - h1).reshape(-1)
-                b4_margin = float(np.median(gaps[gaps > 0]))
-                print(f"# beam4 prune margin auto = {b4_margin:.4f} "
-                      f"(median hop-1 gap)", file=sys.stderr)
+                pos = gaps[gaps > 0]
+                variants = [("", float(np.median(pos)), "median"),
+                            ("_p90", float(np.percentile(pos, 90)), "p90")]
+                print(f"# beam4 prune margins auto = "
+                      f"{variants[0][1]:.4f} (median) / "
+                      f"{variants[1][1]:.4f} (p90 hop-1 gap)",
+                      file=sys.stderr)
             else:
-                b4_margin = float(b4_prune)
-            if b4_margin > 0:
+                variants = [("", float(b4_prune), "pinned")]
+            for suffix, b4_margin, label in variants:
+                if b4_margin <= 0:
+                    continue
+                if not _stage_ok(f"beam4_pruned{suffix}", extras):
+                    break
                 del s4
                 s4 = None
                 gc.collect()
@@ -1321,9 +1334,10 @@ def _run(n_docs):
                                                 reps, q_width,
                                                 cfg.vocab_size, nprng)
                 dt4p -= tunnel_s
-                extras["beam4_pruned_qps"] = round(reps * b4_batch / dt4p, 1)
-                extras["beam4_prune_margin"] = round(b4_margin, 4)
-                print(f"# beam4 pruned: compile {c4p:.0f}s, steady "
+                extras[f"beam4_pruned{suffix}_qps"] = round(
+                    reps * b4_batch / dt4p, 1)
+                extras[f"beam4_prune{suffix}_margin"] = round(b4_margin, 4)
+                print(f"# beam4 pruned {label}: compile {c4p:.0f}s, steady "
                       f"{dt4p/reps*1000:.1f} ms/batch (margin={b4_margin})",
                       file=sys.stderr)
         except Exception as e:

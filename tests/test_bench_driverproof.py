@@ -114,6 +114,40 @@ def test_midrun_backend_death_is_retried():
 
 
 @pytest.mark.slow
+def test_beam4_prune_auto_emits_both_operating_points(tmp_path):
+    """MDRT_BENCH_B4_PRUNE=auto must record BOTH margins the 65k quality
+    sweep measured (docs/prune_sweep_r5.json): the median hop-1 gap
+    (max throughput) as beam4_pruned_qps and the p90 gap (quality-neutral)
+    as beam4_pruned_p90_qps, each with its margin, alongside the unpruned
+    cross-round-comparable beam4_qps."""
+    rc, last, _ = _run_bench({
+        "MDRT_BENCH_CHILD": "1",            # skip orchestrator probe loop
+        "MDRT_BENCH_PLATFORM": "cpu",
+        "MDRT_BENCH_N": "4096",
+        "MDRT_BENCH_BATCH": "8",
+        "MDRT_BENCH_REPS": "2",
+        "MDRT_BENCH_LAYERS": "2",
+        "MDRT_BENCH_MIN_RUN_S": "5",
+        "MDRT_BENCH_B4_PRUNE": "auto",
+        # every extra except beam4 off: keeps this a ~2-min test
+        "MDRT_BENCH_LATENCY": "0", "MDRT_BENCH_BF16": "0",
+        "MDRT_BENCH_PCA": "0", "MDRT_BENCH_READER": "0",
+        "MDRT_BENCH_E2E": "0", "MDRT_BENCH_HNSW": "0",
+        "MDRT_BENCH_TRAIN": "0", "MDRT_BENCH_QA_TRAIN": "0",
+        "MDRT_BENCH_UNIFIED": "0",
+        "MDRT_BENCH_COMPILE_CACHE": str(tmp_path / "cc"),
+    }, timeout=600)
+    parsed = json.loads(last)
+    assert rc == 0 and "error" not in parsed
+    assert parsed["beam4_qps"] > 0
+    assert parsed["beam4_pruned_qps"] > 0
+    assert parsed["beam4_pruned_p90_qps"] > 0
+    # p90 prunes a superset margin: margin_p90 >= margin_median > 0
+    assert (parsed["beam4_prune_p90_margin"]
+            >= parsed["beam4_prune_margin"] > 0)
+
+
+@pytest.mark.slow
 def test_extras_deadline_skips_stages_but_keeps_headline(tmp_path):
     """When the extras deadline has already passed (here: a margin larger
     than the watchdog budget), every optional stage must be SKIPPED — the

@@ -545,6 +545,104 @@ def test_stop_skip_cascade_semantics():
                                 stop_skip_threshold=0.5), mesh=None)
 
 
+def test_stop_skip_composes_with_prune_margin():
+    """stop_skip_threshold and hop2_prune_margin compose (beam.py
+    `act_nt = act_nt & active[nt_idx]`): stopped questions keep ONLY their
+    top-1 chains (prune never removes the top-1, so exactly beam2 survive),
+    and unstopped questions reproduce the prune-only engine's chains
+    exactly — the cascade must not disturb which candidates the margin
+    rule keeps."""
+    from multihop_dense_retrieval_tpu.models import UnifiedRetriever
+    from multihop_dense_retrieval_tpu.ops.mips import NEG_INF
+
+    tok = HashTokenizer(vocab_size=512)
+    rng = np.random.RandomState(34)
+    corpus = Corpus(synth.make_corpus(rng, 24))
+    tc = TokenizedCorpus.build(corpus, tok, max_text_len=32)
+    cfg = EncoderConfig.tiny(vocab_size=512, max_position_embeddings=80)
+    model = UnifiedRetriever(cfg)
+    ids8 = jnp.ones((1, 8), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids8, ids8,
+                        method=model.encode_qsp)
+    enc = tok.encode_batch_pair(
+        [(corpus[i]["title"], corpus.encode_text(i))
+         for i in range(len(corpus))], 40)
+    emb = np.asarray(model.apply(params, jnp.asarray(enc["input_ids"]),
+                                 jnp.asarray(enc["attention_mask"]),
+                                 method=model.encode_seq), np.float32)
+    index = DenseIndex.build(emb, chunk_rows=8, dtype=jnp.float32)
+    n_pad = index.vectors.shape[0]
+    text_ids = np.full((n_pad, 32), tok.spec.pad_id, np.int32)
+    text_ids[:len(corpus)] = tc.text_ids
+    text_lens = np.zeros(n_pad, np.int32); text_lens[:len(corpus)] = tc.text_lens
+    empty = np.zeros(n_pad, bool); empty[:len(corpus)] = tc.empty
+    beam, topk = 3, 9   # topk = beam1*beam2: every chain surfaces
+
+    qsp_fn = lambda p, i, m, tt=None: model.apply(
+        p, i, m, tt, method=model.encode_qsp)
+
+    def build(thr, margin):
+        return BeamSearcher(
+            encode_fn=lambda p, i, m, tt=None: model.apply(
+                p, i, m, tt, method=model.encode_seq),
+            encode_qsp_fn=qsp_fn, params=params, index=index,
+            text_ids=jnp.asarray(text_ids), text_lens=jnp.asarray(text_lens),
+            empty=jnp.asarray(empty), spec=tok.spec,
+            config=SearchConfig(beam_size_1=beam, beam_size_2=beam,
+                                topk=topk, max_q_len=16, max_q_sp_len=64,
+                                chunk_rows=8, use_pallas=False,
+                                stop_skip_threshold=thr,
+                                hop2_prune_margin=margin),
+            mesh=None)
+
+    qs = [f"compose query {i}" for i in range(4)]
+    q_inputs = tok.encode_batch_one(qs, 16)
+    raw = [tok.raw_ids_padded(q, 14) for q in qs]
+    rid, rlen = np.stack([r[0] for r in raw]), np.array([r[1] for r in raw])
+
+    # margin = the median positive hop-1 gap of this batch: some non-top
+    # candidates prune, some survive
+    probe = build(0.0, 0.0).search(dict(q_inputs), rid, rlen)
+    d1 = probe["hop1_cand_scores"]
+    gaps = (d1.max(axis=1, keepdims=True) - d1).reshape(-1)
+    margin = float(np.median(np.sort(gaps)[len(qs):]))
+
+    pruneonly = build(0.0, margin).search(dict(q_inputs), rid, rlen)
+    valid_po = pruneonly["path_scores"] > NEG_INF / 2
+    # the margin actually bites somewhere but never kills everything
+    assert valid_po.sum() < probe["path_scores"].size
+    assert (valid_po.reshape(len(qs), -1).sum(axis=1) >= beam).all()
+
+    top_slot = np.argmax(d1, axis=1)
+    p_top = pruneonly["stop_probs"][np.arange(len(qs)), top_slot]
+    thr = float(np.sort(p_top)[len(qs) // 2])
+
+    comp = build(thr, margin).search(dict(q_inputs), rid, rlen)
+    stopped = p_top >= thr
+    assert stopped.any() and not stopped.all(), (thr, p_top)
+    for q in range(len(qs)):
+        valid = comp["path_scores"][q] > NEG_INF / 2
+        if stopped[q]:
+            # prune keeps the top-1 always, stop keeps ONLY the top-1:
+            # exactly that candidate's beam2 chains survive
+            assert valid.sum() == beam
+            top_doc = probe["hop1_cand_ids"][q, top_slot[q]]
+            assert set(comp["hop1_ids"][q][valid]) == {top_doc}
+            base_mask = pruneonly["hop1_ids"][q] == top_doc
+            np.testing.assert_array_equal(comp["hop2_ids"][q][valid],
+                                          pruneonly["hop2_ids"][q][base_mask])
+        else:
+            # unstopped: the cascade must be invisible on top of pruning
+            np.testing.assert_array_equal(comp["hop1_ids"][q][valid],
+                                          pruneonly["hop1_ids"][q][valid_po[q]])
+            np.testing.assert_array_equal(comp["hop2_ids"][q][valid],
+                                          pruneonly["hop2_ids"][q][valid_po[q]])
+            np.testing.assert_allclose(
+                comp["path_scores"][q][valid],
+                pruneonly["path_scores"][q][valid_po[q]],
+                rtol=1e-4, atol=1e-4)
+
+
 def test_pca_prefiltered_engine_search():
     """use_pca engine: certified queries must reproduce the exact engine's
     chains; certificates surface in the search outputs; the index

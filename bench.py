@@ -1413,13 +1413,14 @@ def _run(n_docs):
                 jax.random.PRNGKey(21), jnp.ones((1, 8), jnp.int32),
                 jnp.ones((1, 8), jnp.int32), method=u_model.encode_qsp)
 
-            def build_u(thr):
+            def build_u(thr, margin=0.0):
                 scfg = SearchConfig(
                     beam_size_1=4, beam_size_2=4, topk=4,
                     max_q_len=q_width, max_q_sp_len=max_q_sp_len,
                     chunk_rows=chunk, use_pallas=True,
                     hop2_buckets=b4_buckets, hop2_tile_fracs=b4_fracs,
-                    use_pca=pca_ok, stop_skip_threshold=thr)
+                    use_pca=pca_ok, stop_skip_threshold=thr,
+                    hop2_prune_margin=margin)
                 return BeamSearcher(
                     encode_fn=lambda p, ids, mask, tt=None: u_model.apply(
                         p, ids, mask, tt, method=u_model.encode_seq),
@@ -1460,6 +1461,27 @@ def _run(n_docs):
                 print(f"# unified stop{rate}: compile {cs:.0f}s, steady "
                       f"{dts/reps*1000:.1f} ms/batch (thr={thr:.4f}, "
                       f"measured rate {eff:.2f})", file=sys.stderr)
+                if rate == 60 and _env("MDRT_BENCH_UNIFIED_PRUNED", 1) \
+                        and _stage_ok("unified_pruned", extras):
+                    # the cascade composes with margin pruning (beam.py
+                    # `act_nt &= active`, semantics pinned by
+                    # test_stop_skip_composes_with_prune_margin): unstopped
+                    # questions' non-top candidates additionally prune at
+                    # the in-jit auto p90 gap quantile — the 65k-sweep
+                    # quality-neutral margin (docs/prune_sweep_r5.json)
+                    del s_u
+                    s_u = None
+                    gc.collect()
+                    s_u = build_u(thr, margin=-0.9)
+                    dtp, cp, _, _, _ = _timed_search(
+                        s_u, u_params, 4, u_batch, reps, q_width,
+                        cfg.vocab_size, nprng)
+                    dtp -= tunnel_s
+                    extras["unified_qps_stop60_pruned_p90"] = round(
+                        reps * u_batch / dtp, 1)
+                    print(f"# unified stop60+prune(p90): compile {cp:.0f}s,"
+                          f" steady {dtp/reps*1000:.1f} ms/batch",
+                          file=sys.stderr)
         except Exception as e:
             errors["unified"] = repr(e)[:200]
         finally:
